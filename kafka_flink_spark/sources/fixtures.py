@@ -1,0 +1,80 @@
+"""Batch fixture sources: the driver-generated parquet tables.
+
+Also derives the reference-shaped ``trades`` view from ``events``
+(FIXTURES.md role mapping): ``event_type`` plays ``product``,
+``value`` plays ``price``, ``user_id`` plays ``instrument_id``, and
+``get_json_object(props, '$.k')`` supplies ``qty`` — so OHLCV parity
+tests read exactly like the reference's 5-field trade schema
+(reference ``3_ohlc.py:28``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_flink_spark.schemas import FIXTURE_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning and filter pushdown are
+    Catalyst's job — callers express projections/filters declaratively
+    and they reach the parquet reader (verified in plans tests).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot
+    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a LONG of nanos and is converted here via exact integer
+    division (``div 1000`` → µs, truncating like DuckDB/Arrow do).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    """Load fixture tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1-shaped trade stream derived from ``events``.
+
+    Columns: ts TIMESTAMP, instrument_id STRING, product STRING,
+    price DOUBLE, qty LONG, seq LONG (monotonic tie-break, the Spark
+    re-expression of the reference's arrival-order dependence —
+    SURVEY.md §7.4.4).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("ts"),
+            F.concat(F.lit("Instrument_"), F.col("user_id")).alias("instrument_id"),
+            F.col("event_type").alias("product"),
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+
+
+# DuckDB-side equivalent of trades_view, for composing oracle SQL.
+TRADES_ORACLE_CTE = """
+trades AS (
+    SELECT ts,
+           'Instrument_' || CAST(user_id AS VARCHAR) AS instrument_id,
+           event_type AS product,
+           value AS price,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+           event_id AS seq
+    FROM events
+)
+"""

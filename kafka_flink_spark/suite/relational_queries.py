@@ -1,0 +1,649 @@
+"""Relational operator surface (SURVEY.md §2.3, §2.6-§2.8, §2.10).
+
+The reference has no filters, joins, sorts, or set ops (SURVEY.md
+§2.3/§2.6/§2.8) — a credible engine over this domain must, so each
+category is exercised on the star-schema fixtures with a DuckDB
+oracle. Everything here is pure DataFrame/SQL built-ins: Catalyst owns
+pushdown, pruning, join strategy (broadcast hints where the dimension
+side is known-small), and AQE owns runtime repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_flink_spark.sources.fixtures import load_table
+from kafka_flink_spark.suite import register
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- Projections / filters (P-group; filters per §2.3 note) -----------------
+
+
+@register(
+    "f1_filter_project",
+    oracle=f"""
+SELECT event_id,
+       user_id,
+       strftime(ts, '{_FMT_DUCK}') AS ts,
+       value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE event_type = 'click' AND value > 5.0
+""",
+    doc="Filter + projection over events; predicate and column pruning "
+    "push down to the parquet scan (asserted in plan tests).",
+)
+def f1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("value") > 5.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts"),
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+@register(
+    "p4_passthrough",
+    oracle=f"""
+SELECT event_id, strftime(ts, '{_FMT_DUCK}.%f') AS ts, user_id, event_type, value, props
+FROM events
+""",
+    doc="P4/W13: identity pass-through (reference 1_transfer.py topic "
+    "transfer) — batch form; the streaming topic-transfer pipeline is "
+    "in streaming/transfer.py.",
+)
+def p4_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.date_format("ts", _FMT + ".SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+# --- Joins (§2.6 — absent in reference, required for the domain) ------------
+
+
+@register(
+    "j1_join_broadcast_inner",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    doc="Inner equi-join fact→dim with an explicit broadcast() hint on "
+    "the small side — no shuffle of lineitem at any scale.",
+)
+def j1_join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "j2_join_left_outer",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    doc="Left outer join preserving customers with no orders.",
+)
+def j2_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "j3_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    doc="Left-semi join: customers having at least one large order.",
+)
+def j3_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="Left-anti join: customers with no order above 300k (threshold "
+    "chosen so the result is non-empty at every fixture SF).",
+)
+def j4_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j5_join_range",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(count(l.l_linenumber) AS BIGINT) AS shipped_within_30d
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+""",
+    doc="Equi + range-predicate join (lineitems shipped within 30 days "
+    "of their order) — the equi key keeps it a hash join; the range "
+    "condition evaluates post-match, so no nested-loop blowup.",
+)
+def j5_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_linenumber").alias("shipped_within_30d"))
+    )
+
+
+@register(
+    "q_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-shaped headline: 3-way join + filter + agg + top-N. "
+    "customer is broadcast; ORDER BY ... LIMIT plans as TakeOrderedAndProject "
+    "(no global sort of the full result).",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", _FMT).alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5-shaped headline: 6-way snowflake join; all dimension "
+    "sides broadcast, single shuffle for the final agg.",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- Aggregations (§2.5 A9 generalized) --------------------------------------
+
+
+@register(
+    "g1_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary: filter + wide grouped agg; "
+    "partial (map-side) aggregation makes the shuffle O(groups).",
+)
+def g1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "g2_distinct_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    doc="Distinct aggregate (count distinct users per event type) — "
+    "Catalyst plans the two-phase distinct expansion.",
+)
+def g2_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "g3_rollup",
+    oracle="""
+SELECT n.n_name, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+""",
+    doc="ROLLUP grouping sets over customer × nation (absent in the "
+    "reference, §2.5 note; included for engine completeness).",
+)
+def g3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "g4_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE grouping sets over orders.",
+)
+def g4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "g5_having",
+    oracle="""
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 15
+""",
+    doc="Aggregate + HAVING (post-aggregation filter).",
+)
+def g5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --- OVER-window functions (§2.7) --------------------------------------------
+
+
+@register(
+    "w1_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+    doc="Top-3 orders per customer via row_number() — deterministic "
+    "tie-break on orderkey.",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - coalesce(lag(value) OVER w, value), 2) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="lag/lead analytics per user ordered by event time.",
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 2).alias(
+            "delta"
+        ),
+    )
+
+
+@register(
+    "w3_rank_dense_ntile",
+    oracle="""
+SELECT s_suppkey, s_name, s_acctbal,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+""",
+    doc="rank/dense_rank/ntile over a global ordering (small table; a "
+    "global OVER() window is intentionally exercised here — large-table "
+    "rankings go through partitioned windows like w1).",
+)
+def w3_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --- Sorts / limits / set ops (§2.8) -----------------------------------------
+
+
+@register(
+    "s1_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="Global top-100 — plans as TakeOrderedAndProject, not a full sort.",
+)
+def s1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "set1_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+    doc="UNION (distinct) of customer and supplier nation keys.",
+)
+def set1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set2_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    doc="INTERSECT of customer and supplier nation keys.",
+)
+def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set3_except",
+    oracle="""
+SELECT event_id FROM events WHERE value > 10
+EXCEPT
+SELECT event_id FROM events WHERE event_type = 'purchase'
+""",
+    doc="EXCEPT: high-value events that are not purchases (non-empty at "
+    "every fixture SF).",
+)
+def set3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hi = e.filter(F.col("value") > 10).select("event_id")
+    purch = e.filter(F.col("event_type") == "purchase").select("event_id")
+    return hi.exceptAll(purch).distinct()
+
+
+# --- Scalar functions (§2.10) -------------------------------------------------
+
+
+@register(
+    "sc1_datetime_functions",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS order_dow,
+       strftime(date_trunc('minute', o_orderdate), '{_FMT_DUCK}') AS order_minute,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+       CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_ms
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    doc="§2.10 datetime scalar surface: year/month/dow, minute "
+    "truncation (reference 5_ohlc.py:72), strftime formatting "
+    "(3_ohlc.py:70), epoch-ms round-trip (P6).",
+)
+def sc1_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_trunc("minute", "o_orderdate"), _FMT).alias("order_minute"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        # o_orderdate is parquet TIMESTAMP_NTZ; unix_millis requires an
+        # instant — the cast is identity under the engine's UTC session TZ.
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+    )
+
+
+@register(
+    "sc2_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INT) AS name_len,
+       substr(p_brand, 7) AS brand_num,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       p_brand || '/' || p_type AS brand_type,
+       replace(p_name, ' ', '_') AS name_snake
+FROM part
+WHERE p_size >= 40
+""",
+    doc="§2.10 string scalar surface: case, length, substring, regexp "
+    "extraction, concat, replace.",
+)
+def sc2_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_brand", 7, 100).alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "sc3_json_functions",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="§2.10 JSON parse surface (reference json.loads — old/beam.py:44, "
+    "old/kfk.py:32): get_json_object extraction + aggregation.",
+)
+def sc3_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
