@@ -1,0 +1,165 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, per the standard ANN playbook:
+
+* **Brute-force cosine top-k** — the exact baseline: a broadcast join
+  of the (tiny) query set against the corpus, dot products via
+  ``zip_with``/``aggregate`` higher-order expressions (JVM-side, no
+  Python), then a per-query top-k via window rank. One scan, one
+  small shuffle of (query, candidate, score) triples.
+* **Random-hyperplane LSH buckets** — the scale path: P deterministic
+  pseudo-random hyperplanes (md5-derived components, so the DuckDB
+  oracle reproduces them bit-for-bit); sign-bit bucket per vector;
+  candidates only within the query's bucket. Probing across corpora
+  of billions of vectors touches only matching buckets; recall tunes
+  with P and multi-probe.
+
+An IVF variant (k-means coarse quantizer) would follow the same
+dataflow with learned centroids instead of hyperplanes; hyperplanes
+keep round-1 deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EMBED_DIM = 64
+NUM_PLANES = 8
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (bit-reproducible across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (a handful of vectors); scores compute in
+    one pass over the corpus; the final top-k is a rank over
+    (query, score) — shuffle size = |corpus| × |queries| score rows,
+    never the embeddings themselves.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def plane_component(p: int, i: int) -> float:
+    """Deterministic hyperplane component in [-1, 1): derived from
+    md5(f"plane:{p}:{i}") so any engine reproduces it. Python-side
+    constant (planes are tiny); baked into the plan as literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2_000_000) / 1_000_000.0 - 1.0
+
+
+def lsh_bucket(vec_col: Column, num_planes: int = NUM_PLANES, dim: int = EMBED_DIM) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(plane_component(p, i)) for i in range(dim)])
+        bit = F.when(dot(vec_col, plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within it. Bucket assignment is a
+    narrow projection; the join key is the bucket id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all pairs ≥ threshold).
+
+    Exact all-pairs form — correctness baseline over fixture-sized
+    corpora; the scale path reuses lsh_bucket to confine the quadratic
+    join to buckets (same shape as minhash_lsh_pairs)."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language ID, and
+document fingerprinting.
+
+Scale design: every operator here is a *narrow* per-row projection
+built from native/higher-order column expressions (split, transform,
+filter, aggregate, regexp_count, md5) — zero shuffles, zero Python
+UDFs, fully pipelined with the parquet scan. On 100 TB of documents
+these run at scan speed; only downstream grouping (dedup, per-lang
+stats) shuffles, and that shuffle carries the small derived columns,
+not the raw text, when callers select narrowly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word profiles for the n-gram/stopword
+# language-ID heuristic. Deterministic, oracle-reproducible.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("a", "the", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+}
+# Deterministic preference order for score ties.
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+# BPE-ish word/number/punct segmentation for token counting: runs of
+# letters, runs of digits, or single non-space symbols.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    return F.split(F.col(col), " ")
+
+
+def token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex segments
+    (letters / digit runs / punctuation symbols)."""
+    return df.withColumns(
+        {
+            "n_words": F.size(tokens(col)).cast("long"),
+            "n_tokens": F.regexp_count(F.col(col), F.lit(TOKEN_REGEX)).cast("long"),
+        }
+    )
+
+
+def _stopword_hits(lang: str, col: str = "text") -> Column:
+    """Count of tokens that are function words of ``lang``."""
+    arr = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-language stopword-ratio scores + predicted language.
+
+    score_<lang> = |tokens ∩ profile(lang)| / |tokens|; prediction is
+    the max score with ties broken by LANG_ORDER. A real system swaps
+    the profiles for character-n-gram models; the dataflow (narrow
+    projection, no shuffle) is identical.
+    """
+    n = F.size(tokens(col))
+    out = df
+    for lang in LANG_ORDER:
+        out = out.withColumn(
+            f"score_{lang}",
+            F.round(_stopword_hits(lang, col) / F.greatest(n, F.lit(1)), 6),
+        )
+    # CASE chain implements argmax with the deterministic tie order.
+    pred = None
+    for i, lang in enumerate(LANG_ORDER):
+        rest = LANG_ORDER[i + 1 :]
+        cond = None
+        for other in rest:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if pred is None:
+            pred = F.when(cond, branch) if cond is not None else branch
+        else:
+            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Heuristic document-quality scoring (length, punctuation ratio,
+    mean word length, stopword ratio) — the standard pre-training
+    filter features, as one codegen'd projection."""
+    n_words = F.size(tokens(col))
+    n_chars = F.length(F.col(col))
+    mean_word_len = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
+    punct_ratio = F.regexp_count(F.col(col), F.lit("[^A-Za-z0-9 ]")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    stop_ratio = _stopword_hits("en", col) / F.greatest(n_words, F.lit(1))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round(mean_word_len, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 hex of the normalized
+    text (lowercased, trimmed) + a 60-bit integer form for compact
+    storage/joins. Exact-dedup keys derive from this."""
+    norm = F.lower(F.trim(F.col(col)))
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_long": F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"),
+        }
+    )
+
+
+def duckdb_lang_score(lang: str, text_expr: str = "text") -> str:
+    """Oracle SQL mirroring one language score."""
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"round(len(list_filter(string_split({text_expr}, ' '), "
+        f"t -> list_contains([{words}], t))) * 1.0 / "
+        f"greatest(len(string_split({text_expr}, ' ')), 1), 6)"
+    )

@@ -42,7 +42,51 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-mutable conf on this build — keep the session usable.
             pass
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``kafka_flink_spark`` importable on executor Python workers.
+
+    Pandas-UDF closures reference functions in this package by module
+    name (cloudpickle pickles module-level callables by reference); an
+    externally built session whose workers don't have the repo on
+    sys.path would fail to unpickle them. Shipping a zip of the
+    package via ``addPyFile`` fixes that for any session, any cwd —
+    and is exactly how the package would deploy to a real cluster.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"kafka_flink_spark_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "kafka_flink_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED_SESSIONS.add(key)
+    except Exception:
+        # Connect-mode sessions have no sparkContext; local sessions
+        # started from the repo root don't need shipping.
+        pass
 
 
 def get_session(

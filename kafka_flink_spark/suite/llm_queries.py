@@ -1,3 +1,468 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis) over
-the documents/embeddings fixtures. Populated by operators/dedup.py,
-operators/similarity.py, operators/text.py."""
+"""LLM-data-pipeline queries over documents/embeddings: dedup
+(exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + LSH ANN), and text analysis.
+
+Every query has a DuckDB oracle. Portability trick: all hashing is
+md5-based (identical hex in both engines), all float reductions are
+sequential-order folds (identical IEEE ops), so even MinHash and
+SimHash signatures hash-match the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_spark.operators import dedup as D
+from kafka_flink_spark.operators import similarity as S
+from kafka_flink_spark.operators import text as X
+from kafka_flink_spark.sources.fixtures import load_table
+from kafka_flink_spark.suite import register
+
+# --- shared DuckDB SQL fragments ---------------------------------------------
+
+_MD5L = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _md5l(expr: str) -> str:
+    return _MD5L.format(expr=expr)
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)])
+                ELSE [array_to_string(w, ' ')] END AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+_QUERY_IDS = (0, 1, 2)  # similarity-search probe vectors
+_ANN_PLANES = 4  # 16 buckets over 500 fixture vectors ≈ 30 candidates each
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+@register(
+    "t1_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace words + BPE-ish regex segments.",
+)
+def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
+@register(
+    "t2_quality_scores",
+    oracle="""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round((n_chars - (n_words - 1)) * 1.0 / greatest(n_words, 1), 6) AS mean_word_len,
+       round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop * 1.0 / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (1.0 - least(n_punct * 1.0 / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+             + least(n_stop * 1.0 / greatest(n_words, 1) * 5, 1.0) * 0.3, 6) AS quality_score
+FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               t -> list_contains(['a','the','of','and','to','in','is','it'], t))) AS n_stop
+    FROM documents
+)
+""",
+    doc="Heuristic quality scoring: length, punctuation ratio, mean "
+    "word length, stopword ratio — pre-training filter features.",
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n       ".join(
+        f"{X.duckdb_lang_score(lang)} AS score_{lang}" for lang in X.LANG_ORDER
+    )
+    branches = []
+    for i, lang in enumerate(X.LANG_ORDER):
+        rest = X.LANG_ORDER[i + 1 :]
+        if rest:
+            cond = " AND ".join(f"score_{lang} >= score_{o}" for o in rest)
+            branches.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            branches.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       {case} AS pred_lang
+FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+"""
+
+
+@register(
+    "t3_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="Language-ID heuristic: per-language function-word ratios, "
+    "argmax with deterministic tie order.",
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        *[f"score_{lang}" for lang in X.LANG_ORDER],
+        "pred_lang",
+    )
+
+
+@register(
+    "t4_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp_md5,
+       {_md5l("lower(trim(text))")} AS fp_long
+FROM documents
+""",
+    doc="Document fingerprinting: md5 of normalized text + 60-bit "
+    "integer form.",
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_long"
+    )
+
+
+# --- dedup ---------------------------------------------------------------------
+
+
+@register(
+    "d1_exact_dedup",
+    oracle="""
+SELECT md5(lower(trim(text))) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup via hash-groupBy: representative (min id) per "
+    "normalized-text md5; shuffle carries 32-byte hashes, not text.",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d2_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
+FROM common
+WHERE c * 1.0 / (na + nb - c) >= 0.2
+""",
+    doc="Exact word-3-gram Jaccard near-dup pairs via shingle inverted "
+    "index (the correctness baseline LSH approximates).",
+)
+def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+def _minhash_oracle() -> str:
+    perms = D.NUM_PERMS
+    rpb = perms // D.NUM_BANDS
+    band_key = " || ':' || ".join(
+        f"CAST(mh[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
+    )
+    mh_hash = _md5l("'mh' || p || ':' || s")
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           list_transform(range({perms}), p ->
+               list_min(list_transform(shingles, s ->
+                   {mh_hash}))) AS mh
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, shingles,
+           unnest(range({D.NUM_BANDS})) AS band_id,
+           unnest(list_transform(range({D.NUM_BANDS}), b -> {band_key})) AS band_key
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.shingles AS sa, b.shingles AS sb
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa, sb)) * 1.0 /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sa, sb)) * 1.0 /
+      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+"""
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup detection: 16 md5-salted permutations, "
+    "8 bands × 2 rows, candidates verified with exact shingle Jaccard "
+    "≥ 0.5. Signatures are per-row array expressions — no shuffle "
+    "until band-bucket join.",
+)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+def _simhash_sig_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(D.SIMHASH_BITS)
+    )
+    tok_hash = _md5l("t")
+    return f"""
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), t -> {tok_hash}) AS hs
+    FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hashed
+"""
+
+
+@register(
+    "d4_simhash_signatures",
+    oracle=_simhash_sig_sql(),
+    doc="SimHash 60-bit signatures: per-token md5 bit votes, computed "
+    "as per-row higher-order folds (one md5 per token, no explode).",
+)
+def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_sql(max_hamming: int = 20, num_chunks: int = 4) -> str:
+    chunk_bits = D.SIMHASH_BITS // num_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = ", ".join(
+        f"(simhash >> {c * chunk_bits}) & {mask}" for c in range(num_chunks)
+    )
+    return f"""
+WITH sig AS ({_simhash_sig_sql()}),
+banded AS (
+    SELECT doc_id, simhash,
+           unnest(range({num_chunks})) AS chunk_id,
+           unnest([{chunk_arr}]) AS chunk_key
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register(
+    "d5_simhash_near_pairs",
+    oracle=_simhash_pairs_sql(),
+    doc="SimHash near-dup pairs: 15-bit chunk banding (pigeonhole "
+    "candidates), verified with exact hamming distance ≤ 20.",
+)
+def d5_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=20
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "d6_embedding_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_duck_cosine("a.v", "b.v")}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_duck_cosine("a.v", "b.v")}, 6) >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs (all-pairs exact baseline; "
+    "scale path buckets with lsh_bucket first).",
+)
+def d6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), min_cosine=0.35)
+
+
+# --- similarity search ----------------------------------------------------------
+
+
+@register(
+    "v1_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {_QUERY_IDS}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_duck_cosine("q.qv", "e.v")}, 6) AS cos_sim
+    FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+""",
+    doc="Brute-force cosine top-10 for 3 probe vectors: broadcast "
+    "query set, zip_with/aggregate dot products, window rank.",
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.cosine_topk(emb, queries, k=10)
+
+
+def _ann_oracle() -> str:
+    # Reproduce the md5-derived hyperplanes and sign-bit bucketing.
+    plane_hash = _md5l("'plane:' || p || ':' || i")
+    plane = (
+        f"list_transform(range({S.EMBED_DIM}), i -> "
+        f"({plane_hash} % 2000000) / 1000000.0 - 1.0)"
+    )
+    bucket = (
+        f"list_sum(list_transform(range({_ANN_PLANES}), p -> "
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN {_QUERY_IDS}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round({_duck_cosine("q.qv", "c.v")}, 6) AS cos_sim
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v2_lsh_ann_topk",
+    oracle=_ann_oracle(),
+    doc="LSH-bucketed ANN top-10: md5-derived random hyperplanes, "
+    "sign-bit buckets, exact rank within the query's bucket.",
+)
+def v2_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.lsh_ann_topk(emb, queries, k=10, num_planes=_ANN_PLANES)
+
+
+# --- multimodal plumbing ---------------------------------------------------------
+
+_MEDIA_ORACLE_CTE = """
+media AS (
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           text AS payload,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS h
+    FROM documents
+)
+"""
+
+
+def _hex_byte(i: int) -> str:
+    """Byte i of an md5 hex digest as INT (mirrors hashlib digest[i])."""
+    return f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT)"
+
+
+@register(
+    "m1_media_decode",
+    oracle=f"""
+WITH {_MEDIA_ORACLE_CTE}
+SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+       {_hex_byte(0)} + 1 AS width,
+       {_hex_byte(1)} + 1 AS height,
+       {_hex_byte(2)} % 10 + 1 AS n_frames
+FROM media
+""",
+    doc="Multimodal decode plumbing: binary payload column → typed "
+    "metadata via Arrow-batched mapInPandas (decoder itself is a "
+    "deterministic md5 stub; real decode raises NotImplementedError).",
+)
+def m1_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import blobs_from_documents, decode_media
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
+@register(
+    "m2_frame_samples",
+    oracle=f"""
+WITH {_MEDIA_ORACLE_CTE}
+SELECT media_id, CAST(f AS INT) AS frame_id,
+       md5(payload || CAST(f AS VARCHAR)) AS frame_fp
+FROM (SELECT media_id, payload, unnest(range(0, {_hex_byte(2)} % 10 + 1, 2)) AS f
+      FROM media WHERE media_type = 'video')
+""",
+    doc="Video frame sampling: 1-to-N mapInPandas (explode-shaped UDF), "
+    "every-2nd-frame policy, deterministic frame fingerprints.",
+)
+def m2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import blobs_from_documents, sample_frames
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_k=2)
+
+
+@register(
+    "m3_media_embed",
+    oracle=f"""
+WITH {_MEDIA_ORACLE_CTE}
+SELECT media_id, CAST(d AS INT) AS dim,
+       CAST(('0x' || substr(h, 2 * d + 1, 2)) AS INT) AS byte_val
+FROM (SELECT media_id, h, unnest(range(8)) AS d FROM media)
+""",
+    doc="Media feature-extraction plumbing: binary → array<float> "
+    "embedding via vectorized Pandas UDF; verified by projecting the "
+    "floats back to their exact byte values.",
+)
+def m3_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import blobs_from_documents, embed_media
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    emb = embed_media(media, dim=8)
+    return emb.select(
+        "media_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "media_id", "dim", F.round(F.col("v") * 255).cast("int").alias("byte_val")
+    )

@@ -1,0 +1,93 @@
+"""Unit semantics for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flink_spark.operators import dedup as D
+from kafka_flink_spark.operators import multimodal as M
+from kafka_flink_spark.operators import similarity as S
+from kafka_flink_spark.operators import text as X
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different words about spark engines and shuffles here"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.fp: r for r in D.exact_dedup(_docs(spark)).collect()}
+    assert len(out) == 3
+    dup_group = [r for r in out.values() if r.n_copies == 2]
+    assert len(dup_group) == 1 and dup_group[0].keep_id == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(_docs(spark), min_jaccard=0.5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_dup_is_1(spark):
+    rows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark), min_jaccard=0.2).collect()
+    }
+    assert rows[(1, 4)] == 1.0
+    assert 0.5 < rows[(1, 2)] < 1.0
+
+
+def test_simhash_near_pairs(spark):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_pairs(_docs(spark), max_hamming=20).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 20
+
+
+def test_cosine_topk_identical_vector_first(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    rows.append((3, [1.0, 0.1, 0.0, 0.0]))  # near vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    top = S.cosine_topk(emb, q, k=2).collect()
+    assert [r.neighbor_id for r in top] == [3, 1]
+    assert top[0].cos_sim > 0.99
+
+
+def test_lang_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a cat"), (2, "der hund und die katze ist ein tier")],
+        "doc_id long, text string",
+    )
+    langs = {r.doc_id: r.pred_lang for r in X.lang_scores(df).collect()}
+    assert langs == {1: "en", 2: "de"}
+    q = {r.doc_id: r for r in X.quality_scores(df).collect()}
+    assert 0.0 <= q[1].quality_score <= 1.0
+    assert q[1].stopword_ratio > 0.3
+
+
+def test_multimodal_plumbing(spark):
+    media = M.blobs_from_documents(
+        spark.createDataFrame(
+            [(0, "img payload", "en", "s", 11), (2, "vid payload", "en", "s", 11)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    decoded = {r.media_id: r for r in M.decode_media(media).collect()}
+    assert decoded[0].media_type == "image" and decoded[2].media_type == "video"
+    assert decoded[0].n_bytes == 11 and 1 <= decoded[0].n_frames <= 10
+    frames = M.sample_frames(media).collect()
+    assert all(f.media_id == 2 for f in frames) and len(frames) >= 1
+    emb = M.embed_media(media).collect()
+    assert all(len(r.embedding) == 8 for r in emb)
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media, real=True)
