@@ -1,0 +1,178 @@
+"""Streaming OHLCV candle pipelines.
+
+Re-expresses the reference's streaming semantics Spark-first:
+
+* W1/W2 event-time — the ``ts`` column itself (no
+  ``set_stream_time_characteristic``; event time is declarative).
+* W3/W4 watermarks — ``withWatermark(ts, delay)``; the reference's
+  "monotonous timestamps" strategy (``7_ohlc.py:136``) is delay=0,
+  bounded out-of-orderness (``old/kfk.py:111``) is delay=60s.
+* W5 tumbling windows — ``window(ts, d)``; W14 sliding/session —
+  ``window(ts, d, slide)`` / ``session_window(ts, gap)``.
+* W11 per-event update emission (``5_ohlc.py:99``) — update/complete
+  output mode on the same aggregation (micro-batch granularity; the
+  per-event trace lives in streaming/stateful.py).
+* W12 end-of-window append emission (``7_ohlc.py:96-98``) — append
+  mode: a window emits exactly once, when the watermark passes its
+  end.
+* W6 allowed lateness (``3_ohlc.py:63``) — folded into the watermark
+  delay (Spark's single-knob model: delay = out-of-orderness +
+  lateness budget).
+
+State scale: streaming aggregation state is (keys × open windows)
+rows in the state store — bounded by the watermark, independent of
+input volume; exactly the property the reference hand-builds with
+per-key dicts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_spark.operators.candles import ohlcv_aggs
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_trades_from_fixture(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay the events fixture as a streaming trades source (the
+    Kafka-free test harness; swap for sources/kafka.kafka_json_source
+    in production — the downstream pipeline is identical).
+
+    The fixture's TIMESTAMP(NANOS) column arrives as LONG nanos under
+    the engine's read conf; converted here exactly like the batch
+    path.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # FileStreamSource wants a directory; select just the events table
+    # out of the fixture dir with a glob filter.
+    events = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return events.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.concat(F.lit("Instrument_"), F.col("user_id")).alias("instrument_id"),
+        F.col("event_type").alias("product"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def ohlcv_stream(
+    trades: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    key_col: str = "product",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV over a streaming trades frame.
+    Pair with outputMode:
+
+    * ``append`` → W12 end-of-window finals (once per closed window);
+    * ``update``/``complete`` → W11 running candles per micro-batch.
+    """
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col(key_col))
+        .agg(*ohlcv_aggs("ts", "price", "qty", seq_col="seq"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def sliding_counts_stream(
+    trades: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    key_col: str = "product",
+) -> DataFrame:
+    """W14 sliding-window aggregate (absent in the reference; capability
+    parity for the window-category)."""
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.round(F.avg("price"), 6).alias("avg_price"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_trades",
+            "avg_price",
+        )
+    )
+
+
+def session_counts_stream(
+    trades: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "0 seconds",
+    key_col: str = "instrument_id",
+) -> DataFrame:
+    """W14 session windows (gap-based)."""
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_trades"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_trades",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str, name: str | None = None) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow trigger →
+    memory sink) and return the materialized result. The test/replay
+    harness: production pipelines point the same frame at Kafka/JDBC
+    sinks instead."""
+    name = name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def dual_emit(
+    candles_stream: DataFrame,
+    updates_name: str = "updates_kafka",
+    finals_name: str = "finals_db",
+) -> tuple[DataFrame, DataFrame]:
+    """K6 — the reference's dual-emit pattern (``7_ohlc.py:82-98``):
+    the same aggregation feeds a per-event/running update channel (→
+    Kafka in the reference) AND an end-of-window finals channel (→
+    Postgres). Spark allows one output mode per query, so this runs
+    two queries over one logical aggregation — the documented design
+    (SURVEY.md §4.2.2). Returns (updates, finals) materialized frames.
+    """
+    updates = run_available_now(candles_stream, "update", updates_name)
+    finals = run_available_now(candles_stream, "append", finals_name)
+    return updates, finals

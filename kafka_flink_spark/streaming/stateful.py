@@ -1,0 +1,193 @@
+"""Arbitrary keyed stateful processing — the Spark port of the
+reference's ``KeyedProcessFunction`` + ``ValueState`` pattern
+(``7_ohlc.py:35-98``: per-key ProductState {open, high, low, close,
+volume, start_of_window}, per-event running emit, end-of-window final
+emit on window transition).
+
+Differences from the reference, by design (SURVEY.md §1.5/§4.2):
+
+* State is a **typed row** (the state schema below), not a
+  ``PICKLED_BYTE_ARRAY`` blob — inspectable, evolvable, and stored in
+  Spark's state store across micro-batches.
+* Rows cross the JVM↔Python boundary in **Arrow batches** per key
+  group, not one pickled row at a time.
+* Emission is deterministic: events are processed in (ts, seq) order
+  inside each batch, not Kafka arrival order.
+
+The same generator also runs in batch mode via ``applyInPandas`` (no
+state store; whole history per key in one group) — that is what the
+oracle-checked suite query exercises; streaming tests drive the
+``applyInPandasWithState`` path across multiple micro-batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# ProductState (reference 7_ohlc.py:26-33) as a typed state schema.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+        T.StructField("window_start_us", T.LongType()),  # epoch µs of bucket
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("product", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+        T.StructField("end_of_window", T.BooleanType()),
+    ]
+)
+
+
+def _bucket_us(ts_us: int, window_minutes: int) -> int:
+    """Aligned N-minute bucket start (reference ``7_ohlc.py:64``:
+    ``minute = (minute // d) * d``), in epoch µs."""
+    w = window_minutes * 60 * 1_000_000
+    return (ts_us // w) * w
+
+
+def _fold_events(
+    pdf: "pd.DataFrame", st: dict[str, Any] | None, window_minutes: int
+) -> tuple[list[tuple], dict[str, Any] | None]:
+    """The KeyedProcessFunction body (reference ``7_ohlc.py:46-84``),
+    applied to one key's micro-batch in (ts, seq) order: per event —
+    emit the previous window's final on transition
+    (``end_of_window=True``, reference ``:67-71``), fold the event
+    into state (``:73-78``), emit the running candle (``:82-84``)."""
+    import pandas as pd  # noqa: F401
+
+    out: list[tuple] = []
+    product = None
+    pdf = pdf.sort_values(["ts", "seq"])
+    for row in pdf.itertuples(index=False):
+        product = row.product
+        ts_us = int(row.ts.value // 1_000)  # pandas ns → µs
+        bucket = _bucket_us(ts_us, window_minutes)
+        if st is not None and bucket > st["window_start_us"]:
+            out.append(_emit(product, None, st, end_of_window=True))
+            st = None
+        if st is None:
+            st = {
+                "open": row.price,
+                "high": row.price,
+                "low": row.price,
+                "close": row.price,
+                "volume": int(row.qty),
+                "window_start_us": bucket,
+            }
+        else:
+            st["high"] = max(st["high"], row.price)
+            st["low"] = min(st["low"], row.price)
+            st["close"] = row.price
+            st["volume"] += int(row.qty)
+        out.append(_emit(product, int(row.seq), st, end_of_window=False))
+    return out, st
+
+
+def _emit(product: str, seq: int | None, st: dict[str, Any], end_of_window: bool) -> tuple:
+    import datetime
+
+    ws = datetime.datetime.utcfromtimestamp(st["window_start_us"] / 1_000_000)
+    return (
+        product,
+        seq,
+        ws,
+        st["open"],
+        st["high"],
+        st["low"],
+        st["close"],
+        st["volume"],
+        end_of_window,
+    )
+
+
+def running_candles_stateful(
+    trades: DataFrame,
+    window_minutes: int = 60,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-event running candles with typed keyed state
+    (``applyInPandasWithState``): W7 keyed value state, W8 arbitrary
+    stateful processing, W11 per-event emit, W12 window-transition
+    finals. The final open window stays in state at end-of-stream —
+    exactly the reference's behavior (its last window only reaches the
+    DB on the next event/timer, ``6_ohlc.py:98-103``)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        st = None
+        if state.exists:
+            o, h, lo, c, v, ws = state.get
+            st = {
+                "open": o,
+                "high": h,
+                "low": lo,
+                "close": c,
+                "volume": v,
+                "window_start_us": ws,
+            }
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            out, st = _fold_events(pdf, st, window_minutes)
+            rows.extend(out)
+        if st is not None:
+            state.update(
+                (
+                    st["open"],
+                    st["high"],
+                    st["low"],
+                    st["close"],
+                    st["volume"],
+                    st["window_start_us"],
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("product")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_candles_batch(trades: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Batch re-expression of the same fold via ``applyInPandas`` —
+    one group = one key's full history (the whole-stream limit of the
+    streaming path; oracle-checkable against OVER-window SQL)."""
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out, _ = _fold_events(pdf, None, window_minutes)
+        return pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return trades.groupBy("product").applyInPandas(fn, OUTPUT_SCHEMA)

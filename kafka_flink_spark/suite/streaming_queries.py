@@ -1,3 +1,240 @@
 """Streaming parity queries: Structured Streaming pipelines replayed
-over the events fixture with availableNow triggers, compared against
-batch SQL oracles. Populated by streaming/*."""
+over the events fixture with availableNow triggers and materialized
+through a memory sink, oracle-checked against batch SQL.
+
+These register real streaming executions in the driver's correctness
+gate — the streamed result after full replay must equal the batch
+answer (the fundamental Structured Streaming guarantee the reference
+hand-approximates with keyed state, ``7_ohlc.py:35-98``).
+
+Scale note: the replay harness (memory sink) is test-only; the same
+pipeline objects point at Kafka/JDBC sinks in production
+(sinks/kafka_io.py). Streaming aggregation state is (keys × open
+windows), bounded by the watermark — independent of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_spark.sources.fixtures import TRADES_ORACLE_CTE, trades_view
+from kafka_flink_spark.streaming.candles_stream import (
+    ohlcv_stream,
+    run_available_now,
+    stream_trades_from_fixture,
+)
+from kafka_flink_spark.streaming.stateful import running_candles_batch
+from kafka_flink_spark.suite import register
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fmt_windows(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        F.date_format("window_end", _FMT).alias("window_end"),
+        "product",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+_CANDLES_1H_ORACLE_BODY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       product,
+       arg_min(price, ts) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, ts) AS close,
+       CAST(sum(qty) AS BIGINT) AS volume
+FROM trades
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "w11_stream_ohlcv_update",
+    oracle=f"WITH {TRADES_ORACLE_CTE} {_CANDLES_1H_ORACLE_BODY}",
+    doc="W11 update-mode emission (reference 5_ohlc.py:99): streaming "
+    "tumbling OHLCV replayed with availableNow; every window updated in "
+    "the batch is emitted with its current running value — after a "
+    "single-batch full replay that equals the batch answer exactly.",
+)
+def w11_stream_ohlcv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    out = run_available_now(ohlcv_stream(trades, "1 hour"), "update")
+    return _fmt_windows(out)
+
+
+@register(
+    "w12_stream_ohlcv_append",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+{_CANDLES_1H_ORACLE_BODY}
+HAVING window_end <= strftime((SELECT date_trunc('hour', max(ts)) FROM trades),
+                              '%Y-%m-%d %H:%M:%S')
+""",
+    doc="W12 append-mode end-of-window finals (reference 7_ohlc.py:96-98): "
+    "each window emits exactly once when the watermark (delay 0 = the "
+    "reference's monotonous-timestamps strategy, W3) passes its end. "
+    "Windows still open at end-of-stream stay in state — the oracle "
+    "excludes windows whose end exceeds the final watermark.",
+)
+def w12_stream_ohlcv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    out = run_available_now(ohlcv_stream(trades, "1 hour"), "append")
+    return _fmt_windows(out)
+
+
+@register(
+    "w8_stateful_running_candles",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+running AS (
+    SELECT product,
+           seq,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           first_value(price) OVER w AS open,
+           max(price) OVER w AS high,
+           min(price) OVER w AS low,
+           last_value(price) OVER w AS close,
+           CAST(sum(qty) OVER w AS BIGINT) AS volume,
+           FALSE AS end_of_window
+    FROM trades
+    WINDOW w AS (PARTITION BY product, date_trunc('hour', ts) ORDER BY ts, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+finals0 AS (
+    SELECT product,
+           date_trunc('hour', ts) AS bucket,
+           arg_min(price, ts) AS open,
+           max(price) AS high,
+           min(price) AS low,
+           arg_max(price, ts) AS close,
+           CAST(sum(qty) AS BIGINT) AS volume
+    FROM trades
+    GROUP BY product, date_trunc('hour', ts)
+),
+maxb AS (
+    SELECT product, max(date_trunc('hour', ts)) AS mb FROM trades GROUP BY product
+),
+finals AS (
+    SELECT f.product,
+           CAST(NULL AS BIGINT) AS seq,
+           strftime(f.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+           f.open, f.high, f.low, f.close, f.volume,
+           TRUE AS end_of_window
+    FROM finals0 f JOIN maxb m ON f.product = m.product
+    WHERE f.bucket < m.mb
+)
+SELECT * FROM running UNION ALL SELECT * FROM finals
+""",
+    doc="W7/W8 arbitrary keyed stateful processing (reference "
+    "KeyedProcessFunction + ValueState, 7_ohlc.py:35-98) in its batch "
+    "form (applyInPandas over full history per key): per-event running "
+    "candle emits plus an end_of_window final on each window "
+    "transition; the last open window per key never finalizes — "
+    "exactly the reference's semantics.",
+)
+def w8_stateful_running_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = running_candles_batch(trades_view(spark, sf_dir), window_minutes=60)
+    return out.select(
+        "product",
+        "seq",
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "end_of_window",
+    )
+
+
+@register(
+    "w14_session_windows",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+gaps AS (
+    SELECT instrument_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY instrument_id ORDER BY ts, seq)
+                     >= INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY instrument_id ORDER BY ts, seq) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM trades
+),
+sessions AS (
+    SELECT instrument_id, ts,
+           sum(new_session) OVER (PARTITION BY instrument_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT instrument_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM sessions
+GROUP BY instrument_id, session_id
+""",
+    doc="W14 session windows (gap-based, absent in the reference — "
+    "capability parity): session_window(ts, '30 minutes') per "
+    "instrument; batch form so the gap-merge semantics are "
+    "oracle-checkable (DuckDB re-derives sessions via lag + cumsum).",
+)
+def w14_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = trades_view(spark, sf_dir)
+    return (
+        trades.groupBy(F.session_window("ts", "30 minutes").alias("w"), "instrument_id")
+        .agg(F.count("*").cast("long").alias("n_trades"))
+        .select(
+            "instrument_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_trades",
+        )
+    )
+
+
+@register(
+    "w14_sliding_windows",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+assigned AS (
+    SELECT t.*,
+           date_trunc('hour', t.ts) - INTERVAL 1 HOUR * off.o AS window_start
+    FROM trades t
+    CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) off
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       product,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       round(avg(price), 6) AS avg_price
+FROM assigned
+GROUP BY ALL
+""",
+    doc="W14 sliding windows (2h window / 1h slide): every event lands "
+    "in two overlapping windows — window(ts, '2 hours', '1 hour'); "
+    "oracle re-derives the assignment with an offset cross join.",
+)
+def w14_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = trades_view(spark, sf_dir)
+    return (
+        trades.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "product")
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.round(F.avg("price"), 6).alias("avg_price"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            F.date_format("w.end", _FMT).alias("window_end"),
+            "product",
+            "n_trades",
+            "avg_price",
+        )
+    )

@@ -1,0 +1,182 @@
+"""Streaming-semantics tests (SURVEY.md §5.2.3): replay the events
+fixture through Structured Streaming with controlled micro-batches and
+assert parity with batch answers — update-vs-append emission (W11/W12),
+watermark late-data dropping (W4/W10), and the keyed-stateful path
+across micro-batch boundaries (W7/W8)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_spark.operators.candles import ohlcv
+from kafka_flink_spark.sources.fixtures import trades_view
+from kafka_flink_spark.streaming.candles_stream import (
+    dual_emit,
+    ohlcv_stream,
+    run_available_now,
+    stream_trades_from_fixture,
+)
+from kafka_flink_spark.streaming.stateful import (
+    running_candles_batch,
+    running_candles_stateful,
+)
+from tests.conftest import SF_SMALL
+from tests.helpers import assert_frames_match
+
+TRADES_SCHEMA = "ts timestamp, instrument_id string, product string, price double, qty long, seq long"
+
+
+def _batch_candles_pdf(spark, window="1 hour"):
+    return (
+        ohlcv(trades_view(spark, SF_SMALL), window, seq_col="seq")
+        .withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("window_end", F.date_format("window_end", "yyyy-MM-dd HH:mm:ss"))
+        .toPandas()
+    )
+
+
+def _fmt(df):
+    return (
+        df.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("window_end", F.date_format("window_end", "yyyy-MM-dd HH:mm:ss"))
+        .toPandas()
+    )
+
+
+def test_update_mode_full_replay_equals_batch(spark):
+    """W11: single-batch availableNow replay in update mode emits every
+    window's final running value == the batch aggregation."""
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    out = _fmt(run_available_now(ohlcv_stream(trades, "1 hour"), "update"))
+    assert_frames_match(out, _batch_candles_pdf(spark), "w11_update")
+
+
+def test_append_mode_emits_watermark_closed_windows(spark):
+    """W12: append mode emits exactly the windows the final watermark
+    passed; windows containing the max event time stay open."""
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    out = _fmt(run_available_now(ohlcv_stream(trades, "1 hour"), "append"))
+    batch = _batch_candles_pdf(spark)
+    max_ws = batch["window_start"].max()  # last window per the fixture's global max ts
+    expected = batch[batch["window_start"] < max_ws].reset_index(drop=True)
+    assert_frames_match(out, expected, "w12_append")
+
+
+def _write_time_ordered_splits(spark, tmpdir: str, n_splits: int = 3) -> str:
+    """Split the fixture trades into contiguous time ranges, one parquet
+    file per range, with increasing mtimes so FileStreamSource replays
+    them in ts order — a deterministic multi-micro-batch harness."""
+    trades = trades_view(spark, SF_SMALL).orderBy("ts", "seq").collect()
+    chunk = (len(trades) + n_splits - 1) // n_splits
+    src = os.path.join(tmpdir, "stream_src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_splits):
+        rows = trades[i * chunk : (i + 1) * chunk]
+        df = spark.createDataFrame(rows, TRADES_SCHEMA).coalesce(1)
+        part_dir = os.path.join(tmpdir, f"part_{i}")
+        df.write.mode("overwrite").parquet(part_dir)
+        pq = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(part_dir, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return src
+
+
+def test_stateful_running_candles_across_microbatches(spark):
+    """W7/W8: applyInPandasWithState across 3 micro-batches produces the
+    identical per-event trace as the batch fold over full history —
+    typed state survives micro-batch boundaries."""
+    tmpdir = tempfile.mkdtemp(prefix="stateful_stream_")
+    try:
+        src = _write_time_ordered_splits(spark, tmpdir, n_splits=3)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streamed = run_available_now(
+            running_candles_stateful(stream, window_minutes=60), "update"
+        ).toPandas()
+        expected = running_candles_batch(
+            trades_view(spark, SF_SMALL), window_minutes=60
+        ).toPandas()
+        for pdf in (streamed, expected):
+            pdf["window_start"] = pdf["window_start"].astype(str)
+        assert_frames_match(streamed, expected, "stateful_stream_vs_batch")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark):
+    """W4/W10: an event older than the watermark when its micro-batch
+    arrives is dropped from the aggregation (Spark's automatic
+    late-data handling; the reference would corrupt state instead,
+    SURVEY.md §2.9 W10).
+
+    Nuance (verified against the physical plan): StateStoreSaveExec
+    carries TWO watermarks — late-event filtering uses the previous
+    batch's watermark, eviction uses the current one. So the late file
+    arrives in batch 2, after batch 1 locked in the 11:50:10 filter
+    watermark."""
+    tmpdir = tempfile.mkdtemp(prefix="late_stream_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        rows1 = [("2024-01-01 10:00:05", "A", 10.0, 1, 1), ("2024-01-01 12:00:10", "A", 20.0, 2, 2)]
+        rows2 = [("2024-01-01 12:30:00", "A", 21.0, 2, 3)]  # benign batch; filter wm → 11:50:10
+        rows3 = [("2024-01-01 10:30:00", "A", 99.0, 50, 4)]  # 1.5h late vs filter watermark
+        for i, rows in enumerate((rows1, rows2, rows3)):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        out = run_available_now(
+            ohlcv_stream(stream, "1 hour", watermark_delay="10 minutes"), "update"
+        ).toPandas()
+        w10 = out[out["window_start"].astype(str).str.startswith("2024-01-01 10:00")]
+        # The late 10:30 event (price 99, qty 50) must NOT appear in the 10:00 window.
+        assert len(w10) == 1
+        assert float(w10.iloc[0]["high"]) == 10.0
+        assert int(w10.iloc[0]["volume"]) == 1
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_dual_emit_update_and_append_channels(spark):
+    """K6: one aggregation feeds both channels; the finals channel is a
+    subset of closed windows, the updates channel covers all windows."""
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    candles = ohlcv_stream(trades, "1 hour")
+    updates, finals = dual_emit(candles)
+    n_updates, n_finals = updates.count(), finals.count()
+    assert n_updates > n_finals > 0
+
+
+def test_sliding_and_session_stream_smoke(spark):
+    """W14: sliding/session streaming forms execute end-to-end."""
+    from kafka_flink_spark.streaming.candles_stream import (
+        session_counts_stream,
+        sliding_counts_stream,
+    )
+
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    slid = run_available_now(sliding_counts_stream(trades), "update")
+    assert slid.count() > 0
+    # Session-window streaming aggregations only support append mode.
+    trades2 = stream_trades_from_fixture(spark, SF_SMALL)
+    sess = run_available_now(session_counts_stream(trades2), "append")
+    assert sess.count() > 0
