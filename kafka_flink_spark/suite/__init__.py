@@ -49,6 +49,7 @@ _MODULES = (
     "kafka_flink_spark.suite.relational_queries",
     "kafka_flink_spark.suite.llm_queries",
     "kafka_flink_spark.suite.streaming_queries",
+    "kafka_flink_spark.suite.io_queries",
 )
 
 

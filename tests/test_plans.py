@@ -1,0 +1,64 @@
+"""Plan-quality gates (the 100 TB contract, SURVEY.md §4): pushdown,
+pruning, broadcast strategy, and shuffle counts pinned for headline
+queries. These run .explain-level checks only — no data is moved."""
+
+from __future__ import annotations
+
+from kafka_flink_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_count,
+)
+from kafka_flink_spark.sources.fixtures import load_table
+from kafka_flink_spark.suite import spark_queries
+from tests.conftest import SF_SMALL
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """f1: both predicates arrive at the parquet scan as PushedFilters."""
+    df = spark_queries()["f1_filter_project"](spark, SF_SMALL)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed and "value" in pushed, pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection reads 2 columns, not all 16 of lineitem."""
+    df = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schema_columns(df)
+    assert schemas and sorted(schemas[0]) == ["l_orderkey", "l_quantity"], schemas
+
+
+def test_broadcast_join_for_small_dim(spark):
+    """j1: the part dimension broadcasts — lineitem never shuffles for
+    the join; the only hash exchange is the final groupBy."""
+    df = spark_queries()["j1_join_broadcast_inner"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_candles_single_shuffle(spark):
+    """a1: OHLCV is partial-aggregated map-side then shuffled ONCE on
+    (window, product) — the minimum the semantics allow."""
+    df = spark_queries()["a1_ohlcv_tumbling_1h"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_cascade_no_extra_shuffles(spark):
+    """a5: the 1h→1d cascade re-aggregates candles (tiny) rather than
+    rescanning trades; two aggregations → at most two exchanges."""
+    df = spark_queries()["a5_ohlcv_cascade_1h_to_1d"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_pricing_summary_single_shuffle(spark):
+    """g1: TPC-H Q1-style aggregation — one shuffle."""
+    df = spark_queries()["g1_pricing_summary"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_codegen_fuses_narrow_pipeline(spark):
+    """f1's scan→filter→project pipeline fuses into whole-stage codegen."""
+    df = spark_queries()["f1_filter_project"](spark, SF_SMALL)
+    assert wholestage_codegen_count(df) >= 1
