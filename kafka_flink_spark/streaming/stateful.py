@@ -124,19 +124,42 @@ def running_candles_stateful(
     trades: DataFrame,
     window_minutes: int = 60,
     watermark_delay: str = "0 seconds",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming per-event running candles with typed keyed state
     (``applyInPandasWithState``): W7 keyed value state, W8 arbitrary
     stateful processing, W11 per-event emit, W12 window-transition
-    finals. The final open window stays in state at end-of-stream —
-    exactly the reference's behavior (its last window only reaches the
-    DB on the next event/timer, ``6_ohlc.py:98-103``)."""
+    finals.
+
+    ``idle_timeout_ms`` arms a processing-time timer per key (W9 — the
+    reference's ``on_timer`` draft, ``6_ohlc.py:98-103``, which it
+    never got working): when a key sees no events for that long, its
+    open window is flushed as an ``end_of_window`` final and state is
+    cleared. Without it, the final open window stays in state at
+    end-of-stream — exactly the reference's shipped behavior (its last
+    window only reaches the DB on the next event).
+
+    Caveat: a timer-armed pipeline is continuous by construction —
+    Spark schedules another micro-batch whenever ProcessingTimeTimeout
+    is configured (timers are wall-clock), so an availableNow replay of
+    this variant never self-terminates; run it on a processing-time
+    trigger and manage the query lifecycle explicitly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        cols = [f.name for f in OUTPUT_SCHEMA.fields]
+        if state.hasTimedOut:
+            # W9 timer fired: flush the open window as a final.
+            o, h, lo, c, v, ws = state.get
+            st = {"open": o, "high": h, "low": lo, "close": c, "volume": v,
+                  "window_start_us": ws}
+            state.remove()
+            yield pd.DataFrame([_emit(key[0], None, st, end_of_window=True)], columns=cols)
+            return
 
         st = None
         if state.exists:
@@ -164,8 +187,15 @@ def running_candles_stateful(
                     st["window_start_us"],
                 )
             )
-        yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(rows, columns=cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         trades.withWatermark("ts", watermark_delay)
         .groupBy("product")
@@ -174,7 +204,7 @@ def running_candles_stateful(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

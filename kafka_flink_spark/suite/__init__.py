@@ -50,6 +50,7 @@ _MODULES = (
     "kafka_flink_spark.suite.llm_queries",
     "kafka_flink_spark.suite.streaming_queries",
     "kafka_flink_spark.suite.io_queries",
+    "kafka_flink_spark.suite.rich_udf_queries",
 )
 
 

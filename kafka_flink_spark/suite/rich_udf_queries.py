@@ -1,0 +1,179 @@
+"""Rich-schema ingest (S6/S8) and the UDF surface (U1-U3).
+
+The reference's rich profile is a 13-field trade event JSON-validated
+at the source (``old/kfk.py:69-107``, generator ``old/generate.py:19-33``)
+with scalar UDFs registered into the Table environment
+(``old/kfk.py:13-50,117-120``). Here:
+
+* ingest = ``from_json`` with the declared StructType — a native JVM
+  expression (the reference's ``parse_json`` UDF, U1, needs no Python
+  at all in Spark);
+* the UDF surface is exercised where the reference actually used it —
+  a registered scalar function callable from SQL (U3) and a vectorized
+  pandas UDF (the engine's sanctioned Python escape hatch; Arrow
+  batches, not per-row pickling).
+
+The rich events are synthesized deterministically from the lineitem
+fixture so the DuckDB oracle can re-derive identical input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from kafka_flink_spark.schemas import TRADE_RICH_WIRE_SCHEMA
+from kafka_flink_spark.sources.fixtures import load_table
+from kafka_flink_spark.suite import register
+
+# Deterministic 13-field rich-trade JSON from lineitem columns: the
+# Spark side and the DuckDB oracle build byte-identical wire strings.
+_RICH_JSON_SPARK = """
+to_json(named_struct(
+  'Timestamp', CAST(l_orderkey * 60000 + 1704067200000 AS BIGINT),
+  'InstrumentId', concat('INST_', CAST(l_partkey % 100 AS STRING)),
+  'Product', concat('Product_', CAST(l_suppkey % 50 AS STRING)),
+  'Price', l_extendedprice,
+  'Qty', CAST(l_quantity AS INT),
+  'Direction', CASE WHEN l_linenumber % 2 = 0 THEN 'Buy' ELSE 'Sell' END,
+  'DirectAskCounterparty', nullif(l_returnflag, 'N'),
+  'DirectBidCounterparty', nullif(l_linestatus, 'O'),
+  'IsImplied', l_discount > 0.05,
+  'IsLegTrade', l_linenumber > 3,
+  'IsOtc', l_tax > 0.04,
+  'OTCTradeType', CASE WHEN l_tax > 0.04 THEN concat('OTC-', l_returnflag) ELSE NULL END,
+  'Id', concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))
+))
+"""
+
+_RICH_JSON_DUCK = """
+to_json(struct_pack(
+  "Timestamp" := CAST(l_orderkey * 60000 + 1704067200000 AS BIGINT),
+  "InstrumentId" := 'INST_' || CAST(l_partkey % 100 AS VARCHAR),
+  "Product" := 'Product_' || CAST(l_suppkey % 50 AS VARCHAR),
+  "Price" := l_extendedprice,
+  "Qty" := CAST(l_quantity AS INT),
+  "Direction" := CASE WHEN l_linenumber % 2 = 0 THEN 'Buy' ELSE 'Sell' END,
+  "DirectAskCounterparty" := nullif(l_returnflag, 'N'),
+  "DirectBidCounterparty" := nullif(l_linestatus, 'O'),
+  "IsImplied" := l_discount > 0.05,
+  "IsLegTrade" := l_linenumber > 3,
+  "IsOtc" := l_tax > 0.04,
+  "OTCTradeType" := CASE WHEN l_tax > 0.04 THEN 'OTC-' || l_returnflag ELSE NULL END,
+  "Id" := CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+))
+"""
+
+
+def rich_wire_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized rich-trade JSON wire stream (one value per row)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"SELECT {_RICH_JSON_SPARK} AS value FROM lineitem")
+
+
+@register(
+    "s6_rich_schema_ingest",
+    oracle=f"""
+WITH wire AS (SELECT {_RICH_JSON_DUCK} AS value FROM lineitem),
+parsed AS (
+    SELECT CAST(json_extract_string(value, '$.Direction') AS VARCHAR) AS direction,
+           CAST(json_extract(value, '$.IsOtc') AS BOOLEAN) AS is_otc,
+           CAST(json_extract(value, '$.IsImplied') AS BOOLEAN) AS is_implied,
+           CAST(json_extract(value, '$.Price') AS DOUBLE) AS price,
+           CAST(json_extract(value, '$.Qty') AS INT) AS qty
+    FROM wire
+)
+SELECT direction,
+       is_otc,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(CASE WHEN is_implied THEN 1 ELSE 0 END) AS BIGINT) AS n_implied,
+       round(sum(price * qty), 2) AS notional
+FROM parsed
+GROUP BY direction, is_otc
+""",
+    doc="S6/S8/U1: 13-field rich trade schema ingest (reference "
+    "old/kfk.py:69-107) — JSON wire → from_json(StructType) with "
+    "fail-surface-as-null semantics, then the domain filter/aggregate "
+    "the rich flags exist for (SURVEY.md §2.3 note): notional by "
+    "direction × OTC flag.",
+)
+def s6_rich_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = rich_wire_frame(spark, sf_dir)
+    parsed = wire.select(
+        F.from_json("value", TRADE_RICH_WIRE_SCHEMA).alias("r")
+    ).select("r.*")
+    return (
+        parsed.groupBy(
+            F.col("Direction").alias("direction"), F.col("IsOtc").alias("is_otc")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum(F.when(F.col("IsImplied"), 1).otherwise(0)).cast("long").alias("n_implied"),
+            F.round(F.sum(F.col("Price") * F.col("Qty")), 2).alias("notional"),
+        )
+    )
+
+
+@register(
+    "u3_registered_sql_udf",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+    doc="U3: scalar UDF registered into the SQL catalog "
+    "(spark.udf.register, reference t_env.register_function "
+    "old/kfk.py:117-120) and invoked from SQL text. Row-at-a-time "
+    "Python — deliberately confined to a tiny filtered input; the "
+    "vectorized form is u2.",
+)
+def u3_registered_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+
+    def net_price(ext: float, disc: float, tax: float) -> float:
+        # no rounding: the raw IEEE product is bit-identical across
+        # engines, while round() algorithms differ in the last digit
+        return ext * (1.0 - disc) * (1.0 + tax)
+
+    spark.udf.register("net_price", net_price, T.DoubleType())
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               net_price(l_extendedprice, l_discount, l_tax) AS net_price
+        FROM lineitem
+        WHERE l_quantity >= 45
+        """
+    )
+
+
+@register(
+    "u2_pandas_udf_vectorized",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+    doc="U2: the same scalar as u3 through a vectorized pandas UDF "
+    "(Arrow batches — the sanctioned Python path at scale, ~10-100x "
+    "the row-at-a-time form; reference calculate_ohlc old/kfk.py:35-50 "
+    "crossed per-row).",
+)
+def u2_pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @pandas_udf(T.DoubleType())
+    def net_price_vec(ext: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return ext * (1.0 - disc) * (1.0 + tax)
+
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_vec("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
+    )

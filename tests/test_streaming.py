@@ -180,3 +180,84 @@ def test_sliding_and_session_stream_smoke(spark):
     trades2 = stream_trades_from_fixture(spark, SF_SMALL)
     sess = run_available_now(session_counts_stream(trades2), "append")
     assert sess.count() > 0
+
+
+def test_idle_timeout_flushes_final_window(spark):
+    """W9: with a processing-time idle timeout armed, a key that stops
+    sending gets its open window flushed as an end_of_window final
+    (the reference's on_timer intent, 6_ohlc.py:98-103)."""
+    tmpdir = tempfile.mkdtemp(prefix="timer_stream_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        # Key B appears only in file 0; files 1..2 carry key A, giving
+        # the engine later batches in which B's timer can fire.
+        files = [
+            [("2024-01-01 10:00:05", "B", 5.0, 7, 1), ("2024-01-01 10:00:06", "A", 1.0, 1, 2)],
+            [("2024-01-01 10:20:00", "A", 2.0, 1, 3)],
+            [("2024-01-01 10:40:00", "A", 3.0, 1, 4)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        # A timer-armed pipeline is continuous by construction: Spark
+        # schedules another batch whenever ProcessingTimeTimeout is set
+        # (timers are wall-clock), so availableNow never terminates.
+        # Run on a processing-time trigger, poll for the flush, stop.
+        import time
+
+        q = (
+            running_candles_stateful(stream, window_minutes=60, idle_timeout_ms=1)
+            .writeStream.format("memory")
+            .queryName("timer_out")
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_timer_"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            import pandas as pd
+
+            deadline = time.time() + 90
+            b_finals = None
+            while time.time() < deadline:
+                out = spark.table("timer_out").toPandas()
+                b_finals = out[(out["product"] == "B") & out["end_of_window"]]
+                if len(b_finals):
+                    break
+                time.sleep(1)
+            assert b_finals is not None and len(b_finals) == 1, str(b_finals)
+            row = b_finals.iloc[0]
+            assert row["open"] == 5.0 and row["volume"] == 7 and pd.isna(row["seq"])
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_file_stream_transfer_roundtrip(spark):
+    """P4/W13: streamed pass-through lands identical rows."""
+    from kafka_flink_spark.streaming.transfer import file_stream_transfer
+
+    tmpdir = tempfile.mkdtemp(prefix="transfer_")
+    try:
+        src = _write_time_ordered_splits(spark, tmpdir, n_splits=2)
+        dst = os.path.join(tmpdir, "dst")
+        file_stream_transfer(spark, src, TRADES_SCHEMA, dst)
+        n_src = spark.read.parquet(src).count()
+        out = spark.read.parquet(dst)
+        assert out.count() == n_src
+        assert set(out.columns) == set(TRADES_SCHEMA.replace(",", " ").split()[::2])
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
