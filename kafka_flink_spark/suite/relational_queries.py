@@ -647,3 +647,52 @@ def sc3_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# --- Subqueries (absent in reference; Catalyst decorrelates) ----------------
+
+
+@register(
+    "sub1_scalar_subquery",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+""",
+    doc="Scalar subquery: parts priced above the global mean — Catalyst "
+    "plans the subquery as an independent aggregate broadcast into the "
+    "filter (one extra scan, no per-row evaluation).",
+)
+def sub1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        """
+    )
+
+
+@register(
+    "sub2_correlated_subquery",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+""",
+    doc="Correlated scalar subquery: suppliers above their nation's mean "
+    "balance — Catalyst decorrelates to an aggregate + join (no "
+    "nested-loop re-execution; SURVEY.md §4.1 pushdown table).",
+)
+def sub2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_acctbal > (SELECT avg(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
