@@ -23,6 +23,12 @@ Spark-first design notes
   extra shuffle.
 * Every helper returns a lazy DataFrame; no collect(), no driver-side
   loops.
+* Key skew needs no salting here: with partial (map-side) aggregation
+  a hot key contributes at most one pre-aggregated row per map task to
+  the shuffle, so the reducer for ``Product_0`` receives ≤ #tasks rows
+  no matter how many billions of events that key has. Salting matters
+  for joins (AQE's skew-join splitting covers that), not for algebraic
+  aggregates.
 """
 
 from __future__ import annotations

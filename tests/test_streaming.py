@@ -261,3 +261,67 @@ def test_file_stream_transfer_roundtrip(spark):
         assert set(out.columns) == set(TRADES_SCHEMA.replace(",", " ").split()[::2])
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_checkpoint_recovery_no_reprocessing(spark):
+    """Exactly-once restart: a streaming aggregation stopped after N
+    files and restarted from the same checkpoint processes only the new
+    files, and the final result equals the uninterrupted batch answer
+    (the state store survived the restart)."""
+    tmpdir = tempfile.mkdtemp(prefix="ckptrec_")
+    try:
+        src_all = _write_time_ordered_splits(spark, tmpdir, n_splits=3)
+        src = os.path.join(tmpdir, "src_live")
+        os.makedirs(src)
+        ckpt = os.path.join(tmpdir, "ckpt")
+        files = sorted(os.listdir(src_all))
+
+        out_dir = os.path.join(tmpdir, "out")
+
+        def run_once(qname):
+            # memory sink can't recover from a checkpoint; foreachBatch
+            # (the JDBC-sink pattern, kafka_io.jdbc_sink) can.
+            stream = spark.readStream.schema(TRADES_SCHEMA).parquet(src)
+
+            def write_batch(batch, batch_id):
+                batch.write.mode("append").parquet(out_dir)
+
+            return (
+                ohlcv_stream(stream, "1 hour")
+                .writeStream.foreachBatch(write_batch)
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # Phase 1: two of three files.
+        for f in files[:2]:
+            shutil.copyfile(os.path.join(src_all, f), os.path.join(src, f))
+        q1 = run_once("rec_phase1")
+        q1.awaitTermination()
+        # Phase 2: add the last file, restart from the same checkpoint.
+        shutil.copyfile(os.path.join(src_all, files[2]), os.path.join(src, files[2]))
+        q2 = run_once("rec_phase2")
+        q2.awaitTermination()
+        # Restarted query only read the new file (offsets recovered).
+        batches = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+        total_phase2 = sum(p["numInputRows"] for p in batches)
+        n_total = trades_view(spark, SF_SMALL).count()
+        assert total_phase2 < n_total / 2, f"reprocessed: {total_phase2} rows"
+        # And the merged state yields the exact batch answer: take the
+        # latest update per window from both phases' emissions.
+        both = spark.read.parquet(out_dir).toPandas()
+        # volume grows monotonically within a (window, product); the
+        # final update per group is the row with max volume.
+        both["window_start"] = both["window_start"].astype(str)
+        latest = both.sort_values("volume").groupby(["window_start", "product"]).tail(1)
+        expected = _batch_candles_pdf(spark)
+        got = latest.sort_values(["window_start", "product"]).reset_index(drop=True)
+        exp = expected.sort_values(["window_start", "product"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        for col in ("open", "high", "low", "close", "volume"):
+            assert (got[col].values == exp[col].values).all(), col
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
