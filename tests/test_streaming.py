@@ -325,3 +325,109 @@ def test_checkpoint_recovery_no_reprocessing(spark):
             assert (got[col].values == exp[col].values).all(), col
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: a retried (duplicate-keyed) event inside
+    the watermark budget is dropped; state is watermark-evicted."""
+    from kafka_flink_spark.streaming.dedup_stream import dedup_stream_within_watermark
+
+    tmpdir = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        rows1 = [("2024-01-01 10:00:05", "A", 10.0, 1, 1), ("2024-01-01 10:00:06", "B", 11.0, 1, 2)]
+        rows2 = [("2024-01-01 10:00:05", "A", 10.0, 1, 1),  # duplicate retry of seq 1
+                 ("2024-01-01 10:01:00", "C", 12.0, 1, 3)]
+        for i, rows in enumerate((rows1, rows2)):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        out = run_available_now(
+            dedup_stream_within_watermark(stream, ["seq"], watermark_delay="10 minutes"),
+            "append",
+        ).toPandas()
+        assert sorted(out["seq"].tolist()) == [1, 2, 3], out.to_string()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_complete_mode_running_totals(spark):
+    """W11-adjacent: complete output mode re-emits the whole running
+    aggregate per batch — the closest Spark analog of the reference's
+    cumulative never-reset state (A2, 4_ohlc.py)."""
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    totals = trades.groupBy("product").agg(
+        F.sum("qty").cast("long").alias("volume"), F.max("price").alias("high")
+    )
+    out = run_available_now(totals, "complete").toPandas()
+    batch = (
+        trades_view(spark, SF_SMALL)
+        .groupBy("product")
+        .agg(F.sum("qty").cast("long").alias("volume"), F.max("price").alias("high"))
+        .toPandas()
+    )
+    assert_frames_match(out, batch, "complete_mode")
+
+
+def test_tws_running_candles_with_event_time_timers(spark):
+    """Spark-4 transformWithStateInPandas path (W7/W8/W9 with real
+    event-time timers): per-event running emits plus timer-driven
+    end-of-window finals once the watermark passes window_end. Skipped
+    where the worker protocol's protobuf dependency is absent."""
+    from kafka_flink_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        running_candles_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; transformWithState worker cannot start")
+    tmpdir = tempfile.mkdtemp(prefix="tws_")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        files = [
+            [("2024-01-01 10:00:05", "B", 5.0, 7, 1), ("2024-01-01 10:00:06", "A", 1.0, 1, 2)],
+            [("2024-01-01 11:20:00", "A", 2.0, 1, 3)],
+            [("2024-01-01 12:40:00", "A", 3.0, 1, 4)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        trades = stream.withWatermark("ts", "0 seconds")
+        out = run_available_now(running_candles_tws(trades, 60), "update").toPandas()
+        # B stops after 10:00; once the watermark reaches 11:20 its
+        # 10:00-11:00 window's timer fires → exactly one B final.
+        b_finals = out[(out["product"] == "B") & out["end_of_window"]]
+        assert len(b_finals) == 1, out.to_string()
+        assert b_finals.iloc[0]["volume"] == 7
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        shutil.rmtree(tmpdir, ignore_errors=True)
