@@ -244,3 +244,63 @@ def k5_nested_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ohlc.close").alias("close"),
         "volume",
     )
+
+
+@register(
+    "a7_udf_ohlc_window",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       product,
+       arg_min(price, ts) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, ts) AS close,
+       CAST(sum(qty) AS BIGINT) AS volume
+FROM trades
+GROUP BY ALL
+""",
+    doc="A7/U5: OHLC computed by a Python function over each window's "
+    "buffered rows (reference calculate_ohlc UDF over a collected list, "
+    "old/kfk.py:35-50; ProcessAllWindowFunction buffering, 3_ohlc.py:13-25) "
+    "— applyInPandas over groupBy(window, product), Arrow-batched. The "
+    "declarative a1 form is the preferred plan (partial aggregation, no "
+    "window buffering); this exists for API-surface parity.",
+)
+def a7_udf_ohlc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    trades = trades_view(spark, sf_dir).withColumn(
+        "window_start", F.window("ts", "1 hour").start
+    )
+
+    def ohlc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "seq"])
+        return pd.DataFrame(
+            [
+                {
+                    "window_start": pdf["window_start"].iloc[0],
+                    "product": pdf["product"].iloc[0],
+                    "open": pdf["price"].iloc[0],
+                    "high": pdf["price"].max(),
+                    "low": pdf["price"].min(),
+                    "close": pdf["price"].iloc[-1],
+                    "volume": int(pdf["qty"].sum()),
+                }
+            ]
+        )
+
+    out_schema = (
+        "window_start timestamp, product string, open double, high double, "
+        "low double, close double, volume long"
+    )
+    out = trades.groupBy("window_start", "product").applyInPandas(ohlc, out_schema)
+    return out.select(
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "product",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )

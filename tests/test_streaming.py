@@ -431,3 +431,42 @@ def test_tws_running_candles_with_event_time_timers(spark):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_rate_source_smoke(spark):
+    """S4 streaming analog: the rate source feeds the OHLCV pipeline
+    (synthetic trades at a fixed rows/sec — the Kafka-free generator,
+    reference old/gen.py's role)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("Instrument_"), F.col("value") % 10).alias("instrument_id"),
+            F.concat(F.lit("Product_"), F.col("value") % 100).alias("product"),
+            (F.pmod(F.col("value") * 31, F.lit(1000)) + 1).cast("double").alias("price"),
+            (F.pmod(F.col("value"), F.lit(100)) + 1).cast("long").alias("qty"),
+            F.col("value").alias("seq"),
+        )
+    )
+    q = (
+        ohlcv_stream(rate, "10 seconds")
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rate_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("rate_smoke").count() > 0:
+                break
+            time.sleep(1)
+        assert spark.table("rate_smoke").count() > 0
+    finally:
+        q.stop()
