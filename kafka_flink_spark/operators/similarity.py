@@ -163,3 +163,83 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    ``n_cells`` cells, probe each query against its ``n_probe`` nearest
+    cells, exact-rank within the probed candidates.
+
+    The coarse centroids here are assignment-only: the ``n_cells``
+    lowest-id corpus vectors, chosen deterministically so the DuckDB
+    oracle reproduces the index bit-for-bit. A learned k-means
+    quantizer plugs into the identical dataflow (swap the centroid
+    frame); determinism is what round-1 buys.
+
+    Scale shape: centroids broadcast (tiny); assignment is one
+    broadcast-join + max_by aggregation (|corpus| × n_cells score rows,
+    combined map-side); the candidate join touches only probed cells —
+    ~n_probe/n_cells of the corpus per query instead of all of it.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
+    )
+    # Deterministic argmax-cosine assignment: max cos, ties to low cid.
+    order_key = lambda cos_col: F.struct(  # noqa: E731
+        cos_col.alias("cos"), (-F.col("cid")).cast("double").alias("tb")
+    )
+    c_scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine(F.col("cv"), F.col("centroid")), 6))
+    )
+    assigned = c_scored.groupBy("neighbor_id").agg(
+        F.max_by("cid", order_key(F.col("cos_c"))).alias("cell")
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).join(assigned, "neighbor_id")
+
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    probes = (
+        q_scored.withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -466,3 +466,58 @@ def m3_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "media_id", "dim", F.round(F.col("v") * 255).cast("int").alias("byte_val")
     )
+
+
+def _ivf_oracle() -> str:
+    cos = _duck_cosine
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT {S.N_CELLS}),
+cscore AS (
+    SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+           round({cos("e.v", "c.centroid")}, 6) AS cos_c
+    FROM e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT neighbor_id, cv, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY cos_c DESC, cid) AS arn FROM cscore)
+    WHERE arn = 1
+),
+qscore AS (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+           round({cos("e.v", "c.centroid")}, 6) AS cos_c
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id IN {_QUERY_IDS}
+),
+probes AS (
+    SELECT query_id, qv, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_c DESC, cid) AS prn FROM qscore)
+    WHERE prn <= {S.N_PROBE}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id,
+           round({cos("p.qv", "a.cv")}, 6) AS cos_sim
+    FROM assigned a JOIN probes p ON a.cell = p.cell
+    WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v3_ivf_ann_topk",
+    oracle=_ivf_oracle(),
+    doc="IVF ANN top-10: deterministic coarse quantizer (lowest-id "
+    "vectors as assignment-only centroids), max_by cell assignment, "
+    "n_probe-cell candidate probing, exact rank within candidates. A "
+    "learned k-means quantizer plugs into the identical dataflow.",
+)
+def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.ivf_topk(emb, queries, k=10)

@@ -91,3 +91,24 @@ def test_multimodal_plumbing(spark):
     assert all(len(r.embedding) == 8 for r in emb)
     with pytest.raises(NotImplementedError):
         M.decode_media(media, real=True)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF probing n_probe/n_cells of the corpus still finds most true
+    neighbors: recall@10 vs the exact brute-force baseline ≥ 0.5 on the
+    fixture corpus (recall tunes with n_probe; 4/16 cells ≈ 25% scanned)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    ivf = S.ivf_topk(emb, queries, k=10).toPandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        t = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(ivf[ivf.query_id == qid].neighbor_id)
+        recalls.append(len(t & a) / len(t))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
