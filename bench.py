@@ -59,10 +59,48 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_ohlcv_ev_per_s": _streaming_rate(spark),
             }
         )
     )
     spark.stop()
+
+
+def _streaming_rate(spark) -> int:
+    """Streaming OHLCV throughput (ev/s) on a 200k-event / 2k-key
+    replay — the reference's design envelope is 2k ev/s (BASELINE.md);
+    report the measured multiple-of-envelope alongside query timings."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.streaming.candles_stream import ohlcv_stream, run_available_now
+
+    n = 200_000
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        (
+            spark.range(n)
+            .select(
+                F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 30).alias("ts"),
+                F.concat(F.lit("P_"), F.col("id") % 2000).alias("product"),
+                (F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 1).cast("double").alias("price"),
+                (F.pmod(F.col("id"), F.lit(100)) + 1).cast("long").alias("qty"),
+                F.col("id").alias("seq"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        stream = spark.readStream.schema(
+            "ts timestamp, product string, price double, qty long, seq long"
+        ).parquet(f"{tmp}/src")
+        t0 = time.perf_counter()
+        run_available_now(ohlcv_stream(stream, "1 minute"), "update").count()
+        return int(n / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

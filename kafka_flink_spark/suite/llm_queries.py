@@ -521,3 +521,54 @@ def v3_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.ivf_topk(emb, queries, k=10)
+
+
+@register(
+    "pipe1_document_pipeline",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, text, source,
+           len(string_split(text, ' ')) AS n_words,
+           round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                                / greatest(length(text), 1) * 4, 1.0)) * 0.3
+                 + least(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['a','the','of','and','to','in','is','it'], t)))
+                       * 1.0 / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.3,
+                 6) AS quality_score
+    FROM documents
+),
+good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+keep AS (
+    SELECT min(doc_id) AS doc_id
+    FROM good
+    GROUP BY md5(lower(trim(text)))
+),
+survivors AS (SELECT g.* FROM good g JOIN keep k ON g.doc_id = k.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(avg(quality_score), 4) AS avg_quality
+FROM survivors
+GROUP BY source
+""",
+    doc="End-to-end training-data pipeline composition: quality filter "
+    "(score >= 0.5) -> exact dedup (min doc_id per normalized-text md5 "
+    "among survivors) -> per-source corpus stats. One declarative plan: "
+    "the text never shuffles (scores/fingerprints do), filters fuse "
+    "with the scan, dedup is a semi join on doc_id.",
+)
+def pipe1_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    good = X.quality_scores(docs).filter(F.col("quality_score") >= 0.5)
+    keep = (
+        good.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    return survivors.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )

@@ -696,3 +696,47 @@ def sub2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHERE s2.s_nationkey = s.s_nationkey)
         """
     )
+
+
+@register(
+    "g6_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_discount, 0.5), 4) AS median_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (percentile(); DuckDB "
+    "quantile_cont uses the same linear interpolation). The approx "
+    "sketch form for 100 TB is g7.",
+)
+def g6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile(l_extendedprice, 0.5), 4) AS p50,
+               round(percentile(l_extendedprice, 0.95), 4) AS p95,
+               round(percentile(l_discount, 0.5), 4) AS median_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "g7_approx_distinct_sketch",
+    oracle=None,  # HLL estimates are engine-specific; accuracy pinned in tests
+    doc="HyperLogLog++ approximate distinct counts (the mergeable-sketch "
+    "path for 100 TB cardinality estimation; estimates are "
+    "algorithm-specific so the driver records a rows-only check and "
+    "tests/test_llm_ops.py pins <2% relative error vs exact).",
+)
+def g7_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count("*").cast("long").alias("n_rows"),
+    )

@@ -112,3 +112,24 @@ def test_ivf_recall_vs_exact(spark):
         a = set(ivf[ivf.query_id == qid].neighbor_id)
         recalls.append(len(t & a) / len(t))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """g7: HLL++ estimate within 2% of the exact distinct count (rsd=0.01
+    sketch; the oracle-free query's accuracy gate)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+            F.count_distinct("l_orderkey").alias("exact"),
+        )
+        .toPandas()
+    )
+    for _, row in got.iterrows():
+        assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
