@@ -304,3 +304,46 @@ def a7_udf_ohlc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "volume",
     )
+
+
+@register(
+    "j6_asof_join_prev_close",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+candles AS (
+    SELECT product,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS cts,
+           arg_max(price, ts) AS prev_close
+    FROM trades
+    GROUP BY product, date_trunc('hour', ts)
+)
+SELECT t.seq, t.product,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       t.price, c.prev_close
+FROM trades t
+ASOF LEFT JOIN candles c ON t.product = c.product AND t.ts >= c.cts
+""",
+    doc="As-of (point-in-time) join: each trade annotated with the "
+    "latest completed hourly candle's close for its product — the "
+    "canonical time-series operator of the reference's domain, built "
+    "as union + ordered-window composition (one linear shuffle, no "
+    "interval explosion; operators/asof.py). DuckDB's native ASOF JOIN "
+    "is the oracle.",
+)
+def j6_asof_join_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.asof import asof_join
+
+    trades = trades_view(spark, sf_dir)
+    candles = ohlcv(trades, "1 hour", seq_col="seq").select(
+        "product",
+        F.col("window_end").alias("ts"),
+        F.col("close").alias("prev_close"),
+    )
+    out = asof_join(trades, candles, key_col="product")
+    return out.select(
+        "seq",
+        "product",
+        F.date_format("ts", _FMT + ".SSSSSS").alias("ts"),
+        "price",
+        "prev_close",
+    )

@@ -740,3 +740,44 @@ def g7_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "g8_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 0.0), 2) AS "F",
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 0.0), 2) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Pivot: revenue by returnflag x linestatus as columns "
+    "(df.groupBy().pivot() with explicit pivot values — explicit so the "
+    "plan stays a single pass with no distinct-values pre-query).",
+)
+def g8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2))
+    )
+
+
+@register(
+    "g9_unpivot",
+    oracle="""
+SELECT o_orderkey, 'price' AS metric, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+""",
+    doc="Unpivot/melt: wide order columns to (metric, value) rows — "
+    "df.unpivot (Spark 3.4+), a narrow zero-shuffle projection.",
+)
+def g9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "value")

@@ -105,3 +105,30 @@ def test_json_rows_shape(spark):
     row = to_json_rows(candles).orderBy("value").first()
     assert row.value.startswith('{"window_start":"2024-01-01 00:0')
     assert '"open":' in row.value and '"volume":' in row.value
+
+
+def test_asof_join_semantics(spark):
+    """asof.asof_join: latest right row at-or-before each left ts per
+    key; strict mode excludes same-instant matches."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", 10, 1), ("A", 20, 2), ("A", 5, 3), ("B", 10, 4)],
+        "k string, t long, seq long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "seq")
+    right = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 15, 150.0), ("B", 99, 999.0)],
+        "k string, t long, px double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px")
+
+    out = {r["seq"]: r["px"] for r in asof_join(left, right, "k").collect()}
+    assert out[1] == 100.0  # same-instant match included
+    assert out[2] == 150.0  # latest at-or-before 20
+    assert out[3] is None   # nothing before t=5
+    assert out[4] is None   # B's only right row is later
+
+    strict = {r["seq"]: r["px"] for r in asof_join(left, right, "k", strict=True).collect()}
+    assert strict[1] is None  # same-instant excluded
+    assert strict[2] == 150.0
