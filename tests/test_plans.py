@@ -62,3 +62,41 @@ def test_codegen_fuses_narrow_pipeline(spark):
     """f1's scan→filter→project pipeline fuses into whole-stage codegen."""
     df = spark_queries()["f1_filter_project"](spark, SF_SMALL)
     assert wholestage_codegen_count(df) >= 1
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Bucketing both join sides on the key pre-co-locates them: the
+    join plans with zero hash exchanges (the 100 TB recipe for repeated
+    fact-fact joins; SURVEY.md 'co-locate joins via bucketing')."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="buckets_")
+    try:
+        o = load_table(spark, SF_SMALL, "orders")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        (
+            o.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{tmp}/orders_b")
+            .mode("overwrite")
+            .saveAsTable("orders_b")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{tmp}/lineitem_b")
+            .mode("overwrite")
+            .saveAsTable("lineitem_b")
+        )
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            spark.table("lineitem_b").l_orderkey == spark.table("orders_b").o_orderkey,
+        )
+        n_ex = count_exchanges(joined)
+        assert n_ex == 0, f"bucketed join still shuffles: {n_ex} exchanges"
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -470,3 +470,37 @@ def test_rate_source_smoke(spark):
         assert spark.table("rate_smoke").count() > 0
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream join with a time-interval condition: only right
+    rows within the 10 minutes before each left row (same key) match;
+    state stays watermark-bounded."""
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    tmpdir = tempfile.mkdtemp(prefix="ssjoin_")
+    try:
+        lsrc = os.path.join(tmpdir, "l")
+        rsrc = os.path.join(tmpdir, "r")
+        ldf = spark.createDataFrame(
+            [("A", "2024-01-01 10:10:00", 1), ("A", "2024-01-01 10:30:00", 2)],
+            "k string, t string, lseq long",
+        ).select("k", F.to_timestamp("t").alias("lts"), "lseq")
+        rdf = spark.createDataFrame(
+            [("A", "2024-01-01 10:05:00", 10),   # within 10 min of lseq 1
+             ("A", "2024-01-01 10:12:00", 11),   # after lseq 1 (no), within 10:30-10m? no (18 min before)
+             ("A", "2024-01-01 10:25:00", 12)],  # within 10 min of lseq 2
+            "k string, t string, rseq long",
+        ).select("k", F.to_timestamp("t").alias("rts"), "rseq")
+        ldf.coalesce(1).write.parquet(lsrc)
+        rdf.coalesce(1).write.parquet(rsrc)
+        ls = spark.readStream.schema("k string, lts timestamp, lseq long").parquet(lsrc)
+        rs = spark.readStream.schema("k string, rts timestamp, rseq long").parquet(rsrc)
+        joined = interval_join(
+            ls, rs, "k", "lts", "rts", lower="10 minutes", upper="0 seconds"
+        ).select("lseq", "rseq")
+        out = run_available_now(joined, "append").toPandas()
+        pairs = sorted(map(tuple, out[["lseq", "rseq"]].values.tolist()))
+        assert pairs == [(1, 10), (2, 12)], pairs
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
