@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): engine operators vs brute-force
+pure-Python reference implementations on randomized inputs — the test
+dimension the fixture oracles can't cover (adversarial shapes: ties,
+single-row groups, empty intersections).
+
+Spark jobs are expensive per example, so examples are few but each
+carries a whole randomized dataset.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+trades_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),          # product
+        st.integers(min_value=0, max_value=7200),  # ts seconds offset
+        st.floats(min_value=1, max_value=1000, allow_nan=False, width=32),
+        st.integers(min_value=1, max_value=100),   # qty
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_trades(spark, rows):
+    data = [
+        (p, 1704067200 + t, float(px), q, i) for i, (p, t, px, q) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "product string, t long, price double, qty long, seq long"
+    ).select("product", F.timestamp_seconds("t").alias("ts"), "price", "qty", "seq")
+
+
+@given(rows=trades_strategy)
+@SET
+def test_ohlcv_matches_reference_fold(spark, rows):
+    """Candles == a pure-Python fold over (ts, seq)-ordered events per
+    (product, hour bucket): open/close by order, high/low/volume
+    algebraic."""
+    from kafka_flink_spark.operators.candles import ohlcv
+
+    got = {
+        (r["product"], r["window_start"].isoformat()): r
+        for r in ohlcv(_mk_trades(spark, rows), "1 hour", seq_col="seq").collect()
+    }
+    buckets: dict[tuple, list] = defaultdict(list)
+    for i, (p, t, px, q) in enumerate(rows):
+        ts = 1704067200 + t
+        buckets[(p, ts // 3600 * 3600)].append((ts, i, float(px), q))
+    assert len(got) == len(buckets)
+    import datetime
+
+    for (p, b), evs in buckets.items():
+        evs.sort()
+        key = (p, datetime.datetime.utcfromtimestamp(b).isoformat())
+        r = got[key]
+        assert r["open"] == evs[0][2] and r["close"] == evs[-1][2]
+        assert r["high"] == max(e[2] for e in evs)
+        assert r["low"] == min(e[2] for e in evs)
+        assert r["volume"] == sum(e[3] for e in evs)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100), st.integers(0, 999)),
+        max_size=15,
+    ),
+)
+@SET
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == per-row brute-force 'latest right at-or-before'."""
+    from kafka_flink_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, 1704067200 + t, i) for i, (k, t) in enumerate(left)],
+        "k string, t long, seq long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "seq")
+    rdf = spark.createDataFrame(
+        [(k, 1704067200 + t, float(v)) for (k, t, v) in right] or [("Z", 0, 0.0)],
+        "k string, t long, px double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px")
+
+    got = {r["seq"]: r["px"] for r in asof_join(ldf, rdf, "k").collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, v) for (rk, rt, v) in right if rk == k and rt <= t
+        ]
+        expected = float(max(cands)[1]) if cands else None
+        # ties on rt: brute force must match the engine's "last wins in
+        # (ts, arrival) order" — max() picks highest (rt, v); engine
+        # picks the last among equal rt by union order. Restrict check
+        # to tie-free cases.
+        rts = [rt for rt, _ in cands]
+        if len(set(rts)) != len(rts):
+            continue
+        assert got[i] == expected, (i, k, t, got[i], expected)
+
+
+@given(
+    docs=st.lists(
+        st.sampled_from(["alpha beta", "alpha  beta", "Alpha Beta", "gamma delta", ""]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_exact_dedup_partitions_ids(spark, docs):
+    """exact_dedup groups: every doc id appears in exactly one group,
+    keep_id is the min of its group, copies sum to the corpus size."""
+    from kafka_flink_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", "doc_id").collect()
+    assert sum(r["n_copies"] for r in out) == len(docs)
+    norm = defaultdict(list)
+    for i, d in enumerate(docs):
+        norm[d.strip().lower()].append(i)
+    assert len(out) == len(norm)
+    keeps = sorted(r["keep_id"] for r in out)
+    assert keeps == sorted(min(v) for v in norm.values())
