@@ -116,3 +116,44 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return apply_runtime_conf(spark)
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """Recommended conf for a real multi-executor deployment of this
+    engine (the local-mode factory above serves tests/bench; nothing in
+    the engine itself assumes either).
+
+    Returned as a dict so deploy tooling can merge it into
+    spark-defaults or a SparkSession builder. Rationale per key:
+
+    * shuffle partitions ≈ 2 × total cores — AQE coalesces down from
+      there per stage based on observed sizes; starting high avoids
+      oversized reducers, starting from cluster shape avoids the
+      default 200 becoming a bottleneck at 4 000 cores.
+    * maxPartitionBytes governs scan-side parallelism: 256 MB splits
+      keep 100 TB ≈ 400k tasks — large enough to amortize task
+      overhead, small enough to ride out stragglers.
+    * RocksDB state store: streaming state (candles, dedup, joins)
+      spills to local disk instead of heap; changelog checkpointing
+      makes commits incremental.
+    * Kryo + compressed shuffle are the standard wire-efficiency knobs.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        **RUNTIME_CONF,
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        "spark.shuffle.compress": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+    }

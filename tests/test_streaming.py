@@ -504,3 +504,17 @@ def test_stream_stream_interval_join(spark):
         assert pairs == [(1, 10), (2, 12)], pairs
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_multi_resolution_streams_over_one_source(spark):
+    """Two granularities over the same stream (reference old/flink.py:70-79
+    registers 1-min and 5-min pipelines side by side): hourly and daily
+    candles as two concurrent streaming queries; daily totals == hourly
+    totals re-aggregated."""
+    t1 = stream_trades_from_fixture(spark, SF_SMALL)
+    t2 = stream_trades_from_fixture(spark, SF_SMALL)
+    hourly = run_available_now(ohlcv_stream(t1, "1 hour"), "update")
+    daily = run_available_now(ohlcv_stream(t2, "1 day"), "update")
+    hv = hourly.agg(F.sum("volume").alias("v")).collect()[0]["v"]
+    dv = daily.agg(F.sum("volume").alias("v")).collect()[0]["v"]
+    assert hv == dv > 0
