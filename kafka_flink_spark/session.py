@@ -27,6 +27,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas boundary crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local-mode shuffle/state parallelism. Batch shuffles are governed
+    # by AQE coalescing regardless; this mainly sizes streaming state
+    # stores (stateful ops pin partition count at first checkpoint).
+    # cluster_conf() overrides for multi-executor deployments.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
     # rejects outright; read it as a LONG of nanos and convert at the
     # source wrapper (sources/fixtures.py) with exact integer division.
