@@ -133,3 +133,27 @@ def test_approx_distinct_within_error_bound(spark):
     )
     for _, row in got.iterrows():
         assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
+
+
+def test_lsh_pairs_subset_of_exact_pairs(spark):
+    """MinHash+LSH candidates are verified with exact Jaccard, so at an
+    equal threshold the LSH result is a subset of the exact all-pairs
+    result (LSH can only miss pairs, never invent them); recall stays
+    useful at the fixture's similarity profile."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))

@@ -518,3 +518,22 @@ def test_multi_resolution_streams_over_one_source(spark):
     hv = hourly.agg(F.sum("volume").alias("v")).collect()[0]["v"]
     dv = daily.agg(F.sum("volume").alias("v")).collect()[0]["v"]
     assert hv == dv > 0
+
+
+def test_streaming_candles_to_kafka_wire_format(spark):
+    """End-to-end reference chain: streaming candles serialized to the
+    Kafka JSON wire envelope (K1/P1) — streamed wire strings equal the
+    batch projection exactly."""
+    from kafka_flink_spark.operators.candles import to_json_rows
+
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    wire_stream = to_json_rows(ohlcv_stream(trades, "1 hour"))
+    streamed = set(
+        run_available_now(wire_stream, "update").toPandas()["value"].tolist()
+    )
+    batch = set(
+        to_json_rows(ohlcv(trades_view(spark, SF_SMALL), "1 hour", seq_col="seq"))
+        .toPandas()["value"]
+        .tolist()
+    )
+    assert streamed == batch and len(batch) > 0
