@@ -781,3 +781,80 @@ def g9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("custkey"),
     )
     return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "value")
+
+
+@register(
+    "q_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '2024-03-01'
+  AND o.o_orderdate < TIMESTAMP '2024-09-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10-style returned-items report: lost revenue per "
+    "customer from returned lineitems in a date range — fact-fact join "
+    "on orderkey, broadcast dims, order-by-limit top 20. The date "
+    "filter pushes to the orders scan; AQE picks the lineitem join "
+    "strategy from runtime sizes.",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "2024-03-01")
+                & (F.col("o_orderdate") < "2024-09-01")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "f2_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+       (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_final,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket
+FROM orders
+""",
+    doc="Null-semantics surface: coalesce / nullif / null-safe equality "
+    "(<=> vs IS NOT DISTINCT FROM) / CASE — identical three-valued "
+    "logic on both engines.",
+)
+def f2_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_norm"),
+        F.col("o_orderstatus").eqNullSafe("F").alias("is_final"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
