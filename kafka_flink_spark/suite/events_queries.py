@@ -1,0 +1,174 @@
+"""Event-stream analytics over the ``events`` fixture — the batch
+analytics a product team runs on the same stream the reference only
+windows (sessionization, funnels, cohort retention).
+
+The reference's surface stops at per-key tumbling windows
+(``7_ohlc.py:35-98``); a credible engine over event streams also needs
+the classic clickstream shapes. All three are pure DataFrame built-ins
+(window functions + conditional aggregation) — no UDFs, no
+driver-side iteration — so they scale to 100 TB the same way any
+partitioned window/agg does: one hash shuffle on ``user_id``, then
+map-side work.
+
+Precision note: gaps are compared in integer microseconds
+(``unix_micros`` / DuckDB ``epoch_us``) so both engines evaluate the
+same exact integers — no float/second-truncation divergence on
+sub-second boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_flink_spark.sources.fixtures import load_table
+from kafka_flink_spark.suite import register
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+
+
+@register(
+    "e1_sessionization",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us >= {_GAP_US} THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts, us,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(us) - min(us) AS duration_us
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    doc="Gap-based sessionization (6h inactivity gap): lag + cumulative "
+    "flag-sum assigns session numbers per user, then per-session "
+    "aggregates. One shuffle on user_id serves both the window "
+    "functions and the final group-by (Catalyst reuses the "
+    "partitioning); at 100 TB this is the standard sessionize plan.",
+)
+def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(by_user).isNull()
+            | (F.col("us") - F.lag("us").over(by_user) >= _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(run))
+    return numbered.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "e2_funnel",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE t_view > t_signup) AS BIGINT) AS n_viewed,
+       CAST(count(*) FILTER (WHERE t_click > t_view AND t_view > t_signup) AS BIGINT) AS n_clicked,
+       CAST(count(*) FILTER (
+           WHERE t_purchase > t_click AND t_click > t_view AND t_view > t_signup
+       ) AS BIGINT) AS n_purchased
+FROM per_user
+""",
+    doc="Ordered funnel signup→view→click→purchase: first-occurrence "
+    "time per step per user (conditional min), then strict time-order "
+    "conditions counted. Two map-side-combinable aggregations — the "
+    "canonical funnel plan that holds at any user cardinality.",
+)
+def e2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts"))).alias(f"t_{step}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    t = {s: F.col(f"t_{s}") for s in ("signup", "view", "click", "purchase")}
+    step1 = t["signup"].isNotNull()
+    step2 = t["view"] > t["signup"]
+    step3 = (t["click"] > t["view"]) & step2
+    step4 = (t["purchase"] > t["click"]) & step3
+
+    def n(cond, name):
+        return F.count(F.when(cond, F.lit(1))).alias(name)
+
+    return per_user.agg(
+        n(step1, "n_signup"), n(step2, "n_viewed"), n(step3, "n_clicked"), n(step4, "n_purchased")
+    )
+
+
+@register(
+    "e3_retention_cohorts",
+    oracle=f"""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+    FROM events
+)
+SELECT strftime(f.cohort_week, '{_FMT_DUCK}') AS cohort_week,
+       CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week))
+            / 604800000000 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM firsts f JOIN active a USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+    doc="Weekly cohort retention: cohort = week of first event per "
+    "user; count distinct users active per (cohort, week-offset). The "
+    "firsts side is one row per user — broadcastable at moderate "
+    "cardinality, hash-join on user_id otherwise; offsets computed in "
+    "integer microseconds on both engines.",
+)
+def e3_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    week_us = 7 * 86400 * 1_000_000
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", _FMT).alias("cohort_week"),
+            ((F.unix_micros("active_week") - F.unix_micros("cohort_week")) / week_us)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

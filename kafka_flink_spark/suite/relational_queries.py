@@ -858,3 +858,110 @@ def f2_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("bucket"),
     )
+
+
+@register(
+    "q_order_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2024-04-01'
+  AND o.o_orderdate < TIMESTAMP '2024-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-style order-priority check: EXISTS decorrelates to a "
+    "left-semi join (Catalyst rewrites it; expressed directly as "
+    "left_semi here), then a low-cardinality group-by. The semi join "
+    "never materializes lineitem columns — at 100 TB only l_orderkey "
+    "(plus the pushed returnflag filter) is read from the fact table.",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "2024-04-01") & (F.col("o_orderdate") < "2024-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2024-05-01'
+  AND l.l_shipdate < TIMESTAMP '2024-07-01'
+""",
+    doc="TPC-H Q14-style promotion effect: conditional-aggregate ratio "
+    "over a fact-dim join. part is broadcast (2k rows/SF-invariant "
+    "dimensions stay broadcastable); the shipdate range pushes to the "
+    "lineitem scan so the join input is already pruned.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-05-01") & (F.col("l_shipdate") < "2024-07-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                2,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_totalprice, sum(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    doc="TPC-H Q18-style large-volume customers: IN over a grouped "
+    "HAVING subquery = aggregate lineitem once, filter to heavy "
+    "orders, semi-join back. The heavy-order set is tiny (~1% of "
+    "orders) so AQE broadcasts it against orders; quantity sums are "
+    "integer-valued doubles, so both engines agree exactly.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", _FMT).alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
