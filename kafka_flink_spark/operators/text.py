@@ -134,3 +134,51 @@ def duckdb_lang_score(lang: str, text_expr: str = "text") -> str:
         f"t -> list_contains([{words}], t))) * 1.0 / "
         f"greatest(len(string_split({text_expr}, ' ')), 1), 6)"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    standard pre-embedding / pre-tokenization step of a training-data
+    pipeline (context-window packing, RAG indexing).
+
+    Chunk *k* covers tokens ``[k*step, k*step + chunk_size)`` with
+    ``step = chunk_size - overlap``. Pure narrow expressions:
+    ``split`` → ``explode(sequence(...))`` over chunk starts →
+    ``slice`` + ``array_join``. One row fans out to
+    ``ceil(n_tokens/step)`` rows with no shuffle — at 100 TB the
+    explode pipelines with the scan, and output partition sizes grow
+    by the fan-out factor only (resizable downstream with AQE
+    coalescing or an explicit repartition before a wide sink).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.col(col), " ")
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "chunk_start",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.lit(step),
+                )
+            ),
+        )
+        .select(
+            *df.columns,
+            (F.col("chunk_start") / step).cast("long").alias("chunk_no"),
+            F.array_join(
+                F.slice("_toks", F.col("chunk_start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size), F.size("_toks") - F.col("chunk_start")
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )

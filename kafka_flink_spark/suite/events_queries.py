@@ -172,3 +172,67 @@ def e3_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "e4_gapfill_hourly",
+    oracle=f"""
+WITH ranked AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+), c AS (
+    SELECT event_type, ws,
+           max(CASE WHEN rn = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY 1, 2
+), spans AS (
+    SELECT event_type, min(ws) AS t0, max(ws) AS t1 FROM c GROUP BY 1
+), grid AS (
+    SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ws
+    FROM spans
+), joined AS (
+    SELECT g.event_type, g.ws, c.close, c.n_events, c.ws IS NULL AS is_gap
+    FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.ws = g.ws
+)
+SELECT event_type, strftime(ws, '{_FMT_DUCK}') AS window_start,
+       last_value(close IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY ws
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       coalesce(n_events, 0) AS n_events,
+       is_gap
+FROM joined
+""",
+    doc="Dense hourly series via operators/resample.gap_fill: tumbling "
+    "count+close per event_type, exploded per-key time grid, LOCF "
+    "forward-fill of close, zero-fill of counts, is_gap flag. The grid "
+    "is generated distributed (explode(sequence)) — no driver loop — "
+    "and grid size is span/step per key, independent of event count, "
+    "so it holds at 100 TB.",
+)
+def e4_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.resample import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ws")
+    ).agg(
+        F.max_by("value", F.struct(F.unix_micros("ts"), "event_id")).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    filled = gap_fill(
+        candles,
+        key_cols=["event_type"],
+        ts_col="ws",
+        step="1 hour",
+        fill_forward=("close",),
+        zero_fill=("n_events",),
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("ws", _FMT).alias("window_start"),
+        "close",
+        "n_events",
+        "is_gap",
+    )

@@ -572,3 +572,33 @@ def pipe1_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("total_words"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+@register(
+    "t5_doc_chunks",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang, toks,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS chunk_start
+    FROM t
+)
+SELECT doc_id, lang,
+       CAST(chunk_start // 48 AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 64), ' ')
+           AS chunk_text,
+       CAST(least(64, len(toks) - chunk_start) AS BIGINT) AS chunk_tokens
+FROM s
+""",
+    doc="Overlapping word-window chunking (64-token chunks, 16-token "
+    "overlap) via operators/text.chunk_documents — explode(sequence) "
+    "over chunk starts + slice/array_join, a narrow scan-speed fan-out "
+    "with no shuffle (the pre-embedding step of a training-data "
+    "pipeline).",
+)
+def t5_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.chunk_documents(docs, chunk_size=64, overlap=16).select(
+        "doc_id", "lang", "chunk_no", "chunk_text", "chunk_tokens"
+    )

@@ -21,6 +21,34 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+# --- Exact fixed-point revenue sums ------------------------------------------
+# l_extendedprice is a 2-dp decimal and (1 ± l_discount) a 2-dp factor, so
+# their product is an exact 4-dp decimal; true group sums therefore land on
+# half-cent boundaries often, where round(sum(...), 2) is decided by
+# float summation order — i.e. by partial-agg scheduling, differently per
+# engine/run. Summing exact scaled integers instead is bit-identical in any
+# order (and at any scale: ~1e9 per term × 6e8 rows at 100 TB stays far
+# inside int64/int128 partial sums).
+
+
+def _rev_sum(factor):
+    """Spark: sum(extendedprice * factor) as an exact 4-dp decimal,
+    computed as an integer sum of (cents × factor·100)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    f100 = F.round(factor * 100).cast("long")
+    return F.sum(cents * f100) / 10000.0
+
+
+def _rev_sum_sql(prefix: str = "", factor: str | None = None) -> str:
+    """DuckDB rendering of the same exact integer sum."""
+    p = f"{prefix}." if prefix else ""
+    f = factor if factor is not None else f"1 - {p}l_discount"
+    return (
+        f"sum(CAST(round({p}l_extendedprice * 100) AS BIGINT)"
+        f" * CAST(round(({f}) * 100) AS BIGINT)) / 10000.0"
+    )
+
+
 # --- Projections / filters (P-group; filters per §2.3 note) -----------------
 
 
@@ -79,10 +107,10 @@ def p4_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j1_join_broadcast_inner",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_rev_sum_sql('l')} AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """,
@@ -97,9 +125,7 @@ def j1_join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _rev_sum(1 - F.col("l_discount")).alias("revenue"),
         )
     )
 
@@ -195,9 +221,9 @@ def j5_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_rev_sum_sql('l')} AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -222,9 +248,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _rev_sum(1 - F.col("l_discount")).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -239,9 +263,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_local_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_rev_sum_sql('l')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -272,9 +296,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _rev_sum(1 - F.col("l_discount")).alias("revenue")
         )
     )
 
@@ -284,15 +306,17 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       {_rev_sum_sql()} AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) / count(*), 4)
+           AS avg_price,
+       round((sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0) / count(*), 6)
+           AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -309,12 +333,18 @@ def g1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            _rev_sum(1 - F.col("l_discount")).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                (F.sum(F.round(F.col("l_discount") * 100).cast("long")) / 100.0)
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -785,16 +815,16 @@ def g9_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_returned_items",
-    oracle="""
+    oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_rev_sum_sql('l')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '2024-03-01'
-  AND o.o_orderdate < TIMESTAMP '2024-09-01'
+  AND o.o_orderdate >= TIMESTAMP '1996-03-01'
+  AND o.o_orderdate < TIMESTAMP '1996-09-01'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -814,8 +844,8 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(
             o.filter(
-                (F.col("o_orderdate") >= "2024-03-01")
-                & (F.col("o_orderdate") < "2024-09-01")
+                (F.col("o_orderdate") >= "1996-03-01")
+                & (F.col("o_orderdate") < "1996-09-01")
             ),
             li.l_orderkey == o.o_orderkey,
         )
@@ -823,9 +853,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _rev_sum(1 - F.col("l_discount")).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -865,8 +893,8 @@ def f2_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '2024-04-01'
-  AND o.o_orderdate < TIMESTAMP '2024-07-01'
+WHERE o.o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
 GROUP BY o_orderpriority
@@ -879,7 +907,7 @@ GROUP BY o_orderpriority
 )
 def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "2024-04-01") & (F.col("o_orderdate") < "2024-07-01")
+        (F.col("o_orderdate") >= "1996-04-01") & (F.col("o_orderdate") < "1996-07-01")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -893,12 +921,15 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_promo_revenue",
     oracle="""
 SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
                               ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue_pct
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)), 2)
+       AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '2024-05-01'
-  AND l.l_shipdate < TIMESTAMP '2024-07-01'
+WHERE l.l_shipdate >= TIMESTAMP '1996-05-01'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01'
 """,
     doc="TPC-H Q14-style promotion effect: conditional-aggregate ratio "
     "over a fact-dim join. part is broadcast (2k rows/SF-invariant "
@@ -907,15 +938,19 @@ WHERE l.l_shipdate >= TIMESTAMP '2024-05-01'
 )
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "2024-05-01") & (F.col("l_shipdate") < "2024-07-01")
+        (F.col("l_shipdate") >= "1996-05-01") & (F.col("l_shipdate") < "1996-07-01")
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0)))
+                / F.sum(rev_e4),
                 2,
             ).alias("promo_revenue_pct")
         )
@@ -964,4 +999,194 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle=f"""
+SELECT {_rev_sum_sql(factor='l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-style forecast-revenue change: pure filter + global "
+    "sum, no join and no group-by. The whole WHERE clause (date range, "
+    "discount band, quantity cap) pushes down to the parquet scan and "
+    "only 3 columns are read — at 100 TB this is an embarrassingly "
+    "parallel scan with map-side partial sums and a single-row result.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_rev_sum(F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q_nation_trade_flows",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS yr,
+       {_rev_sum_sql('l')} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7-style cross-nation trade flows: the nation table is "
+    "joined twice under different aliases (supplier's vs customer's "
+    "nation). supplier/customer/nation are broadcast; the only shuffle "
+    "joins are lineitem-orders on orderkey. The inequality filter "
+    "n1<>n2 runs after both broadcasts, map-side.",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            _rev_sum(1 - F.col("l_discount")).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_disjunctive_parts",
+    oracle=f"""
+SELECT {_rev_sum_sql('l')} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size >= 1 AND p.p_size <= 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size >= 1 AND p.p_size <= 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size >= 1 AND p.p_size <= 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+    doc="TPC-H Q19-style disjunctive predicate join: an OR-of-ANDs "
+    "condition that mixes columns from both sides, so it evaluates as "
+    "a post-join filter on a broadcast hash join. Catalyst still "
+    "derives the implied single-side prefilters (brand IN (...) on "
+    "part, quantity BETWEEN 1 AND 30 on lineitem) via constraint "
+    "propagation, pruning both scans before the join.",
+)
+def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            _rev_sum(1 - F.col("l_discount")).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_idle_rich_customers",
+    oracle="""
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22-style idle rich customers: scalar AVG subquery as "
+    "the balance threshold, NOT EXISTS decorrelated to a left-anti "
+    "join against orders (only o_custkey is read from the fact side), "
+    "then a tiny group-by on nationkey. The anti join shuffles on "
+    "custkey once; the scalar subquery is a one-row broadcast.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("threshold"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "sc4_array_functions",
+    oracle="""
+WITH d AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(len(v) AS INT) AS dim,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       list_max(v) AS max_val,
+       list_min(v) AS min_val,
+       list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS l2sq,
+       list_max(list_zip(v, list_reverse(v)).apply(p -> p[1] * p[2])) AS max_rev_prod
+FROM d
+""",
+    doc="Higher-order array functions (transform/filter/aggregate/"
+    "zip_with + array_max/min) over the embedding column — all "
+    "JVM-side codegen'd expressions, no UDF. The l2sq fold is a "
+    "sequential left fold in both engines (Spark aggregate init 0.0 + "
+    "DuckDB list_reduce), so IEEE results match bit-for-bit.",
+)
+def sc4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", v.alias("v"))
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("dim"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        F.array_max("v").alias("max_val"),
+        F.array_min("v").alias("min_val"),
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("l2sq"),
+        F.array_max(F.zip_with("v", F.reverse("v"), lambda x, y: x * y)).alias(
+            "max_rev_prod"
+        ),
     )

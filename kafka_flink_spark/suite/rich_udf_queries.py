@@ -90,7 +90,7 @@ SELECT direction,
        is_otc,
        CAST(count(*) AS BIGINT) AS n_trades,
        CAST(sum(CASE WHEN is_implied THEN 1 ELSE 0 END) AS BIGINT) AS n_implied,
-       round(sum(price * qty), 2) AS notional
+       sum(CAST(round(price * 1000) AS BIGINT) * qty) / 1000.0 AS notional
 FROM parsed
 GROUP BY direction, is_otc
 """,
@@ -112,7 +112,11 @@ def s6_rich_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_trades"),
             F.sum(F.when(F.col("IsImplied"), 1).otherwise(0)).cast("long").alias("n_implied"),
-            F.round(F.sum(F.col("Price") * F.col("Qty")), 2).alias("notional"),
+            # Price is a 3-dp decimal: sum exact milli-units so the result
+            # is summation-order independent (see relational_queries note).
+            (
+                F.sum(F.round(F.col("Price") * 1000).cast("long") * F.col("Qty")) / 1000.0
+            ).alias("notional"),
         )
     )
 
