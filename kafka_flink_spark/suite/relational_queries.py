@@ -1190,3 +1190,174 @@ def sc4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_rev_prod"
         ),
     )
+
+
+@register(
+    "q_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13-style customer order-count distribution: left outer "
+    "join preserving zero-order customers, count per customer, then a "
+    "second aggregation over the counts. The first agg shuffles on "
+    "custkey (same key as the join, so AQE can reuse the exchange); "
+    "the second is a tiny distinct-count-values shuffle.",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey, {_rev_sum_sql()} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    doc="TPC-H Q15-style top supplier: quarterly revenue per supplier "
+    "(exact fixed-point sum, so the max-equality predicate is safe "
+    "across engines), then select the supplier(s) hitting the global "
+    "max via a one-row broadcast scalar subquery. One shuffle on "
+    "suppkey; the supplier dim side is broadcast.",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(_rev_sum(1 - F.col("l_discount")).alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle="""
+SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l_partkey,
+           0.2 * (sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*)) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_threshold
+""",
+    doc="TPC-H Q17-style small-quantity-order revenue: the correlated "
+    "AVG(l_quantity) subquery decorrelates to a per-partkey aggregate "
+    "joined back to lineitem on the same key — one shuffle feeds both "
+    "the agg and the self-join under AQE. The per-part mean uses an "
+    "exact integer quantity sum so the 0.2x threshold (and thus the "
+    "filter) is bit-identical across engines; the part brand filter is "
+    "a broadcast prefilter.",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    qcents = F.round(F.col("l_quantity") * 100).cast("long")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (F.sum(qcents) / 100.0 / F.count(F.lit(1)))).alias("qty_threshold")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_market_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       sum(CASE WHEN sr.r_name = 'ASIA'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                ELSE 0 END) * 1.0
+       / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+WHERE cr.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate <= DATE '1996-12-31'
+GROUP BY o_year
+""",
+    doc="TPC-H Q8-style market share: AMERICA-region customers buying "
+    "ECONOMY parts, share supplied from ASIA-region suppliers per "
+    "order year. A conditional-aggregation ratio over a snowflake "
+    "join: the single big shuffle is lineitem-orders on orderkey; "
+    "every dimension (customer+nation+region, part, supplier+nation+ "
+    "region) is broadcast. Numerator and denominator are exact "
+    "fixed-point sums, so the final double ratio is deterministic.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region.filter(F.col("r_name") == "AMERICA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp_region = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region.select(F.col("r_regionkey").alias("sr_key"),
+                            F.col("r_name").alias("supp_region")),
+              F.col("n_regionkey") == F.col("sr_key"))
+        .select("s_suppkey", "supp_region")
+    )
+    amount = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_region), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_region") == "ASIA", amount).otherwise(F.lit(0)))
+                / F.sum(amount)
+            ).alias("mkt_share")
+        )
+    )
