@@ -1203,19 +1203,23 @@ FROM (
 ) per_cust
 GROUP BY c_count
 """,
-    doc="TPC-H Q13-style customer order-count distribution: left outer "
-    "join preserving zero-order customers, count per customer, then a "
-    "second aggregation over the counts. The first agg shuffles on "
-    "custkey (same key as the join, so AQE can reuse the exchange); "
-    "the second is a tiny distinct-count-values shuffle.",
+    doc="TPC-H Q13-style customer order-count distribution: orders are "
+    "pre-aggregated to one row per custkey BEFORE the zero-preserving "
+    "left join (map-side partial counts shrink the fact-side shuffle "
+    "to |customers| rows — at 100 TB that is the difference between "
+    "shuffling every order and shuffling one count per customer), "
+    "then coalesce(cnt, 0) restores the zero-order customers and a "
+    "tiny second aggregation builds the distribution.",
 )
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_cust_orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = c.join(per_cust_orders, c.c_custkey == F.col("o_custkey"), "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
