@@ -230,23 +230,37 @@ def simhash_near_pairs(
     col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
-    num_chunks: int = 4,
+    num_chunks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs via chunk banding (the pigeonhole trick:
-    hamming ≤ max_hamming over 60 bits ⇒ at least one 15-bit chunk is
-    identical when chunks > max_hamming/… — with 4 chunks any pair
-    within hamming 3·(chunks-1) shares a chunk for hamming ≤ 3; wider
-    recall comes from more chunks). Join on equal chunk, verify exact
-    hamming with bit_count(xor)."""
+    """SimHash near-dup pairs via chunk banding (the pigeonhole trick):
+    split the 60-bit signature into ``num_chunks`` disjoint bit ranges;
+    a pair with hamming ≤ max_hamming has at most max_hamming differing
+    bits, so with num_chunks > max_hamming at least one chunk is
+    bit-identical — candidate generation by equi-join on equal chunks
+    has FULL recall at the max_hamming threshold. Join on equal chunk,
+    verify exact hamming with bit_count(xor).
+
+    ``num_chunks`` defaults to ``max_hamming + 1`` (the smallest count
+    that preserves the guarantee); passing fewer raises, since it would
+    silently miss pairs between hamming num_chunks and max_hamming.
+    Chunk widths differ by at most one bit when 60 % num_chunks != 0.
+    """
+    if num_chunks is None:
+        num_chunks = max_hamming + 1
+    if num_chunks <= max_hamming:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
     sigs = simhash(df, col, id_col)
-    chunk_bits = SIMHASH_BITS // num_chunks
-    mask = (1 << chunk_bits) - 1
-    chunks = F.array(
-        *[
-            F.shiftright("simhash", c * chunk_bits).bitwiseAND(F.lit(mask))
-            for c in range(num_chunks)
-        ]
-    )
+    base, extra = divmod(SIMHASH_BITS, num_chunks)
+    chunk_cols, start = [], 0
+    for c in range(num_chunks):
+        width = base + (1 if c < extra else 0)
+        mask = (1 << width) - 1
+        chunk_cols.append(F.shiftright("simhash", start).bitwiseAND(F.lit(mask)))
+        start += width
+    chunks = F.array(*chunk_cols)
     banded = sigs.select(id_col, "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key"))
     a, b = banded.alias("a"), banded.alias("b")
     return (

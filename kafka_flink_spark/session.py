@@ -51,7 +51,39 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIP_MARKER_CONF = "spark.kafka_flink_spark.shippedPackageHash"
+
+
+def _package_zip() -> str:
+    """Zip the package to a content-addressed temp path; return the path.
+
+    The filename embeds a hash of every .py file's (relpath, mtime, size)
+    so editing any package file within a long-lived process produces a
+    fresh zip instead of reusing a stale one.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            rel = os.path.join("kafka_flink_spark", os.path.relpath(full, pkg_dir))
+            entries.append((full, rel, int(st.st_mtime_ns), st.st_size))
+    digest = hashlib.sha256(
+        repr([(rel, m, s) for _full, rel, m, s in entries]).encode()
+    ).hexdigest()[:16]
+    zpath = os.path.join(tempfile.gettempdir(), f"kafka_flink_spark_{digest}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for full, rel, _m, _s in entries:
+                zf.write(full, rel)
+    return zpath
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -63,31 +95,17 @@ def _ship_package(spark: SparkSession) -> None:
     sys.path would fail to unpickle them. Shipping a zip of the
     package via ``addPyFile`` fixes that for any session, any cwd —
     and is exactly how the package would deploy to a real cluster.
-    """
-    key = id(spark)
-    if key in _SHIPPED_SESSIONS:
-        return
-    try:
-        import tempfile
-        import zipfile
 
-        pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        zpath = os.path.join(
-            tempfile.gettempdir(), f"kafka_flink_spark_{os.getpid()}.zip"
-        )
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as zf:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    for fn in files:
-                        if not fn.endswith(".py"):
-                            continue
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "kafka_flink_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+    The already-shipped marker lives in a session conf (not an id()-keyed
+    set, which can false-positive when a GC'd session's id is reused),
+    and records the content hash so a changed package re-ships.
+    """
+    try:
+        zpath = _package_zip()
+        if spark.conf.get(_SHIP_MARKER_CONF, None) == zpath:
+            return
         spark.sparkContext.addPyFile(zpath)
-        _SHIPPED_SESSIONS.add(key)
+        spark.conf.set(_SHIP_MARKER_CONF, zpath)
     except Exception:
         # Connect-mode sessions have no sparkContext; local sessions
         # started from the repo root don't need shipping.

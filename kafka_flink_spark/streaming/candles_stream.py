@@ -27,6 +27,7 @@ per-key dicts.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -146,19 +147,35 @@ def run_available_now(stream_df: DataFrame, output_mode: str, name: str | None =
     """Execute a streaming frame to completion (availableNow trigger →
     memory sink) and return the materialized result. The test/replay
     harness: production pipelines point the same frame at Kafka/JDBC
-    sinks instead."""
+    sinks instead.
+
+    The memory-sink temp table and mkdtemp checkpoint are transient:
+    the result is cached and pinned, then the view is dropped and the
+    checkpoint dir deleted, so repeated calls (tests, bench loops)
+    don't accumulate driver memory or disk.
+    """
     name = name or f"q_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(name).cache()
+        result.count()  # pin before the backing view disappears
+        return result
+    finally:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def dual_emit(

@@ -268,24 +268,18 @@ def d4_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_pairs_sql(max_hamming: int = 20, num_chunks: int = 4) -> str:
-    chunk_bits = D.SIMHASH_BITS // num_chunks
-    mask = (1 << chunk_bits) - 1
-    chunk_arr = ", ".join(
-        f"(simhash >> {c * chunk_bits}) & {mask}" for c in range(num_chunks)
-    )
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    # Brute-force all-pairs: the SEMANTIC definition of the query. The
+    # Spark side reaches the identical answer via pigeonhole chunk
+    # banding (num_chunks = max_hamming + 1 disjoint bit ranges ⇒ any
+    # pair within the threshold shares a chunk — full recall), which is
+    # the O(n·bucket) plan that survives 100 TB where this O(n²) oracle
+    # would not.
     return f"""
-WITH sig AS ({_simhash_sig_sql()}),
-banded AS (
-    SELECT doc_id, simhash,
-           unnest(range({num_chunks})) AS chunk_id,
-           unnest([{chunk_arr}]) AS chunk_key
-    FROM sig
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+WITH sig AS ({_simhash_sig_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM banded a JOIN banded b
-  ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
@@ -293,12 +287,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 @register(
     "d5_simhash_near_pairs",
     oracle=_simhash_pairs_sql(),
-    doc="SimHash near-dup pairs: 15-bit chunk banding (pigeonhole "
-    "candidates), verified with exact hamming distance ≤ 20.",
+    doc="SimHash near-dup pairs: chunk banding with the pigeonhole "
+    "guarantee (7 disjoint chunks > max_hamming 6 ⇒ full recall), "
+    "candidates verified with exact bit_count(xor) hamming ≤ 6; the "
+    "oracle is the brute-force all-pairs definition.",
 )
 def d5_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=20
+        load_table(spark, sf_dir, "documents"), max_hamming=6
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 

@@ -783,14 +783,22 @@ GROUP BY l_returnflag
 """,
     doc="Pivot: revenue by returnflag x linestatus as columns "
     "(df.groupBy().pivot() with explicit pivot values — explicit so the "
-    "plan stays a single pass with no distinct-values pre-query).",
+    "plan stays a single pass with no distinct-values pre-query). An "
+    "empty (returnflag, linestatus) cell yields NULL from pivot, so the "
+    "zero-fill coalesce happens AFTER the pivot to match the oracle's "
+    "conditional-aggregation zeros at any scale factor.",
 )
 def g8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    pivoted = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2))
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("O"),
     )
 
 

@@ -62,13 +62,26 @@ GROUP BY 1, 2, 3
     oracle=f"WITH {TRADES_ORACLE_CTE} {_CANDLES_1H_ORACLE_BODY}",
     doc="W11 update-mode emission (reference 5_ohlc.py:99): streaming "
     "tumbling OHLCV replayed with availableNow; every window updated in "
-    "the batch is emitted with its current running value — after a "
-    "single-batch full replay that equals the batch answer exactly.",
+    "a micro-batch is emitted with its current running value. The sink "
+    "retains one row per window per batch, so the result is reduced to "
+    "the LAST update per (window, product) — volume is monotonically "
+    "increasing within a window, so max_by(volume) selects it — making "
+    "the query robust to multi-batch replays (maxFilesPerTrigger, "
+    "multi-file fixtures), where it equals the batch answer exactly.",
 )
 def w11_stream_ohlcv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = stream_trades_from_fixture(spark, sf_dir)
     out = run_available_now(ohlcv_stream(trades, "1 hour"), "update")
-    return _fmt_windows(out)
+    last = (
+        out.groupBy("window_start", "window_end", "product")
+        .agg(
+            F.max_by(
+                F.struct("open", "high", "low", "close", "volume"), F.col("volume")
+            ).alias("s")
+        )
+        .select("window_start", "window_end", "product", "s.*")
+    )
+    return _fmt_windows(last)
 
 
 @register(
