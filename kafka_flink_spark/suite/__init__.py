@@ -47,6 +47,7 @@ _REGISTRY: dict[str, Query] = {}
 _MODULES = (
     "kafka_flink_spark.suite.candles_queries",
     "kafka_flink_spark.suite.relational_queries",
+    "kafka_flink_spark.suite.warehouse_queries",
     "kafka_flink_spark.suite.events_queries",
     "kafka_flink_spark.suite.llm_queries",
     "kafka_flink_spark.suite.streaming_queries",
