@@ -10,11 +10,24 @@ tests read exactly like the reference's 5-field trade schema
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_flink_spark.schemas import FIXTURE_TABLES
+
+# Per-session relation cache: building a parquet relation costs a
+# driver round-trip (listing + footer schema, ~80-100 ms) on every
+# spark.read call; the fixture tables are immutable, so each (sf_dir,
+# table) relation is built once per session and its (immutable,
+# lazily-planned) DataFrame reused. WeakKeyDictionary keys on the live
+# session object, so a stopped session's cache entries die with it
+# instead of false-hitting a recycled id().
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -27,9 +40,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arrives as a LONG of nanos and is converted here via exact integer
     division (``div 1000`` → µs, truncating like DuckDB/Arrow do).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache = _RELATION_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache[key] = df
     return df
 
 
