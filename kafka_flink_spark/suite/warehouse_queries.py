@@ -323,8 +323,8 @@ ORDER BY s_name
 """,
     doc="TPC-H Q20-shaped: EUROPE suppliers who shipped >80%% of some "
     "multi-supplier part's 1996 volume (excess-stock surrogate). "
-    "Two-level aggregate "
-    "reusing one shuffle partitioning (per-(part,supp) then per-part), "
+    "Per-part totals are window aggregates over the per-(part,supp) "
+    "aggregate — lineitem scanned once, one partitioning throughout; "
     "integer share compare, EXISTS → left-semi join to supplier.",
 )
 def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,11 +337,14 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q")
     )
-    tot = shipped.groupBy("l_partkey").agg(
-        F.sum("q").alias("tq"), F.count("*").alias("ns")
-    )
+    per_part = Window.partitionBy("l_partkey")
     dominant = (
-        shipped.join(tot, "l_partkey")
+        shipped.select(
+            "l_suppkey",
+            "q",
+            F.sum("q").over(per_part).alias("tq"),
+            F.count("*").over(per_part).alias("ns"),
+        )
         .filter((F.col("ns") > 1) & (F.col("q") * 5 > F.col("tq") * 4))
         .select("l_suppkey")
         .distinct()
@@ -393,8 +396,10 @@ LIMIT 20
     "supplier (ship > order + 60d; commitdate absent) on a "
     "multi-supplier finalized order. The reference EXISTS/NOT-EXISTS "
     "pair is decorrelated into one per-(order, supplier) aggregate "
-    "plus per-order counts — two aggregates on the same orderkey "
-    "partitioning instead of two correlated fact re-scans.",
+    "with the per-order counts as window aggregates over it — "
+    "lineitem is scanned ONCE and stays partitioned by orderkey "
+    "throughout (a self-join formulation re-scans the fact table; "
+    "pinned in tests/test_plans.py).",
 )
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -410,13 +415,16 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    order_stats = late_flag.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_suppliers"),
-        F.sum("is_late").alias("n_late_suppliers"),
+    per_order = Window.partitionBy("l_orderkey")
+    with_stats = late_flag.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(per_order).alias("n_suppliers"),
+        F.sum("is_late").over(per_order).alias("n_late_suppliers"),
     )
     return (
-        late_flag.join(order_stats, "l_orderkey")
-        .filter(
+        with_stats.filter(
             (F.col("is_late") == 1)
             & (F.col("n_suppliers") > 1)
             & (F.col("n_late_suppliers") == 1)

@@ -100,3 +100,46 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_product_profit_broadcast_dims(spark):
+    """q_product_profit (Q9-shaped): part/supplier/nation broadcast; the
+    plan's only hash exchanges are the final aggregate + output sort."""
+    df = spark_queries()["q_product_profit"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_window_frames_share_one_shuffle(spark):
+    """w4: all four o_custkey-partitioned window specs (two orderings)
+    reuse a SINGLE hash exchange — Catalyst recognizes the shared
+    partitioning; only sort order differs per spec."""
+    df = spark_queries()["w4_window_frames"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    """g11: GROUPING SETS plans as one Expand + one aggregate exchange,
+    not one scan per grouping set."""
+    df = spark_queries()["g11_grouping_sets"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_waiting_suppliers_no_fact_rescans(spark):
+    """q_waiting_suppliers (Q21-shaped): the decorrelated form scans
+    lineitem ONCE (the EXISTS/NOT-EXISTS pair would rescan it twice
+    more) and keeps every aggregate/join keyed on orderkey."""
+    df = spark_queries()["q_waiting_suppliers"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    li_scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1, f"lineitem scanned {li_scans}x"
+
+
+def test_regex_scalars_fuse_codegen(spark):
+    """sc6: the regex projection pipeline is zero-shuffle whole-stage
+    codegen (JVM expressions, no Python in the scan path)."""
+    df = spark_queries()["sc6_regex_functions"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0
+    assert wholestage_codegen_count(df) >= 1
