@@ -251,3 +251,93 @@ def w14_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price",
         )
     )
+
+
+@register(
+    "w15_stream_stream_interval_join",
+    oracle="""
+SELECT l.event_id AS click_id,
+       r.event_id AS view_id,
+       l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts BETWEEN l.ts - INTERVAL 4 HOUR AND l.ts
+""",
+    doc="Stream-stream time-interval join (clicks x prior views per "
+    "user, 4h window) replayed with availableNow: Structured Streaming "
+    "buffers both sides in watermark-bounded state and the full replay "
+    "equals the batch interval join exactly. State per side is bounded "
+    "by rate x (interval + watermark) — the condition that makes the "
+    "join evictable at 100 TB (streaming/joins.py).",
+)
+def w15_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    def side(event_type: str) -> DataFrame:
+        ev = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        return ev.select(
+            F.col("event_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+        ).filter(F.col("event_type") == event_type)
+
+    clicks, views = side("click"), side("view")
+    joined = interval_join(
+        clicks.withColumnRenamed("event_id", "click_id").withColumnRenamed("ts", "click_ts"),
+        views.select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("user_id").alias("r_user_id"),
+        ).withColumn("user_id", F.col("r_user_id")),
+        key_col="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        lower="4 hours",
+        upper="0 seconds",
+    )
+    out = run_available_now(
+        joined.select("click_id", "view_id", joined["click_ts"], joined["view_ts"],
+                      F.col("r_user_id").alias("user_id")),
+        "append",
+    )
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+        F.date_format("view_ts", _FMT).alias("view_ts"),
+    )
+
+
+@register(
+    "w16_stream_distinct_keys",
+    oracle="""
+SELECT DISTINCT event_type,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+FROM events
+""",
+    doc="Streaming exact dedup (dropDuplicates on the key projection) "
+    "replayed with availableNow == batch DISTINCT; the state-store "
+    "form of d1_exact_dedup for unbounded inputs "
+    "(streaming/dedup_stream.py; the watermark-evicted variant is "
+    "pinned in tests/test_streaming.py).",
+)
+def w16_stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.streaming.dedup_stream import dedup_stream
+
+    ev = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    keys = ev.select(
+        "event_type",
+        F.date_format(
+            F.date_trunc("minute", F.timestamp_micros(F.expr("ts div 1000"))), _FMT
+        ).alias("minute"),
+    )
+    return run_available_now(dedup_stream(keys, ["event_type", "minute"]), "append")
