@@ -235,16 +235,18 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     doc="TPC-H Q3-shaped headline: 3-way join + filter + agg + top-N. "
-    "customer is broadcast; ORDER BY ... LIMIT plans as TakeOrderedAndProject "
-    "(no global sort of the full result).",
+    "customer is broadcast onto orders BEFORE the orderkey shuffle, so "
+    "the segment filter (~1/5 selectivity) shrinks the fact-fact "
+    "exchange instead of running after it; ORDER BY ... LIMIT plans as "
+    "TakeOrderedAndProject (no global sort of the full result).",
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    o_building = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o_building, li.l_orderkey == o_building.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
