@@ -182,3 +182,95 @@ def chunk_documents(
             ).cast("long").alias("chunk_tokens"),
         )
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    denom: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling — the mixture-weighting
+    primitive of a training-data pipeline (oversample curated sources,
+    downsample web crawl). A row survives iff
+    ``md5_60bit(key) % denom < rate[stratum]``: no RNG state, no seed
+    coordination across executors, reproducible across engines and
+    runs, and stable under re-partitioning — properties
+    ``df.sample()`` cannot give. Narrow (zero-shuffle) filter.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(h % denom < rate)
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Ranking compares the integer pair (tf DESC, df ASC) with the token
+    string as the final tie-break — fully deterministic across engines
+    (the float score is display-only, so last-ulp log() differences
+    between libm implementations can never flip a rank). Plan shape:
+    explode → per-(doc, token) count (shuffle carries tokens, not
+    documents) → per-token doc frequency as a window over it → top-k
+    row_number. At 100 TB the heavy relation is (doc, token, tf),
+    ~tokens-sized; raw text never crosses an exchange.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token")).cast("long")
+    )
+    ranked = with_df.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.desc("tf"), F.asc("df"), F.asc("token")
+            )
+        ),
+    ).filter(F.col("rank") <= k)
+    return ranked.crossJoin(F.broadcast(n_docs)).select(
+        id_col,
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        "df",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+def bigram_counts(df: DataFrame, top_n: int = 50, col: str = "text") -> DataFrame:
+    """Corpus-level word-bigram counts, top-N — the n-gram frequency
+    primitive behind contamination checks and corpus statistics.
+    Bigrams are derived per row (narrow), partially aggregated
+    map-side, and only (bigram, count) pairs shuffle; the top-N plans
+    as TakeOrderedAndProject (no global sort).
+    """
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(top_n)
+    )

@@ -598,3 +598,89 @@ def t5_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(docs, chunk_size=64, overlap=16).select(
         "doc_id", "lang", "chunk_no", "chunk_text", "chunk_tokens"
     )
+
+
+@register(
+    "t6_hash_sample",
+    oracle=f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_md5l("CAST(doc_id AS VARCHAR)")} % 100 <
+      CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 80
+           WHEN source IN ('src18', 'src19') THEN 10
+           ELSE 40 END
+""",
+    doc="Deterministic stratified (mixture-weighted) sampling: keep a "
+    "doc iff md5_60bit(doc_id) %% 100 < per-source rate — seedless, "
+    "reproducible across engines/runs/partitionings, zero-shuffle "
+    "(operators/text.hash_sample). The RNG-free form of the "
+    "oversample-curated / downsample-crawl step every training "
+    "pipeline runs.",
+)
+def t6_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.hash_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates={"src0": 80, "src1": 80, "src2": 80, "src3": 80, "src18": 10, "src19": 10},
+        default_rate=40,
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "t7_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+tfc AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tf GROUP BY 1, 2
+),
+with_df AS (
+    SELECT doc_id, token, tf,
+           CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+    FROM tfc
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf DESC, df ASC, token ASC) AS INT) AS rank
+    FROM with_df
+)
+SELECT doc_id, token, tf, df, rank,
+       round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+FROM ranked
+WHERE rank <= 3
+""",
+    doc="Top-3 tf-idf terms per document; ranking compares the integer "
+    "pair (tf DESC, df ASC) with token as tie-break so last-ulp ln() "
+    "differences between engines can never flip a rank (the float "
+    "score is display-only). Shuffles carry (doc, token, tf), never "
+    "document text.",
+)
+def t7_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "t8_bigram_counts",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM toks WHERE len(w) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+""",
+    doc="Corpus-level top-50 word bigrams (contamination-check / corpus "
+    "stats primitive): per-row bigram derivation, map-side partial "
+    "counts, TakeOrderedAndProject top-N — no global sort, shuffle "
+    "carries (bigram, count).",
+)
+def t8_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_counts(load_table(spark, sf_dir, "documents"), top_n=50)
