@@ -591,3 +591,37 @@ def sc6_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("p_name", F.lit(r"[a-z]+")).cast("long").alias("n_words"),
         F.col("p_name").rlike(r"^(small|large)").alias("sized"),
     )
+
+
+# --- histogram ----------------------------------------------------------------
+
+
+@register(
+    "g12_histogram",
+    oracle="""
+SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+    doc="Fixed-width histogram (the width_bucket pattern): integer "
+    "bucketing is a narrow map-side expression, the aggregate shuffles "
+    "10 buckets regardless of input size — the constant-output-size "
+    "shape that makes histograms free at 100 TB. min/max are exact "
+    "parquet doubles (no float summation).",
+)
+def g12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
