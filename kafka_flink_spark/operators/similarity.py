@@ -243,3 +243,53 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def multiprobe_lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes the ``num_planes``
+    buckets at Hamming distance 1 from its own (flip one sign bit) —
+    the standard recall lever that avoids building more tables.
+    Candidates ≈ (num_planes + 1) buckets per query instead of 1;
+    corpus is still bucketed ONCE and never duplicated — only the tiny
+    query side explodes, so the join stays |corpus|-linear at 100 TB.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(num_planes)
+        ],
+    )
+    q_probed = q.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q_probed), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

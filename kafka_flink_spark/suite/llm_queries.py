@@ -684,3 +684,52 @@ LIMIT 50
 )
 def t8_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_counts(load_table(spark, sf_dir, "documents"), top_n=50)
+
+
+def _multiprobe_oracle() -> str:
+    plane_hash = _md5l("'plane:' || p || ':' || i")
+    plane = (
+        f"list_transform(range({S.EMBED_DIM}), i -> "
+        f"({plane_hash} % 2000000) / 1000000.0 - 1.0)"
+    )
+    bucket = (
+        f"list_sum(list_transform(range({_ANN_PLANES}), p -> "
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN {_QUERY_IDS}),
+q AS (
+    SELECT query_id, qv,
+           unnest(list_prepend(bucket,
+               list_transform(range({_ANN_PLANES}),
+                              p -> xor(bucket, CAST(1 AS BIGINT) << p)))) AS bucket
+    FROM q0
+),
+scored AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+           round({_duck_cosine("q.qv", "c.v")}, 6) AS cos_sim
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v4_multiprobe_ann_topk",
+    oracle=_multiprobe_oracle(),
+    doc="Multi-probe LSH ANN top-10: each query also probes the "
+    "hamming-1 buckets (flip one sign bit) — the recall lever that "
+    "needs no extra tables; the corpus is bucketed once and only the "
+    "tiny query side explodes (operators/similarity.py; recall-vs-v2 "
+    "improvement pinned in tests/test_llm_ops.py).",
+)
+def v4_multiprobe_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.multiprobe_lsh_ann_topk(emb, queries, k=10, num_planes=_ANN_PLANES)

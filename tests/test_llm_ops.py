@@ -157,3 +157,31 @@ def test_lsh_pairs_subset_of_exact_pairs(spark):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """v4: probing the hamming-1 buckets can only ADD candidates, so
+    multi-probe recall@10 vs exact must be >= single-bucket recall and
+    strictly grow the candidate pool on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    single = S.lsh_ann_topk(emb, queries, k=10, num_planes=4).toPandas()
+    multi = S.multiprobe_lsh_ann_topk(emb, queries, k=10, num_planes=4).toPandas()
+
+    def recall(approx):
+        rs = []
+        for qid in (0, 1, 2):
+            t = set(exact[exact.query_id == qid].neighbor_id)
+            a = set(approx[approx.query_id == qid].neighbor_id)
+            rs.append(len(t & a) / len(t))
+        return sum(rs) / len(rs)
+
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert len(multi) >= len(single)
