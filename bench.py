@@ -93,11 +93,20 @@ def _streaming_rate(spark) -> int:
             .write.mode("overwrite")
             .parquet(f"{tmp}/src")
         )
-        stream = spark.readStream.schema(
-            "ts timestamp, product string, price double, qty long, seq long"
-        ).parquet(f"{tmp}/src")
+
+        def replay() -> None:
+            stream = spark.readStream.schema(
+                "ts timestamp, product string, price double, qty long, seq long"
+            ).parquet(f"{tmp}/src")
+            run_available_now(ohlcv_stream(stream, "1 minute"), "update").count()
+
+        # First streaming query in a session pays ~6s of one-time
+        # engine init (micro-batch machinery, state-store classes);
+        # warm once so the figure reports steady-state throughput —
+        # what a long-running streaming job actually sustains.
+        replay()
         t0 = time.perf_counter()
-        run_available_now(ohlcv_stream(stream, "1 minute"), "update").count()
+        replay()
         return int(n / (time.perf_counter() - t0))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
