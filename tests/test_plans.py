@@ -143,3 +143,39 @@ def test_regex_scalars_fuse_codegen(spark):
     df = spark_queries()["sc6_regex_functions"](spark, SF_SMALL)
     assert count_exchanges(df) == 0
     assert wholestage_codegen_count(df) >= 1
+
+
+def test_partition_pruning_on_partitioned_write(spark):
+    """Date-partitioned parquet + an equality filter on the partition
+    column prunes at planning time: the scan's PartitionFilters carry
+    the predicate and only one partition directory is read — the core
+    100 TB layout practice for time-series tables."""
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="partfilter_")
+    try:
+        o = load_table(spark, SF_SMALL, "orders")
+        (
+            o.withColumn("order_date", F.to_date("o_orderdate"))
+            .write.partitionBy("order_date")
+            .mode("overwrite")
+            .parquet(f"{tmp}/orders_p")
+        )
+        some_date = o.select(F.to_date("o_orderdate").alias("d")).first()["d"]
+        df = (
+            spark.read.parquet(f"{tmp}/orders_p")
+            .filter(F.col("order_date") == F.lit(some_date))
+            .select("o_orderkey")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "order_date" in m.group(1), plan[:2000]
+        # pruned scan must read exactly the rows of that one partition
+        expected = o.filter(F.to_date("o_orderdate") == F.lit(some_date)).count()
+        assert df.count() == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
