@@ -179,3 +179,58 @@ def test_partition_pruning_on_partitioned_write(spark):
         assert df.count() == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join_and_spreads_keys(spark):
+    """Salted join == plain join row-for-row; the salted key space
+    fans each hot key out over num_salts reducer keys."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    # Simulate a hot key: route 20% of rows to one orderkey.
+    skewed = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_quantity") <= 10, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+    dim = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    plain = skewed.join(dim, "l_orderkey").groupBy("l_orderkey").count()
+    salted = (
+        salted_join(skewed, dim, "l_orderkey", num_salts=8)
+        .groupBy("l_orderkey")
+        .count()
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_two_phase_agg_matches_direct(spark):
+    """Two-phase (salted) aggregation reduces to the same result as the
+    direct groupBy for re-reducible aggregates."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.skew import two_phase_agg
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"), F.count("*").alias("n"), F.max("l_quantity").alias("m")
+    )
+    two = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.sum("l_quantity").alias("ps"),
+            F.count("*").alias("pn"),
+            F.max("l_quantity").alias("pm"),
+        ],
+        final_aggs=[
+            F.sum("ps").alias("s"),
+            F.sum("pn").alias("n"),
+            F.max("pm").alias("m"),
+        ],
+        num_salts=8,
+    )
+    assert sorted(direct.collect()) == sorted(two.collect())
