@@ -274,3 +274,52 @@ def bigram_counts(df: DataFrame, top_n: int = 50, col: str = "text") -> DataFram
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(top_n)
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int = 8192,
+    num_shards: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic context-window packing: assign each document to a
+    fixed-capacity token bin (the sequence-packing step before
+    training).
+
+    Documents are sharded by a content-independent hash (so packing is
+    embarrassingly parallel — each shard packs independently), ordered
+    deterministically within the shard, and binned by their cumulative
+    token offset: a doc belongs to the bin its first token falls in
+    (capacity is a soft target; the straddling doc overflows its bin
+    rather than splitting). One shuffle, grid-free, reproducible
+    across runs and engines; at 100 TB each shard's running sum is an
+    independent window, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(tokens(col)).cast("long")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(num_shards),
+    ).cast("int")
+    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_off = base.withColumn("_end", F.sum("n_tokens").over(w)).withColumn(
+        "start_offset", F.col("_end") - F.col("n_tokens")
+    )
+    return with_off.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1_000_000 + F.floor(F.col("start_offset") / capacity)).alias(
+            "pack_id"
+        ),
+        (F.col("start_offset") % capacity).cast("long").alias("offset_in_pack"),
+    )

@@ -733,3 +733,32 @@ def v4_multiprobe_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.multiprobe_lsh_ann_topk(emb, queries, k=10, num_planes=_ANN_PLANES)
+
+
+@register(
+    "t9_pack_documents",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST({_md5l("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+    FROM documents
+),
+with_off AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+    FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 1000000 + CAST(floor(start_offset / 8192) AS BIGINT) AS pack_id,
+       start_offset % 8192 AS offset_in_pack
+FROM with_off
+""",
+    doc="Deterministic context-window (sequence) packing: hash-sharded, "
+    "per-shard cumulative token offsets assign each doc to a fixed-"
+    "capacity bin — embarrassingly parallel (no global sort), "
+    "reproducible across runs/engines (operators/text.pack_documents).",
+)
+def t9_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.pack_documents(load_table(spark, sf_dir, "documents"), capacity=8192, num_shards=8)
