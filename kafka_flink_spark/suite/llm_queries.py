@@ -762,3 +762,79 @@ FROM with_off
 )
 def t9_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pack_documents(load_table(spark, sf_dir, "documents"), capacity=8192, num_shards=8)
+
+
+@register(
+    "pipe2_training_mix",
+    oracle=f"""
+WITH sampled AS (
+    SELECT doc_id, text
+    FROM documents
+    WHERE {_md5l("CAST(doc_id AS VARCHAR)")} % 100 <
+          CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 80
+               WHEN source IN ('src18', 'src19') THEN 10
+               ELSE 40 END
+),
+good AS (
+    SELECT doc_id, text, len(string_split(text, ' ')) AS n_words
+    FROM sampled
+    WHERE len(string_split(text, ' ')) >= 20
+),
+keep AS (
+    SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(lower(trim(text)))
+),
+survivors AS (
+    SELECT g.doc_id, CAST(g.n_words AS BIGINT) AS n_tokens,
+           CAST({_md5l("CAST(g.doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+    FROM good g JOIN keep k ON g.doc_id = k.doc_id
+),
+packed AS (
+    SELECT shard,
+           shard * 1000000 + CAST(floor(
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096
+           ) AS BIGINT) AS pack_id,
+           n_tokens
+    FROM survivors
+)
+SELECT shard,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY shard
+ORDER BY shard
+""",
+    doc="Composed training-mix pipeline: deterministic mixture sampling "
+    "(t6) -> length filter -> exact dedup (d1, semi join on keeper ids) "
+    "-> sequence packing (t9, 4096-token bins) -> per-shard stats. One "
+    "declarative plan end to end: text never crosses a shuffle "
+    "(fingerprints, token counts and offsets do), every stage is the "
+    "registered operator itself — composability is the product.",
+)
+def pipe2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = X.hash_sample(
+        docs,
+        rates={"src0": 80, "src1": 80, "src2": 80, "src3": 80, "src18": 10, "src19": 10},
+        default_rate=40,
+    )
+    good = sampled.withColumn("n_words", F.size(X.tokens("text"))).filter(
+        F.col("n_words") >= 20
+    )
+    keep = (
+        good.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    packed = X.pack_documents(survivors, capacity=4096, num_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count_distinct("pack_id").cast("long").alias("n_packs"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
