@@ -236,3 +236,70 @@ def e4_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_gap",
     )
+
+
+@register(
+    "e5_rolling_zscore",
+    oracle="""
+WITH v AS (
+    SELECT event_id, event_type, ts, value,
+           CAST(round(value * 100) AS BIGINT) AS v100
+    FROM events
+),
+stats AS (
+    SELECT event_id, event_type, ts, value,
+           count(*) OVER w AS n,
+           sum(v100) OVER w AS s,
+           sum(v100 * v100) OVER w AS ss
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       value,
+       CASE WHEN n >= 5 AND (ss / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1) > 0
+            THEN round((value - s / (100.0 * n)) /
+                       sqrt((ss / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1)), 6)
+            END AS zscore
+FROM stats
+""",
+    doc="Expanding-window z-score anomaly signal per event_type: "
+    "running count/sum/sum-of-squares as EXACT integer window sums "
+    "(values are 2-dp decimals -> cents), so mean/variance/z derive "
+    "from identical integers on any engine and any accumulation order "
+    "— the float-determinism discipline every cross-engine moving "
+    "statistic here follows. Single shuffle on the key; state is three "
+    "integers per row, never a value buffer.",
+)
+def e5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stats = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(v100).over(w).alias("s"),
+        F.sum(v100 * v100).over(w).alias("ss"),
+    )
+    var = (F.col("ss") / 10000.0 - (F.col("s") / 100.0) * (F.col("s") / 100.0) / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        (F.col("n") >= 5) & (var > 0),
+        F.round((F.col("value") - F.col("s") / (100.0 * F.col("n"))) / F.sqrt(var), 6),
+    )
+    return stats.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        z.alias("zscore"),
+    )
