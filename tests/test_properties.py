@@ -136,3 +136,29 @@ def test_exact_dedup_partitions_ids(spark, docs):
     assert len(out) == len(norm)
     keeps = sorted(r["keep_id"] for r in out)
     assert keeps == sorted(min(v) for v in norm.values())
+
+
+def test_pack_documents_invariants(spark):
+    """Packing invariants: every doc lands in exactly one bin; in-bin
+    start offsets stay below capacity; token counts are preserved."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.text import pack_documents
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    packed = pack_documents(docs, capacity=4096, num_shards=8)
+    pdf = packed.toPandas()
+    assert len(pdf) == docs.count()  # one row per doc
+    assert pdf["doc_id"].is_unique
+    assert (pdf["offset_in_pack"] >= 0).all()
+    assert (pdf["offset_in_pack"] < 4096).all()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()["t"]
+    assert pdf["n_tokens"].sum() == total_tokens
+    # bins are dense per shard: pack ids within a shard form a prefix
+    for shard, grp in pdf.groupby("shard"):
+        local = (grp["pack_id"] - shard * 1_000_000).unique()
+        assert set(local) == set(range(len(local)))
