@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_flink_spark.sources.fixtures import TRADES_ORACLE_CTE, trades_view
+from kafka_flink_spark.sources.fixtures import TRADES_ORACLE_CTE, load_table, trades_view
 from kafka_flink_spark.sources.kafka_io import encode_json_envelope
 from kafka_flink_spark.suite import register
 
@@ -62,4 +62,71 @@ def k1_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.price",
         "r.qty",
         "r.seq",
+    )
+
+
+def _roundtrip(df, fmt: str, schema: str, read_opts: dict, write_opts: dict):
+    """Write → read-back → materialize → clean up. The result is cached
+    and pinned before the temp dir is deleted, so the returned frame
+    stays valid without leaking disk across registry runs."""
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    tmp = tempfile.mkdtemp(prefix=f"io_{fmt}_")
+    try:
+        df.write.mode("overwrite").options(**write_opts).format(fmt).save(tmp)
+        back = (
+            spark.read.schema(schema).options(**read_opts).format(fmt).load(tmp)
+        ).cache()
+        back.count()
+        return back
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "io2_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    doc="CSV sink+source roundtrip with explicit schema: doubles "
+    "survive bit-exactly (Spark writes shortest-roundtrip decimal "
+    "strings), proving the text-format path is lossless for the "
+    "fixture schema. Reader is schema-declared — no inference job.",
+)
+def io2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return _roundtrip(
+        c,
+        "csv",
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+        read_opts={"header": "true"},
+        write_opts={"header": "true"},
+    )
+
+
+@register(
+    "io3_json_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+FROM orders
+""",
+    doc="JSON-lines sink+source roundtrip (the reference's only wire "
+    "format, 0_kafka_json_flink.py): timestamps serialized as "
+    "formatted strings, doubles shortest-roundtrip — lossless without "
+    "schema inference.",
+)
+def io3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    )
+    return _roundtrip(
+        o,
+        "json",
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+        read_opts={},
+        write_opts={},
     )

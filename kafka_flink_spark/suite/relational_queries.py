@@ -1375,3 +1375,56 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "sc7_map_functions",
+    oracle="""
+SELECT p_partkey,
+       (map {'brand': p_brand, 'type': p_type})['brand'][1] AS brand_v,
+       (map {'brand': p_brand, 'type': p_type})['type'][1] AS type_v,
+       CAST(cardinality(map {'brand': p_brand, 'type': p_type}) AS INT) AS n_keys,
+       array_to_string(map_keys(map {'brand': p_brand, 'type': p_type}), ',') AS keys
+FROM part
+WHERE p_size = 1
+""",
+    doc="Map-type scalar surface: construction (create_map), "
+    "element_at lookup, cardinality, key listing — all narrow JVM "
+    "expressions; maps stay columnar structs, no shuffle.",
+)
+def sc7_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.element_at(m, "type").alias("type_v"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+    )
+
+
+@register(
+    "s2_sort_null_ordering",
+    oracle="""
+SELECT o_orderkey,
+       nullif(o_orderpriority, '5-LOW') AS pri
+FROM orders
+ORDER BY pri NULLS FIRST, o_orderkey
+LIMIT 100
+""",
+    doc="Explicit null-ordering semantics in sorts (asc_nulls_first): "
+    "NULLS FIRST + tie-break key + LIMIT plans as "
+    "TakeOrderedAndProject — the null placement is observable through "
+    "the limit, making the semantics oracle-checkable.",
+)
+def s2_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pri"),
+        )
+        .orderBy(F.col("pri").asc_nulls_first(), "o_orderkey")
+        .limit(100)
+    )

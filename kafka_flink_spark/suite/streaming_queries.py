@@ -341,3 +341,32 @@ def w16_stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("minute"),
     )
     return run_available_now(dedup_stream(keys, ["event_type", "minute"]), "append")
+
+
+@register(
+    "w17_stream_complete_mode",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+SELECT product,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(qty) AS BIGINT) AS volume,
+       max(price) AS high,
+       min(price) AS low
+FROM trades
+GROUP BY product
+""",
+    doc="Complete-output-mode streaming aggregation (the third output "
+    "mode next to w11 update / w12 append): every trigger re-emits the "
+    "FULL result table; after an availableNow replay the sink equals "
+    "the batch aggregate exactly. Right for small cardinality "
+    "dashboards; state is one row per key.",
+)
+def w17_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    totals = trades.groupBy("product").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum("qty").cast("long").alias("volume"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+    )
+    return run_available_now(totals, "complete")
