@@ -198,15 +198,21 @@ def _minhash_oracle() -> str:
     band_key = " || ':' || ".join(
         f"CAST(mh[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
     )
-    mh_hash = _md5l("'mh' || p || ':' || s")
+    # Same scheme as operators/dedup.minhash_signatures: one md5 per
+    # shingle, permutation p = xor with the md5-derived constant K_p.
+    k_list = ", ".join(str(D.perm_constant(p)) for p in range(perms))
     return f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> {_md5l("s")}) AS hs
+    FROM sh
+),
 sig AS (
     SELECT doc_id, shingles,
-           list_transform(range({perms}), p ->
-               list_min(list_transform(shingles, s ->
-                   {mh_hash}))) AS mh
-    FROM sh
+           list_transform([{k_list}], k ->
+               list_min(list_transform(hs, h -> xor(h, k)))) AS mh
+    FROM hashed
 ),
 banded AS (
     SELECT doc_id, shingles,
