@@ -26,6 +26,18 @@ HEADLINE = (
     "w1_topk_per_group",
 )
 
+# Training-data-pipeline ops, timed separately (reported as extra keys
+# so the headline metric stays comparable across rounds).
+LLM_OPS = (
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "d5_simhash_near_pairs",
+    "t7_tfidf_top_terms",
+    "t9_pack_documents",
+    "v1_cosine_topk",
+    "pipe2_training_mix",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +62,12 @@ def main() -> None:
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    llm_timings: dict[str, float] = {}
+    for name in (n for n in LLM_OPS if n in qs):
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        llm_timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -59,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "llm_queries": llm_timings,
+                "llm_total": round(sum(llm_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": _streaming_rate(spark),
             }
         )
