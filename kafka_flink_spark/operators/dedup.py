@@ -361,3 +361,68 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair relation: every doc
+    gets a ``cluster_id`` = the smallest doc id reachable through the
+    pair graph (singletons cluster to themselves). The step AFTER pair
+    generation in every dedup pipeline — keep one canonical doc per
+    cluster.
+
+    Distributed min-label propagation with pointer doubling (the
+    Pregel / hash-to-min pattern): each round every node adopts the
+    smallest label among itself and its neighbors, then labels jump to
+    their label's label — so convergence takes O(log diameter) rounds,
+    not diameter (a 1000-link chain resolves in ~10 rounds). Each
+    round's result is ``localCheckpoint``-ed: without truncation the
+    logical plan doubles per round and Catalyst re-analysis, not the
+    data, becomes the cost. The driver reads only a changed-count
+    scalar per round. Iterative and therefore not single-SQL-
+    expressible — the oracle uses a recursive CTE.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # edges re-join every round; compute the pair generator once
+    )
+    labels = ids.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor = edges.join(labels, edges.dst == labels[id_col]).select(
+            F.col("src").alias(id_col), "cluster_id"
+        )
+        propagated = (
+            labels.unionByName(neighbor)
+            .groupBy(id_col)
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # Pointer doubling: follow cluster_id -> that node's cluster_id.
+        parent = propagated.select(
+            F.col(id_col).alias("_pid"), F.col("cluster_id").alias("_pcluster")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.cluster_id == F.col("_pid"), "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("_pcluster"), F.col("cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -844,3 +844,38 @@ def pipe2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "d7_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_simhash_sig_sql()}),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+""",
+    doc="Near-dup clustering: connected components over the SimHash "
+    "pair graph via distributed min-label propagation (the Pregel "
+    "pattern; rounds = component diameter, one join + one aggregate "
+    "per round, driver reads only a changed-count scalar) — the "
+    "canonical-document-selection step after any pair generator. "
+    "Iterative, so the oracle is a recursive CTE.",
+)
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
+    return D.dedup_clusters(docs.select("doc_id"), pairs)
