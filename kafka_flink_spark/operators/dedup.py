@@ -168,7 +168,11 @@ def minhash_lsh_pairs(
     candidates' shingles, not the corpus's.
     """
     rows_per_band = num_perms // num_bands
-    sr = shingle_rows(df, col, id_col)
+    # Both relations feed multiple plan branches (the banding SELF-join
+    # and the three verification joins); localCheckpoint materializes
+    # each once — without it every branch recomputes the shingling and
+    # signature aggregates from the raw corpus.
+    sr = shingle_rows(df, col, id_col).localCheckpoint()
     sigs = minhash_signatures(df, col, id_col, num_perms)
     band_arr = F.array(
         *[
@@ -184,7 +188,7 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_key")
-    )
+    ).localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
