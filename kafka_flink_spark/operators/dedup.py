@@ -169,10 +169,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perms // num_bands
     # Both relations feed multiple plan branches (the banding SELF-join
-    # and the three verification joins); localCheckpoint materializes
-    # each once — without it every branch recomputes the shingling and
-    # signature aggregates from the raw corpus.
-    sr = shingle_rows(df, col, id_col).localCheckpoint()
+    # and the three verification joins). No explicit materialization:
+    # AQE exchange reuse dedupes the repeated shuffle subplans at
+    # runtime (measured as fast as localCheckpoint locally), and at
+    # corpus scale an explicit checkpoint of the shingle relation
+    # would write input-sized data to executor disks.
+    sr = shingle_rows(df, col, id_col)
     sigs = minhash_signatures(df, col, id_col, num_perms)
     band_arr = F.array(
         *[
@@ -188,7 +190,7 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_key")
-    ).localCheckpoint()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -348,7 +350,12 @@ def simhash_near_pairs(
         chunk_cols.append(F.shiftright("simhash", start).bitwiseAND(F.lit(mask)))
         start += width
     chunks = F.array(*chunk_cols)
-    banded = sigs.select(id_col, "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key"))
+    # No materialization needed for the self-join: AQE's exchange reuse
+    # computes the simhash aggregation once and feeds both sides
+    # (measured faster than an explicit localCheckpoint here).
+    banded = sigs.select(
+        id_col, "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
