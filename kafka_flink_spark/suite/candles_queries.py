@@ -347,3 +347,51 @@ def j6_asof_join_prev_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "prev_close",
     )
+
+
+@register(
+    "a8_flink_tumble_sql",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       instrument_id,
+       product,
+       max(price) AS high,
+       min(price) AS low,
+       arg_min(price, ts) AS open,
+       arg_max(price, ts) AS close
+FROM trades
+GROUP BY ALL
+""",
+    doc="The reference's Flink SQL TUMBLE query VERBATIM "
+    "(old/flink.py:42-53), run through the dialect translator "
+    "(functions/tumble.expand_tumble_sql): TUMBLE -> window(), "
+    "TUMBLE_START -> window().start, FIRST_VALUE/LAST_VALUE -> "
+    "rowtime-keyed min_by/max_by (deterministic upgrade of the "
+    "reference's arrival-order dependence). A user's existing TUMBLE "
+    "SQL runs unchanged.",
+)
+def a8_flink_tumble_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.functions.tumble import expand_tumble_sql
+
+    trades_view(spark, sf_dir).createOrReplaceTempView("trades")
+    # The reference query text (old/flink.py:42-53), formatting kept.
+    flink_sql = """
+        SELECT
+            TUMBLE_START(ts, INTERVAL '1' MINUTE) AS window_start,
+            instrument_id,
+            product,
+            MAX(price) AS high,
+            MIN(price) AS low,
+            FIRST_VALUE(price) AS open,
+            LAST_VALUE(price) AS close
+        FROM Trades
+        GROUP BY
+            TUMBLE(ts, INTERVAL '1' MINUTE),
+            instrument_id,
+            product
+    """
+    out = spark.sql(expand_tumble_sql(flink_sql))
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )

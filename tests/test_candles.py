@@ -132,3 +132,27 @@ def test_asof_join_semantics(spark):
     strict = {r["seq"]: r["px"] for r in asof_join(left, right, "k", strict=True).collect()}
     assert strict[1] is None  # same-instant excluded
     assert strict[2] == 150.0
+
+
+def test_expand_tumble_sql_rewrites():
+    """Dialect translation: TUMBLE family + FIRST/LAST_VALUE rewrite."""
+    from kafka_flink_spark.functions.tumble import expand_tumble_sql
+
+    sql = (
+        "SELECT TUMBLE_START(rowtime, INTERVAL '5' MINUTE) AS ws, "
+        "TUMBLE_END(rowtime, INTERVAL '5' MINUTE) AS we, "
+        "FIRST_VALUE(price) AS open, LAST_VALUE(price) AS close "
+        "FROM t GROUP BY TUMBLE(rowtime, INTERVAL '5' MINUTE)"
+    )
+    out = expand_tumble_sql(sql)
+    assert "window(rowtime, '5 minutes').start AS ws" in out
+    assert "window(rowtime, '5 minutes').end AS we" in out
+    assert "min_by(price, rowtime) AS open" in out
+    assert "max_by(price, rowtime) AS close" in out
+    assert "GROUP BY window(rowtime, '5 minutes')" in out
+    assert "TUMBLE" not in out
+
+    hourly = expand_tumble_sql(
+        "SELECT TUMBLE(ts, INTERVAL '2' HOUR) FROM t", rowtime="ts"
+    )
+    assert "window(ts, '2 hours')" in hourly
