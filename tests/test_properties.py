@@ -162,3 +162,83 @@ def test_pack_documents_invariants(spark):
     for shard, grp in pdf.groupby("shard"):
         local = (grp["pack_id"] - shard * 1_000_000).unique()
         assert set(local) == set(range(len(local)))
+
+
+def test_operators_handle_empty_input(spark):
+    """Every core operator yields an empty frame with its full output
+    schema on empty input — no special-casing needed upstream when a
+    filter stage eliminates all rows."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    from kafka_flink_spark.operators import dedup as D
+    from kafka_flink_spark.operators import text as X
+    from kafka_flink_spark.operators.candles import ohlcv
+
+    empty_trades = spark.createDataFrame(
+        [],
+        "ts timestamp, instrument_id string, product string, price double, qty long, seq long",
+    )
+    c = ohlcv(empty_trades, "1 hour", seq_col="seq")
+    assert c.count() == 0
+    assert [f.name for f in c.schema.fields] == [
+        "window_start", "window_end", "product",
+        "open", "high", "low", "close", "volume",
+    ]
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs).count() == 0
+    assert D.simhash_near_pairs(empty_docs, max_hamming=6).count() == 0
+    assert X.pack_documents(empty_docs).count() == 0
+    assert X.tfidf_top_terms(empty_docs).count() == 0
+    clusters = D.dedup_clusters(
+        empty_docs.select("doc_id"),
+        spark.createDataFrame([], "doc_a long, doc_b long"),
+    )
+    assert clusters.count() == 0
+    assert clusters.schema == T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    """t6 semantics: repeated runs select the IDENTICAL subset (no RNG),
+    and the realized fraction tracks the configured rate."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.text import hash_sample
+
+    docs = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    kept1 = hash_sample(docs, rates={"src0": 80, "src1": 10}, default_rate=40)
+    kept2 = hash_sample(docs, rates={"src0": 80, "src1": 10}, default_rate=40)
+    ids1 = set(r.doc_id for r in kept1.collect())
+    assert ids1 == set(r.doc_id for r in kept2.collect())
+    by_src = {
+        r.source: r.n
+        for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(by_src["src0"] / 5000 - 0.80) < 0.05
+    assert abs(by_src["src1"] / 5000 - 0.10) < 0.05
+    assert abs(by_src["src2"] / 5000 - 0.40) < 0.05
+
+
+def test_dedup_clusters_are_transitive(spark):
+    """d7 invariants on a hand-built graph: chained pairs collapse into
+    one cluster (transitivity through pointer doubling) and singletons
+    keep their own id."""
+    from kafka_flink_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3-4 plus pair 7-8; 5, 6, 9 are singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
