@@ -130,3 +130,23 @@ def io3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_opts={},
         write_opts={},
     )
+
+
+@register(
+    "io4_orc_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
+    doc="ORC sink+source roundtrip (the third columnar/text format "
+    "next to parquet and CSV/JSON): schema-declared read-back equals "
+    "the parquet original bit-for-bit.",
+)
+def io4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    return _roundtrip(
+        p,
+        "orc",
+        "p_partkey long, p_name string, p_brand string, p_size int, p_retailprice double",
+        read_opts={},
+        write_opts={},
+    )

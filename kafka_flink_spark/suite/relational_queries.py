@@ -1428,3 +1428,22 @@ def s2_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pri").asc_nulls_first(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "g13_approx_percentile_sketch",
+    oracle=None,  # sketch estimates are algorithm-specific; accuracy pinned in tests
+    doc="Approximate percentiles via the Greenwald-Khanna sketch "
+    "(approx_percentile, accuracy 10000): mergeable, single-pass, "
+    "bounded-memory — the 100 TB path where exact percentile "
+    "(g6) would sort each group. Estimate accuracy is pinned "
+    "against exact percentiles in tests/test_llm_ops.py.",
+)
+def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_pcts"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )

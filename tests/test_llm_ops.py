@@ -185,3 +185,30 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     r_single, r_multi = recall(single), recall(multi)
     assert r_multi >= r_single, (r_single, r_multi)
     assert len(multi) >= len(single)
+
+
+def test_approx_percentile_within_error_bound(spark):
+    """g13: GK-sketch percentile estimates land within 1% rank error of
+    the exact percentiles (accuracy=10000 => epsilon 1e-4 of rank; the
+    1% bound here is loose enough for fixture-size groups)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    approx = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pcts"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("pcts"))
+        .collect()
+    }
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) / max(e, 1.0) < 0.01, (flag, a, e)
