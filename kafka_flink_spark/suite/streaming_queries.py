@@ -104,9 +104,7 @@ def w12_stream_ohlcv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_windows(out)
 
 
-@register(
-    "w8_stateful_running_candles",
-    oracle=f"""
+_STATEFUL_CANDLES_ORACLE = f"""
 WITH {TRADES_ORACLE_CTE},
 running AS (
     SELECT product,
@@ -146,7 +144,12 @@ finals AS (
     WHERE f.bucket < m.mb
 )
 SELECT * FROM running UNION ALL SELECT * FROM finals
-""",
+"""
+
+
+@register(
+    "w8_stateful_running_candles",
+    oracle=_STATEFUL_CANDLES_ORACLE,
     doc="W7/W8 arbitrary keyed stateful processing (reference "
     "KeyedProcessFunction + ValueState, 7_ohlc.py:35-98) in its batch "
     "form (applyInPandas over full history per key): per-event running "
@@ -370,3 +373,34 @@ def w17_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("low"),
     )
     return run_available_now(totals, "complete")
+
+
+@register(
+    "w9_stateful_stream_candles",
+    oracle=_STATEFUL_CANDLES_ORACLE,
+    doc="The REAL applyInPandasWithState streaming execution of the "
+    "KeyedProcessFunction port (typed state rows, Arrow batches, "
+    "GroupState across micro-batches) replayed with availableNow: a "
+    "single-batch replay folds each key's full history in (ts, seq) "
+    "order, so it equals the batch applyInPandas form (w8) and shares "
+    "its oracle — the stateful streaming path itself sits in the "
+    "correctness gate, not just its batch shadow.",
+)
+def w9_stateful_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.streaming.stateful import running_candles_stateful
+
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    out = run_available_now(
+        running_candles_stateful(trades, window_minutes=60), "update"
+    )
+    return out.select(
+        "product",
+        "seq",
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "end_of_window",
+    )
