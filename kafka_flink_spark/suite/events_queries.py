@@ -270,7 +270,10 @@ FROM stats
     "from identical integers on any engine and any accumulation order "
     "— the float-determinism discipline every cross-engine moving "
     "statistic here follows. Single shuffle on the key; state is three "
-    "integers per row, never a value buffer.",
+    "integers per row, never a value buffer. int64 headroom: squared "
+    "cents reach ~2.4e9 per row, so the running sum is safe to ~3.8e9 "
+    "rows per key — beyond that, cast the accumulators to "
+    "DECIMAL(38,0) (same exactness, wider lane).",
 )
 def e5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

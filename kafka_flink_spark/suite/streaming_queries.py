@@ -64,19 +64,41 @@ GROUP BY 1, 2, 3
     "tumbling OHLCV replayed with availableNow; every window updated in "
     "a micro-batch is emitted with its current running value. The sink "
     "retains one row per window per batch, so the result is reduced to "
-    "the LAST update per (window, product) — volume is monotonically "
-    "increasing within a window, so max_by(volume) selects it — making "
+    "the LAST update per (window, product) via max_by(n_trades) — the "
+    "event count is STRICTLY increasing across a window's updates "
+    "(volume isn't: qty can be 0), so the winner is unique — making "
     "the query robust to multi-batch replays (maxFilesPerTrigger, "
     "multi-file fixtures), where it equals the batch answer exactly.",
 )
 def w11_stream_ohlcv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.candles import ohlcv_aggs
+
     trades = stream_trades_from_fixture(spark, sf_dir)
-    out = run_available_now(ohlcv_stream(trades, "1 hour"), "update")
+    agg = (
+        trades.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("product"))
+        .agg(
+            *ohlcv_aggs("ts", "price", "qty", seq_col="seq"),
+            F.count("*").alias("n_trades"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "product",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+    out = run_available_now(agg, "update")
     last = (
         out.groupBy("window_start", "window_end", "product")
         .agg(
             F.max_by(
-                F.struct("open", "high", "low", "close", "volume"), F.col("volume")
+                F.struct("open", "high", "low", "close", "volume"), F.col("n_trades")
             ).alias("s")
         )
         .select("window_start", "window_end", "product", "s.*")
