@@ -341,7 +341,15 @@ def simhash_near_pairs(
             f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole recall guarantee"
         )
-    sigs = simhash(df, col, id_col)
+    # Signatures feed BOTH sides of the bucket self-join; without
+    # persistence Spark recomputes the 60-vote aggregation per side
+    # (exchange reuse doesn't fire across the aliased self-join), and
+    # with only a LAZY persist both sides still race the cold cache
+    # inside one job. Materializing eagerly (this triggers a job at
+    # call time) halves the cold-run cost; the relation is one long
+    # per doc — bounded, LRU-evictable (MEMORY_AND_DISK).
+    sigs = simhash(df, col, id_col).persist()
+    sigs.count()
     base, extra = divmod(SIMHASH_BITS, num_chunks)
     chunk_cols, start = [], 0
     for c in range(num_chunks):
