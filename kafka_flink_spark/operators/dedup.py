@@ -143,6 +143,10 @@ def minhash_signatures(
         )
         for p in range(num_perms)
     ]
+    # Shingle count rides along for free (same aggregate) — downstream
+    # Jaccard needs it, and deriving it here avoids re-deriving the
+    # whole shingle relation just to count it.
+    aggs.append(F.count("*").alias("n_sh"))
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -188,6 +192,14 @@ def minhash_lsh_pairs(
             for b in range(num_bands)
         ]
     )
+    # Signatures (with n_sh riding along) feed the banding self-join
+    # and both per-pair size lookups; eager persist computes the
+    # shingling+aggregation once — the relation is num_perms longs per
+    # doc, bounded. The exploded shingle relation itself is only
+    # re-derived for the two verification sides (corpus-sized, so it
+    # is recomputed rather than persisted; see class docstring).
+    sigs = sigs.persist()
+    sigs.count()
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_key")
     )
@@ -206,7 +218,6 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    n_sh = sr.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sr.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
     sb = sr.select(F.col(id_col).alias("_sb_id"), F.col("s").alias("s_b"))
     common = (
@@ -215,8 +226,8 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
-    na = n_sh.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = n_sh.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    na = sigs.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sigs.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
