@@ -625,3 +625,59 @@ def g12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "g14_boolean_aggs",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'F') AS any_final
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="Boolean aggregate surface: count_if / bool_and (every) / "
+    "bool_or (any) — single-pass mergeable flags.",
+)
+def g14_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+            F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_final"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sc8_bitwise_aggs",
+    oracle="""
+SELECT l_linestatus,
+       CAST(bit_and(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_and,
+       CAST(bit_or(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_or,
+       CAST(bit_xor(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_xor
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    doc="Bitwise aggregate surface (bit_and/bit_or/bit_xor): order-"
+    "independent integer reductions — trivially partial-aggregable, "
+    "deterministic under any partitioning.",
+)
+def sc8_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and(q).cast("long").alias("qty_and"),
+            F.bit_or(q).cast("long").alias("qty_or"),
+            F.bit_xor(q).cast("long").alias("qty_xor"),
+        )
+        .orderBy("l_linestatus")
+    )
