@@ -43,6 +43,12 @@ def expand_tumble_sql(sql: str, rowtime: str | None = None) -> str:
 
     ``rowtime`` (default: the column named inside the first TUMBLE
     call) keys the FIRST_VALUE/LAST_VALUE → min_by/max_by rewrite.
+
+    Scope: the dialect surface the reference actually uses
+    (``old/flink.py``, ``old/kfk.py``) — FIRST_VALUE/LAST_VALUE over a
+    simple column/expression without nested parentheses. Anything
+    beyond that should be written in Spark SQL directly; this is
+    string sugar, not a parser.
     """
 
     def tumble_repl(m: re.Match) -> str:
