@@ -426,3 +426,47 @@ def w9_stateful_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         "end_of_window",
     )
+
+
+@register(
+    "w18_stream_static_join",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+dim AS (
+    SELECT DISTINCT product,
+           CASE WHEN product IN ('click', 'view') THEN 'engagement'
+                WHEN product = 'error' THEN 'ops' ELSE 'other' END AS category
+    FROM trades
+)
+SELECT t.product, d.category,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(t.qty) AS BIGINT) AS volume
+FROM trades t JOIN dim d ON t.product = d.product
+GROUP BY t.product, d.category
+""",
+    doc="Stream-static join: the unbounded trade stream enriched "
+    "against a bounded dimension table (re-read per micro-batch, "
+    "broadcast — no stream state for the join side), then aggregated; "
+    "availableNow replay equals the batch join+aggregate. The Spark "
+    "form of the reference's (absent) trades x instrument-reference "
+    "enrichment (SURVEY.md §2.6).",
+)
+def w18_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    static_dim = (
+        trades_view(spark, sf_dir)
+        .select("product")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("product").isin("click", "view"), "engagement")
+            .when(F.col("product") == "error", "ops")
+            .otherwise("other"),
+        )
+    )
+    joined = trades.join(F.broadcast(static_dim), "product")
+    agg = joined.groupBy("product", "category").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum("qty").cast("long").alias("volume"),
+    )
+    return run_available_now(agg, "complete")
