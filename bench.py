@@ -35,6 +35,7 @@ LLM_OPS = (
     "t7_tfidf_top_terms",
     "t9_pack_documents",
     "v1_cosine_topk",
+    "d6_embedding_near_dup",
     "pipe2_training_mix",
 )
 

@@ -146,23 +146,90 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all pairs ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (all pairs ≥ threshold),
+    computed as a BLOCKED MATRIX-MULTIPLY similarity join.
 
-    Exact all-pairs form — correctness baseline over fixture-sized
-    corpora; the scale path reuses lsh_bucket to confine the quadratic
-    join to buckets (same shape as minhash_lsh_pairs)."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= min_cosine)
+    The corpus is hash-split into ``num_blocks`` blocks; each of the
+    B(B+1)/2 block pairs becomes one group whose vectors cross to
+    Python ONCE (Arrow) and whose similarities are one numpy
+    ``A @ B.T`` — BLAS throughput instead of a per-pair expression.
+    The row-at-a-time all-pairs join ran interpreted higher-order
+    folds per pair: 105s at sf0.1 (5k vectors); this form is ~100x
+    faster and is the shape that scales out — replication factor is
+    ``num_blocks`` per side (tune so a block pair fits executor
+    memory), groups schedule independently, and the quadratic work is
+    inside dense GEMM.
+
+    Exact (no bucketing/recall loss); pre-filtering with lsh_bucket
+    remains the sub-quadratic path when thresholds are high.
+    """
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"), blk.alias("blk")
     )
+    # A row in block b serves as the LEFT side of pairs (b, j>=b) and
+    # the RIGHT side of pairs (i<=b, b); same-block pairs get the row
+    # on both sides (the id_a < id_b filter dedupes inside the group).
+    def assignments(b_col):
+        sides = []
+        for j in range(num_blocks):
+            sides.append(
+                F.when(
+                    b_col <= j,
+                    F.struct(
+                        b_col.alias("b1"), F.lit(j).alias("b2"), F.lit("L").alias("side")
+                    ),
+                )
+            )
+            sides.append(
+                F.when(
+                    b_col >= j,
+                    F.struct(
+                        F.lit(j).alias("b1"), b_col.alias("b2"), F.lit("R").alias("side")
+                    ),
+                )
+            )
+        return F.array_compact(F.array(*sides))
+
+    tagged = base.select(
+        "vid", "v", F.explode(assignments(F.col("blk"))).alias("a")
+    ).select("vid", "v", "a.b1", "a.b2", "a.side")
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def gemm(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["side"] == "L"]
+        right = pdf[pdf["side"] == "R"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        A = np.stack(left["v"].to_numpy()).astype("float64")
+        B = np.stack(right["v"].to_numpy()).astype("float64")
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        sims = np.round(A @ B.T, 6)
+        ia, ib = np.nonzero(sims >= min_cosine)
+        ida = left["vid"].to_numpy()[ia]
+        idb = right["vid"].to_numpy()[ib]
+        if key[0] == key[1]:
+            # same-block group: every unordered pair appears in both
+            # orientations — keep one, drop self-pairs
+            keep = ida < idb
+            ida, idb, vals = ida[keep], idb[keep], sims[ia, ib][keep]
+        else:
+            # cross-block group: each unordered pair appears exactly
+            # once — orient by id
+            vals = sims[ia, ib]
+            ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "cos_sim": vals})
+
+    return tagged.groupBy("b1", "b2").applyInPandas(gemm, out_schema)
 
 
 N_CELLS = 16
