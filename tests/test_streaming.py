@@ -604,3 +604,64 @@ def test_update_mode_multi_batch_replay_dedup(spark):
         assert sorted(last.collect()) == sorted(batch.collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_interval_join(spark):
+    """Outer stream-stream join: unmatched left rows emit with nulls
+    once the watermark closes their join window. Replay in two batches
+    so the watermark advances past batch-1 rows; the lone unmatched
+    click then surfaces with a null view id."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.streaming.candles_stream import run_available_now
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="outerjoin_")
+    try:
+        clicks = [
+            (100, 1, 10),   # user 1: has a view 5s earlier -> match
+            (200, 2, 11),   # user 2: no view -> null match after close
+            (9000, 1, 12),  # late batch: advances watermark far ahead
+        ]
+        views = [(95, 1, 20), (8990, 1, 21)]
+        spark.createDataFrame(
+            [(s, u, i, 0) for s, u, i in clicks] ,
+            "sec long, user_id long, event_id long, batch int",
+        ).withColumn("batch", (F.col("sec") >= 9000).cast("int")).createOrReplaceTempView("_c")
+        for b in (0, 1):
+            spark.sql(f"SELECT * FROM _c WHERE batch = {b}").coalesce(1).select(
+                F.timestamp_seconds("sec").alias("click_ts"), "user_id",
+                F.col("event_id").alias("click_id"),
+            ).write.mode("append").parquet(f"{tmp}/clicks")
+        spark.createDataFrame(
+            views, "sec long, user_id long, event_id long"
+        ).coalesce(1).select(
+            F.timestamp_seconds("sec").alias("view_ts"), "user_id",
+            F.col("event_id").alias("view_id"),
+        ).write.mode("overwrite").parquet(f"{tmp}/views")
+
+        cs = spark.readStream.schema(
+            "click_ts timestamp, user_id long, click_id long"
+        ).option("maxFilesPerTrigger", "1").parquet(f"{tmp}/clicks")
+        vs = spark.readStream.schema(
+            "view_ts timestamp, user_id long, view_id long"
+        ).parquet(f"{tmp}/views")
+        joined = interval_join(
+            cs, vs.withColumnRenamed("user_id", "user_id"),
+            key_col="user_id", left_ts="click_ts", right_ts="view_ts",
+            lower="30 seconds", upper="0 seconds",
+            watermark_delay="0 seconds", how="leftOuter",
+        )
+        out = run_available_now(
+            joined.select("click_id", "view_id"), "append"
+        ).toPandas()
+        import pandas as pd
+
+        matches = {r.click_id: r.view_id for r in out.itertuples()}
+        assert matches.get(10) == 20  # joined within interval
+        assert 11 in matches and pd.isna(matches[11])  # null emission after close
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
