@@ -200,3 +200,90 @@ def nested_sink_shape(candles: DataFrame, key_col: str = "product") -> DataFrame
         F.struct("open", "high", "low", "close").alias("ohlc"),
         "volume",
     )
+
+
+def ohlcv_python_fold(
+    trades: DataFrame,
+    window_duration: str = "1 hour",
+    key_col: str = "product",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    qty_col: str = "qty",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """OHLCV computed by Python code over each window's buffered rows
+    (A7/U5 — the reference's ``calculate_ohlc`` UDF over a collected
+    list, ``old/kfk.py:35-50``), via the scalable grouped-UDF pattern:
+
+    ``repartition(keys) → sortWithinPartitions(keys, ts, seq) →
+    mapInPandas`` with a vectorized pandas groupby per Arrow batch.
+
+    Why not ``groupBy().applyInPandas``: that launches one Python
+    function call (plus pandas frame construction) PER GROUP — at
+    hourly×product granularity that's millions of tiny groups at scale
+    and the per-group overhead dominates (measured 11.8s vs ~2s at
+    sf0.1 here). mapInPandas amortizes the overhead over whole Arrow
+    batches; since a group can straddle a batch boundary, the fold
+    carries the last partial aggregate across batches of the
+    (key-sorted) partition and merges on key continuation.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd  # noqa: F401
+
+    with_ws = trades.withColumn("window_start", F.window(ts_col, window_duration).start)
+    parted = with_ws.repartition("window_start", F.col(key_col)).sortWithinPartitions(
+        "window_start", key_col, ts_col, seq_col
+    )
+    out_schema = (
+        "window_start timestamp, product string, open double, high double, "
+        "low double, close double, volume long"
+    )
+
+    def merge(carry: dict, nxt: dict) -> dict:
+        return {
+            "window_start": carry["window_start"],
+            "product": carry["product"],
+            "open": carry["open"],
+            "high": max(carry["high"], nxt["high"]),
+            "low": min(carry["low"], nxt["low"]),
+            "close": nxt["close"],
+            "volume": carry["volume"] + nxt["volume"],
+        }
+
+    def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        carry: dict | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            g = (
+                pdf.groupby(["window_start", key_col], sort=False, as_index=False)
+                .agg(
+                    open=(price_col, "first"),
+                    high=(price_col, "max"),
+                    low=(price_col, "min"),
+                    close=(price_col, "last"),
+                    volume=(qty_col, "sum"),
+                )
+                .rename(columns={key_col: "product"})
+            )
+            rows = g.to_dict("records")
+            if carry is not None:
+                if (
+                    rows
+                    and rows[0]["window_start"] == carry["window_start"]
+                    and rows[0]["product"] == carry["product"]
+                ):
+                    rows[0] = merge(carry, rows[0])
+                else:
+                    rows.insert(0, carry)
+            if rows:
+                carry = rows.pop()
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None:
+            yield pd.DataFrame([carry])
+
+    return parted.mapInPandas(fold, out_schema)

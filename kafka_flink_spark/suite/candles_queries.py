@@ -260,41 +260,20 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM trades
 GROUP BY ALL
 """,
-    doc="A7/U5: OHLC computed by a Python function over each window's "
-    "buffered rows (reference calculate_ohlc UDF over a collected list, "
-    "old/kfk.py:35-50; ProcessAllWindowFunction buffering, 3_ohlc.py:13-25) "
-    "— applyInPandas over groupBy(window, product), Arrow-batched. The "
-    "declarative a1 form is the preferred plan (partial aggregation, no "
-    "window buffering); this exists for API-surface parity.",
+    doc="A7/U5: OHLC computed by Python over each window's buffered "
+    "rows (reference calculate_ohlc UDF over a collected list, "
+    "old/kfk.py:35-50; ProcessAllWindowFunction buffering, "
+    "3_ohlc.py:13-25) — via the scalable grouped-UDF pattern: "
+    "repartition + sortWithinPartitions + mapInPandas with a "
+    "batch-level pandas groupby and cross-batch carry "
+    "(operators/candles.ohlcv_python_fold). Per-group applyInPandas "
+    "paid function-call overhead per tiny group (11.8s -> ~2s at "
+    "sf0.1). The declarative a1 form remains the preferred plan.",
 )
 def a7_udf_ohlc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from kafka_flink_spark.operators.candles import ohlcv_python_fold
 
-    trades = trades_view(spark, sf_dir).withColumn(
-        "window_start", F.window("ts", "1 hour").start
-    )
-
-    def ohlc(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "seq"])
-        return pd.DataFrame(
-            [
-                {
-                    "window_start": pdf["window_start"].iloc[0],
-                    "product": pdf["product"].iloc[0],
-                    "open": pdf["price"].iloc[0],
-                    "high": pdf["price"].max(),
-                    "low": pdf["price"].min(),
-                    "close": pdf["price"].iloc[-1],
-                    "volume": int(pdf["qty"].sum()),
-                }
-            ]
-        )
-
-    out_schema = (
-        "window_start timestamp, product string, open double, high double, "
-        "low double, close double, volume long"
-    )
-    out = trades.groupBy("window_start", "product").applyInPandas(ohlc, out_schema)
+    out = ohlcv_python_fold(trades_view(spark, sf_dir), "1 hour")
     return out.select(
         F.date_format("window_start", _FMT).alias("window_start"),
         "product",
