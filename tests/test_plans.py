@@ -234,3 +234,63 @@ def test_two_phase_agg_matches_direct(spark):
         num_salts=8,
     )
     assert sorted(direct.collect()) == sorted(two.collect())
+
+
+def test_schema_evolution_merge_read(spark):
+    """Parquet schema evolution: files written before a column existed
+    read back as NULL under mergeSchema — appending columns never
+    requires rewriting 100 TB of history."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="evolve_")
+    try:
+        n = load_table(spark, SF_SMALL, "nation")
+        n.write.parquet(f"{tmp}/t", mode="overwrite")
+        n.withColumn("n_comment", F.concat(F.lit("c-"), "n_name")).write.parquet(
+            f"{tmp}/t", mode="append"
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+        assert "n_comment" in merged.columns
+        assert merged.count() == 2 * n.count()
+        assert merged.filter(F.col("n_comment").isNull()).count() == n.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dynamic_partition_overwrite(spark):
+    """Dynamic partition overwrite replaces ONLY the partitions present
+    in the written frame — the idempotent-backfill primitive (static
+    mode would wipe every other date)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="dpo_")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        o = load_table(spark, SF_SMALL, "orders").withColumn(
+            "od", F.to_date("o_orderdate")
+        )
+        o.write.partitionBy("od").mode("overwrite").parquet(f"{tmp}/t")
+        total = o.count()
+        one_day = o.select("od").first()["od"]
+        patch = o.filter(F.col("od") == one_day).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+        patch.write.partitionBy("od").mode("overwrite").parquet(f"{tmp}/t")
+        back = spark.read.parquet(f"{tmp}/t")
+        assert back.count() == total  # other partitions untouched
+        assert (
+            back.filter(F.col("od") == one_day)
+            .agg(F.sum("o_totalprice"))
+            .first()[0]
+            == 0.0
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        shutil.rmtree(tmp, ignore_errors=True)
