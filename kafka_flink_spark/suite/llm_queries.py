@@ -879,3 +879,40 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
     return D.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "m4_media_exact_dedup",
+    oracle=f"""
+WITH {_MEDIA_ORACLE_CTE}
+SELECT md5(payload) AS payload_md5,
+       media_type,
+       CAST(min(media_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM media
+GROUP BY 1, 2
+""",
+    doc="Exact dedup over BINARY media payloads: md5 computed at the "
+    "scan (32-byte digest shuffles, megabyte blobs never do), one "
+    "representative per (digest, modality) — the d1 pattern applied "
+    "to the multimodal table.",
+)
+def m4_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import blobs_from_documents
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            F.md5(F.col("payload")).alias("payload_md5"),
+            "media_type",
+            "media_id",
+            "n_bytes",
+        )
+        .groupBy("payload_md5", "media_type")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
