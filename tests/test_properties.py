@@ -192,6 +192,10 @@ def test_operators_handle_empty_input(spark):
     assert D.simhash_near_pairs(empty_docs, max_hamming=6).count() == 0
     assert X.pack_documents(empty_docs).count() == 0
     assert X.tfidf_top_terms(empty_docs).count() == 0
+    from kafka_flink_spark.operators import similarity as SIM
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert SIM.embedding_near_dup_pairs(empty_vecs).count() == 0
     clusters = D.dedup_clusters(
         empty_docs.select("doc_id"),
         spark.createDataFrame([], "doc_a long, doc_b long"),
