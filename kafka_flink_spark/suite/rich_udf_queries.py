@@ -181,3 +181,40 @@ def u2_pandas_udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         net_price_vec("l_extendedprice", "l_discount", "l_tax").alias("net_price"),
     )
+
+
+@register(
+    "u6_python_udtf",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(g // 32 AS INT) AS chunk_no,
+       array_to_string(list_slice(w, g + 1, g + 32), ' ') AS piece,
+       CAST(least(32, len(w) - g) AS BIGINT) AS n_words
+FROM (SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 1, 0), 32)) AS g
+      FROM t)
+""",
+    doc="Python UDTF surface (U6 — the reference's DoFn/1-to-N shape, "
+    "old/beam.py:8-23): a @udtf class invoked via LATERAL in SQL, one "
+    "eval() yielding N chunk rows per document. Arrow-batched like "
+    "every Python boundary here; the declarative t5_doc_chunks form "
+    "(explode+slice) remains the preferred plan — this registers the "
+    "API surface itself.",
+)
+def u6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, piece string, n_words long")
+    class Chunker:
+        def eval(self, text: str, size: int):
+            words = text.split(" ")
+            for i in range(0, len(words), size):
+                piece = words[i : i + size]
+                yield i // size, " ".join(piece), len(piece)
+
+    spark.udtf.register("doc_chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.piece, c.n_words "
+        "FROM docs_udtf d, LATERAL doc_chunker(d.text, 32) c"
+    )
