@@ -43,14 +43,17 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Suite modules; importing them populates the registry.
+# Suite modules; importing them populates the registry. Ordered so a
+# time-budgeted consumer iterating queries() in insertion order hits
+# the flagship candles, training-data ops, and streaming executions
+# before the (large, conventional) relational tail.
 _MODULES = (
     "kafka_flink_spark.suite.candles_queries",
-    "kafka_flink_spark.suite.relational_queries",
-    "kafka_flink_spark.suite.warehouse_queries",
-    "kafka_flink_spark.suite.events_queries",
     "kafka_flink_spark.suite.llm_queries",
     "kafka_flink_spark.suite.streaming_queries",
+    "kafka_flink_spark.suite.events_queries",
+    "kafka_flink_spark.suite.warehouse_queries",
+    "kafka_flink_spark.suite.relational_queries",
     "kafka_flink_spark.suite.io_queries",
     "kafka_flink_spark.suite.rich_udf_queries",
 )
