@@ -36,10 +36,19 @@ def md5_long(col: Column | str, salt: str = "") -> Column:
 
 
 def minhash_value(col: Column | str, perm: int) -> Column:
-    """One MinHash permutation: h_i(x) = md5_long(i || x). Using an
-    independent salted hash per permutation instead of the classic
-    (a*x+b) % p family keeps the oracle expressible in portable SQL."""
-    return md5_long(col, salt=f"mh{perm}:")
+    """One MinHash permutation: h_p(x) = md5_long(x) XOR K_p, where
+    K_p is an md5-derived 60-bit constant (operators/dedup.
+    perm_constant). One digest per input plus a xor per permutation —
+    ~num_perms cheaper than salted re-hashing, still portable SQL
+    (DuckDB ``xor(h, K)``); xor by a constant is a bijection, so the
+    min is over a uniform relabeling. Production deployments that
+    don't need cross-engine oracles can swap md5_long for Spark's
+    native ``xxhash64`` (~6x faster digests) without touching the
+    banding math."""
+    from kafka_flink_spark.operators.dedup import perm_constant
+
+    c = md5_long(col)
+    return c.bitwiseXOR(F.lit(perm_constant(perm)).cast("long"))
 
 
 def duckdb_md5_long(expr: str, salt: str = "") -> str:
