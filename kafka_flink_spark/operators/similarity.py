@@ -360,3 +360,103 @@ def multiprobe_lsh_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the whole corpus (every
+    vector → its top-k cosine neighbors) — the neighbor-graph build
+    behind semantic dedup, curriculum sampling, and graph clustering.
+
+    Two-stage top-k over the blocked-GEMM join: each block-pair group
+    emits every member's block-local top-k (computed from one numpy
+    ``A @ B.T``), then a global window rank reduces the ≤ k·B
+    candidates per vector to the true top-k. Block-local ranking uses
+    the same (cos DESC, neighbor ASC) order as the global rank, so a
+    global winner is always inside its block's top-k — the reduction
+    is exact, including ties. Shuffled volume is candidates
+    (n·k·num_blocks rows of three scalars), never vectors.
+    """
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"), blk.alias("blk")
+    )
+
+    def assignments(b_col):
+        sides = []
+        for j in range(num_blocks):
+            sides.append(
+                F.when(
+                    b_col <= j,
+                    F.struct(
+                        b_col.alias("b1"), F.lit(j).alias("b2"), F.lit("L").alias("side")
+                    ),
+                )
+            )
+            sides.append(
+                F.when(
+                    b_col >= j,
+                    F.struct(
+                        F.lit(j).alias("b1"), b_col.alias("b2"), F.lit("R").alias("side")
+                    ),
+                )
+            )
+        return F.array_compact(F.array(*sides))
+
+    tagged = base.select(
+        "vid", "v", F.explode(assignments(F.col("blk"))).alias("a")
+    ).select("vid", "v", "a.b1", "a.b2", "a.side")
+
+    def block_topk(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        left = pdf[pdf["side"] == "L"]
+        right = pdf[pdf["side"] == "R"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        A = np.stack(left["v"].to_numpy()).astype("float64")
+        B = np.stack(right["v"].to_numpy()).astype("float64")
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        ids_l = left["vid"].to_numpy()
+        ids_r = right["vid"].to_numpy()
+        sims = np.round(A @ B.T, 6)
+        out_q, out_n, out_s = [], [], []
+
+        def emit(qids, nids, S):
+            # per row: top-k by (cos DESC, neighbor id ASC), self excluded
+            for r in range(S.shape[0]):
+                row = S[r]
+                mask = nids != qids[r]
+                cand_ids, cand = nids[mask], row[mask]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out_q.extend([qids[r]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand[order])
+
+        if key[0] == key[1]:
+            emit(ids_l, ids_r, sims)  # same block: one direction covers all
+        else:
+            emit(ids_l, ids_r, sims)
+            emit(ids_r, ids_l, sims.T)
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    cand_schema = "query_id long, neighbor_id long, cos_sim double"
+    candidates = tagged.groupBy("b1", "b2").applyInPandas(block_topk, cand_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        candidates.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )

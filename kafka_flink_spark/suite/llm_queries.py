@@ -916,3 +916,30 @@ def m4_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+@register(
+    "v5_knn_graph",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_duck_cosine("a.v", "b.v")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+    doc="Exact k-NN graph over the WHOLE corpus (every vector -> top-5 "
+    "cosine neighbors) via the blocked-GEMM two-stage top-k: each "
+    "block-pair group emits block-local top-k from one numpy A @ B.T, "
+    "a global window rank reduces the k x num_blocks candidates — "
+    "exact including ties (block and global ranks share the "
+    "(cos DESC, id ASC) order). The neighbor-graph primitive behind "
+    "semantic dedup, curriculum sampling, and graph clustering "
+    "(operators/similarity.knn_graph).",
+)
+def v5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
