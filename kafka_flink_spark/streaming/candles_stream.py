@@ -97,6 +97,57 @@ def ohlcv_stream(
     )
 
 
+def ohlcv_stream_cascade(
+    trades: DataFrame,
+    fine_duration: str = "1 hour",
+    coarse_duration: str = "1 day",
+    watermark_delay: str = "0 seconds",
+    key_col: str = "product",
+) -> DataFrame:
+    """Multi-resolution candles as ONE streaming query: two chained
+    windowed aggregations (Spark 3.4+ multiple-stateful-operator
+    support). The reference runs its 1-min and 5-min pipelines as two
+    independent jobs over the same topic (``old/flink.py:70-79``),
+    scanning the stream twice; here the coarse level re-aggregates the
+    fine level's *closed windows* inside the same query — the stream
+    is read once, and the coarse aggregation's input is candle-sized,
+    not event-sized.
+
+    ``F.window(F.col("w"), coarse)`` re-windows on the fine window
+    struct; Spark assigns the fine window's ``window_time`` (end − 1µs)
+    as the row's event time, so coarse windows close under the same
+    watermark. Append mode only — chained stateful operators reject
+    update mode. open/close compose via min_by/max_by on the fine
+    window start, exactly like the batch cascade
+    (operators/candles.ohlcv_cascade).
+    """
+    fine = (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", fine_duration).alias("w"), F.col(key_col))
+        .agg(*ohlcv_aggs("ts", "price", "qty", seq_col="seq"))
+    )
+    return (
+        fine.groupBy(F.window(F.col("w"), coarse_duration).alias("d"), F.col(key_col))
+        .agg(
+            F.min_by("open", F.col("w.start")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("w.start")).alias("close"),
+            F.sum("volume").cast("long").alias("volume"),
+        )
+        .select(
+            F.col("d.start").alias("window_start"),
+            F.col("d.end").alias("window_end"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def sliding_counts_stream(
     trades: DataFrame,
     window_duration: str = "2 hours",

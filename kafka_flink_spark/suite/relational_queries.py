@@ -1203,6 +1203,58 @@ def sc4_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sc5_conditional_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_returnflag = 'A' THEN 'accepted'
+            ELSE 'neither' END AS flag_class,
+       CASE WHEN l_discount > 0.05 THEN 'deep' ELSE 'shallow' END AS discount_band,
+       nullif(l_tax, 0.0) AS tax_or_null,
+       coalesce(nullif(l_tax, 0.0), -1.0) AS tax_defaulted,
+       least(l_discount, l_tax) AS min_rate,
+       greatest(l_discount, l_tax) AS max_rate,
+       sqrt(l_extendedprice) AS root_price,
+       abs(l_discount - l_tax) AS rate_gap,
+       CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_bin,
+       CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+       l_orderkey % 97 AS okey_mod
+FROM lineitem
+WHERE l_orderkey % 89 = 0
+""",
+    doc="§2.10 conditional + math scalar surface (the reference's only "
+    "conditionals are Python if/else inside process functions, "
+    "7_ohlc.py:66-78): CASE/WHEN classification, NULLIF/COALESCE null "
+    "plumbing, LEAST/GREATEST 2-arg running extremes (the reference's "
+    "max(a,b)/min(a,b), 5_ohlc.py:91-92), sqrt/abs/floor/ceil/mod — "
+    "all codegen'd row expressions; sqrt is IEEE correctly-rounded so "
+    "doubles match DuckDB bit-for-bit (exp/ln are libm-dependent and "
+    "deliberately excluded from the differential surface).",
+)
+def sc5_conditional_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 89 == 0)
+    d, t = F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("neither")
+        .alias("flag_class"),
+        F.when(d > 0.05, "deep").otherwise("shallow").alias("discount_band"),
+        F.nullif(t, F.lit(0.0)).alias("tax_or_null"),
+        F.coalesce(F.nullif(t, F.lit(0.0)), F.lit(-1.0)).alias("tax_defaulted"),
+        F.least(d, t).alias("min_rate"),
+        F.greatest(d, t).alias("max_rate"),
+        F.sqrt("l_extendedprice").alias("root_price"),
+        F.abs(d - t).alias("rate_gap"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_bin"),
+        F.ceil(d * 100.0).alias("disc_pct_ceil"),
+        (F.col("l_orderkey") % 97).alias("okey_mod"),
+    )
+
+
+@register(
     "q_customer_distribution",
     oracle="""
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

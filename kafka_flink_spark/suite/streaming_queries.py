@@ -126,6 +126,49 @@ def w12_stream_ohlcv_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_windows(out)
 
 
+@register(
+    "w19_stream_cascade_chained",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+hourly AS (
+    SELECT product,
+           date_trunc('hour', ts) AS hs,
+           arg_min(price, ts) AS open,
+           max(price) AS high,
+           min(price) AS low,
+           arg_max(price, ts) AS close,
+           CAST(sum(qty) AS BIGINT) AS volume
+    FROM trades
+    GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', hs), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('day', hs) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS window_end,
+       product,
+       arg_min(open, hs) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, hs) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume
+FROM hourly
+WHERE date_trunc('day', hs) + INTERVAL 1 DAY <= (SELECT max(ts) FROM trades)
+GROUP BY 1, 2, 3
+""",
+    doc="Chained windowed aggregations in ONE streaming query (Spark "
+    "3.4+ multiple stateful operators): hourly candles re-aggregated "
+    "to daily inside the same stream — the reference's multi-resolution "
+    "setup (old/flink.py:70-79) without scanning the stream twice. "
+    "Append mode; day windows emit when the watermark passes their "
+    "end, so the oracle keeps only days fully closed by the final "
+    "watermark (= max event time, delay 0).",
+)
+def w19_stream_cascade_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.streaming.candles_stream import ohlcv_stream_cascade
+
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    out = run_available_now(ohlcv_stream_cascade(trades, "1 hour", "1 day"), "append")
+    return _fmt_windows(out)
+
+
 _STATEFUL_CANDLES_ORACLE = f"""
 WITH {TRADES_ORACLE_CTE},
 running AS (

@@ -112,6 +112,39 @@ def test_stateful_running_candles_across_microbatches(spark):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def test_chained_window_cascade_multi_batch(spark):
+    """Chained windowed aggregations (hour → day) in one streaming
+    query, replayed as 3 micro-batches: equals the batch cascade
+    restricted to day windows the final watermark closed. Exercises
+    Spark's delayed watermark propagation between stateful operators —
+    the hour rows emitted in the batch that closes them must not be
+    judged late by the day-level aggregation."""
+    from kafka_flink_spark.operators.candles import ohlcv_cascade
+    from kafka_flink_spark.streaming.candles_stream import ohlcv_stream_cascade
+
+    tmpdir = tempfile.mkdtemp(prefix="cascade_stream_")
+    try:
+        src = _write_time_ordered_splits(spark, tmpdir, n_splits=3)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streamed = _fmt(
+            run_available_now(ohlcv_stream_cascade(stream, "1 hour", "1 day"), "append")
+        )
+        tv = trades_view(spark, SF_SMALL)
+        max_ts = tv.agg(F.max("ts")).collect()[0][0]
+        expected = _fmt(
+            ohlcv_cascade(ohlcv(tv, "1 hour", seq_col="seq"), "1 day").filter(
+                F.col("window_end") <= F.lit(max_ts)
+            )
+        )
+        assert_frames_match(streamed, expected, "chained_cascade_stream_vs_batch")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def test_watermark_drops_late_data(spark):
     """W4/W10: an event older than the watermark when its micro-batch
     arrives is dropped from the aggregation (Spark's automatic
