@@ -63,8 +63,15 @@ def main() -> None:
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    llm_names = [n for n in LLM_OPS if n in qs]
+    # Same warm-once policy as the headline section: the first LLM op
+    # otherwise pays the cold documents/embeddings scan + codegen JIT
+    # that no other op re-pays (measured ~2.5x on the cold op).
+    if llm_names:
+        qs[llm_names[0]].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     llm_timings: dict[str, float] = {}
-    for name in (n for n in LLM_OPS if n in qs):
+    for name in llm_names:
         t0 = time.perf_counter()
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         llm_timings[name] = round(time.perf_counter() - t0, 3)
