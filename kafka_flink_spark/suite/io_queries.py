@@ -133,6 +133,56 @@ def io3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io5_partitioned_pruned_read",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+""",
+    doc="Hive-style partitioned layout end-to-end: orders written "
+    "partitionBy(o_orderpriority) (repartitioned on the key first so "
+    "each partition dir gets one file, not one per task), read back "
+    "with a partition-value filter — planning-time partition pruning "
+    "lists 2 of 5 directories; the scan never opens the other 3 "
+    "(PartitionFilters asserted in tests/test_plans.py). At 100 TB "
+    "this layout is the first-order scan reducer: pruning happens "
+    "before any I/O, unlike row-group stats which still read footers.",
+)
+def io5_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="io_part_")
+    try:
+        (
+            o.repartition(F.col("o_orderpriority"))
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(tmp)
+        )
+        back = (
+            spark.read.parquet(tmp)
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .cache()
+        )
+        back.count()
+        return back
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "io4_orc_roundtrip",
     oracle="SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
     doc="ORC sink+source roundtrip (the third columnar/text format "
