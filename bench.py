@@ -34,8 +34,12 @@ LLM_OPS = (
     "d5_simhash_near_pairs",
     "t7_tfidf_top_terms",
     "t9_pack_documents",
+    "t11_repetition_signals",
+    "t12_decontamination",
     "v1_cosine_topk",
+    "v6_quantized_topk",
     "d6_embedding_near_dup",
+    "g15_count_min_freq",
     "pipe2_training_mix",
 )
 

@@ -276,6 +276,178 @@ def bigram_counts(df: DataFrame, top_n: int = 50, col: str = "text") -> DataFram
     )
 
 
+def vocab_coverage(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: per-token counts, frequency rank,
+    and cumulative token-coverage fraction — the Zipf table behind
+    tokenizer-vocabulary sizing ("how many types cover 95% of
+    tokens?") and OOV-rate estimation.
+
+    Plan: explode → map-side-combined count per token (shuffle carries
+    (token, count), vocabulary-sized) → one single-partition window
+    over the *vocabulary* (tiny relation — the corpus itself never
+    sorts) for rank and running sum. Fractions are ratios of exact
+    BIGINTs (single IEEE division, engine-identical bits — no
+    rounding needed).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total_tokens"))
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))))
+        .withColumn("cum_tokens", F.sum("n").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+            "cum_tokens",
+            (F.col("cum_tokens") / F.col("total_tokens")).alias("cum_frac"),
+        )
+    )
+
+
+def repetition_signals(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals — the Gopher-style quality
+    filters that catch boilerplate and degenerate (looping) text:
+
+    * ``dup_word_frac``  — fraction of word occurrences that are
+      repeats of an earlier word: ``1 - distinct/total``. Narrow
+      (``array_distinct``), computed at scan speed.
+    * ``top_word_frac``  — most frequent word's share of all words.
+    * ``top_bigram_frac`` — most frequent bigram's share of all
+      bigrams (high values = looping text).
+
+    The mode (most-frequent-gram) computations explode to (doc, gram)
+    counts and reduce back per doc — two map-side-combined shuffles
+    carrying counts keyed by (doc, gram-hash-sized) rows, never raw
+    text. All output fractions are exact-integer ratios (one IEEE
+    division — engine-identical, no rounding).
+    """
+    toks = tokens(col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    uni = (
+        base.select(id_col, F.explode("_toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("long").alias("top_word_n"))
+    )
+    grams = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.transform(
+            F.slice(F.col("_toks"), 1, F.size(F.col("_toks")) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(F.col("_toks"), i + 2)),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        base.select(id_col, F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("long").alias("top_bigram_n"))
+    )
+    return (
+        base.drop("_toks")
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            ((F.col("n_words") - F.col("n_distinct")) / F.greatest("n_words", F.lit(1))).alias(
+                "dup_word_frac"
+            ),
+            (F.coalesce("top_word_n", F.lit(0)) / F.greatest("n_words", F.lit(1))).alias(
+                "top_word_frac"
+            ),
+            (
+                F.coalesce("top_bigram_n", F.lit(0))
+                / F.greatest(F.col("n_words") - 1, F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``n``-gram with a held-out benchmark/eval set — the standard
+    pre-training hygiene pass (the reference has no analog; this is
+    LLM-pipeline surface).
+
+    Per flagged doc: how many of its distinct n-grams appear anywhere
+    in the benchmark (``n_shared_grams``), how many benchmark docs it
+    collides with (``n_bench_docs``), and the contaminated fraction of
+    its n-grams (exact-integer ratio).
+
+    Scale design: n-grams are md5-hashed to 60-bit longs **before**
+    the shuffle (8-byte keys, raw text never crosses an exchange), and
+    the benchmark side of the join is orders of magnitude smaller than
+    the corpus — at 100 TB the distinct benchmark-gram set broadcasts,
+    making the whole pass one narrow scan + broadcast semi-join shape.
+    """
+    def doc_grams(frame: DataFrame) -> DataFrame:
+        toks = tokens(col)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.slice(toks, 1, F.size(toks) - (n - 1)),
+                lambda t, i: F.concat_ws(
+                    " ", t, *[F.element_at(toks, i + 1 + j) for j in range(1, n)]
+                ),
+            ),
+        ).otherwise(F.array())
+        return frame.select(
+            F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+        ).select(id_col, md5_long_gram(F.col("gram")))
+
+    train_g = doc_grams(df)
+    bench_g = doc_grams(bench).select(
+        F.col(id_col).alias("bench_id"), F.col("gram_h")
+    )
+    totals = train_g.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    hits = (
+        train_g.join(F.broadcast(bench_g), "gram_h")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("gram_h").cast("long").alias("n_shared_grams"),
+            F.count_distinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_shared_grams",
+        "n_bench_docs",
+        "n_grams",
+        (F.col("n_shared_grams") / F.col("n_grams")).alias("contaminated_frac"),
+    )
+
+
+def md5_long_gram(gram: Column) -> Column:
+    """n-gram → 60-bit md5 long (oracle-reproducible shuffle key)."""
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    return md5_long(gram).alias("gram_h")
+
+
 def pack_documents(
     df: DataFrame,
     capacity: int = 8192,

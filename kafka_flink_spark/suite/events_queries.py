@@ -306,3 +306,45 @@ def e5_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         z.alias("zscore"),
     )
+
+
+@register(
+    "e6_trailing_range_window",
+    oracle=f"""
+SELECT event_id, user_id,
+       strftime(ts, '{_FMT_DUCK}') AS ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_10m,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_10m,
+       min(value) OVER w AS min_v_10m,
+       max(value) OVER w AS max_v_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+    doc="Time-RANGE window frame (value-range, not row-count): per "
+    "user, stats over the trailing 10 minutes at every event — the "
+    "'activity in the last N minutes' shape ROWS frames (w4) cannot "
+    "express when event spacing is irregular. Ordered by exact integer "
+    "epoch-microseconds; ties (same us) are frame peers and aggregate "
+    "identically in any engine. Sum is over exact cent integers; "
+    "min/max are order-free — no float accumulation-order divergence. "
+    "One shuffle on user_id; frame state is a sliding deque bounded by "
+    "events-per-10-minutes, independent of history length.",
+)
+def e6_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("ts"),
+        F.count("*").over(w).cast("long").alias("n_10m"),
+        F.sum(cents).over(w).cast("long").alias("sum_cents_10m"),
+        F.min("value").over(w).alias("min_v_10m"),
+        F.max("value").over(w).alias("max_v_10m"),
+    )

@@ -200,3 +200,57 @@ def io4_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_opts={},
         write_opts={},
     )
+
+
+@register(
+    "io6_merge_upsert",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY 1
+),
+synth AS (SELECT -(i + 1) AS c_custkey, (i + 1) * 1000 AS spend_cents FROM range(10) t(i)),
+src AS (SELECT * FROM spend UNION ALL SELECT * FROM synth),
+tgt AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents FROM customer)
+SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                 THEN t.acctbal_cents + s.spend_cents
+            WHEN t.c_custkey IS NULL THEN s.spend_cents
+            ELSE t.acctbal_cents END AS acctbal_cents,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN 'updated'
+            WHEN t.c_custkey IS NULL THEN 'inserted'
+            ELSE 'kept' END AS status
+FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+""",
+    doc="Batch MERGE INTO / upsert (operators/merge.merge_into): "
+    "matched keys update (balance += period spend), source-only keys "
+    "insert, target-only keys keep — the data-lake maintenance "
+    "primitive as ONE declarative full-outer join (AQE broadcasts the "
+    "small change set against a large target; skew-join splits hot "
+    "keys). Money in exact cent integers end-to-end.",
+)
+def io6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.merge import merge_into
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents")
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("spend_cents"))
+    )
+    synth = spark.range(10).select(
+        (-(F.col("id") + 1)).cast("long").alias("c_custkey"),
+        ((F.col("id") + 1) * 1000).cast("long").alias("spend_cents"),
+    )
+    source = spend.unionByName(synth)
+    return merge_into(
+        cust,
+        source,
+        key="c_custkey",
+        update_set={"acctbal_cents": F.col("t.acctbal_cents") + F.col("s.spend_cents")},
+        insert_set={"acctbal_cents": F.col("s.spend_cents")},
+        status_col="status",
+    )

@@ -943,3 +943,163 @@ WHERE rn <= 5
 )
 def v5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "t10_vocab_coverage",
+    oracle="""
+WITH counts AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1
+),
+total AS (SELECT sum(n) AS total_tokens FROM counts)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+       CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+       CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           * 1.0 / (SELECT total_tokens FROM total) AS cum_frac
+FROM counts
+""",
+    doc="Corpus vocabulary Zipf table (operators/text.vocab_coverage): "
+    "per-token count, frequency rank, cumulative coverage fraction — "
+    "the tokenizer-vocabulary-sizing / OOV-rate primitive. The corpus "
+    "explodes and counts map-side (shuffle carries (token, count)); "
+    "rank + running sum is one window over the vocabulary-sized "
+    "relation only. Fractions are exact-BIGINT ratios — one IEEE "
+    "division, engine-identical bits, no rounding.",
+)
+def t10_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t11_repetition_signals",
+    oracle="""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sizes AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+    FROM base
+),
+uni AS (
+    SELECT doc_id, max(c) AS top_word_n
+    FROM (SELECT doc_id, t, count(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY 1, 2)
+    GROUP BY 1
+),
+bi AS (
+    SELECT doc_id, max(c) AS top_bigram_n
+    FROM (SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+                FROM base WHERE len(w) >= 2)
+          GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT s.doc_id, s.n_words,
+       (s.n_words - s.n_distinct) * 1.0 / greatest(s.n_words, 1) AS dup_word_frac,
+       coalesce(u.top_word_n, 0) * 1.0 / greatest(s.n_words, 1) AS top_word_frac,
+       coalesce(b.top_bigram_n, 0) * 1.0 / greatest(s.n_words - 1, 1) AS top_bigram_frac
+FROM sizes s LEFT JOIN uni u USING (doc_id) LEFT JOIN bi b USING (doc_id)
+""",
+    doc="Gopher-style repetition quality signals per document "
+    "(operators/text.repetition_signals): duplicate-word fraction "
+    "(narrow array_distinct at scan speed), top-word share, top-bigram "
+    "share (looping-text detector). Mode computations shuffle (doc, "
+    "gram) counts, never text; all fractions are exact-integer ratios "
+    "— engine-identical without rounding.",
+)
+def t11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_DECON_GRAM = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+
+
+@register(
+    "t12_decontamination",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_distinct([{_DECON_GRAM} for i in range(1, len(w) - 3)])) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 5
+),
+hashed AS (SELECT doc_id, {_md5l("gram")} AS gram_h FROM grams),
+train AS (SELECT * FROM hashed WHERE doc_id % 50 <> 0),
+bench AS (SELECT doc_id AS bench_id, gram_h FROM hashed WHERE doc_id % 50 = 0),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY 1),
+hits AS (
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.gram_h) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.gram_h = b.gram_h
+    GROUP BY 1
+)
+SELECT h.doc_id, n_shared_grams, n_bench_docs, n_grams,
+       n_shared_grams * 1.0 / n_grams AS contaminated_frac
+FROM hits h JOIN totals t USING (doc_id)
+""",
+    doc="Benchmark decontamination (operators/text.decontaminate): flag "
+    "training docs sharing any word-5-gram with the held-out benchmark "
+    "slice (doc_id %% 50 == 0 here; any eval table plugs in). Grams "
+    "md5-hash to 60-bit longs BEFORE shuffling (8-byte keys, text "
+    "never crosses an exchange); the benchmark gram set is tiny and "
+    "broadcasts — at 100 TB this is one narrow scan + broadcast join. "
+    "Counts and the contaminated fraction are exact integers/ratios.",
+)
+def t12_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return X.decontaminate(train, bench, n=5)
+
+
+def _quantized_oracle() -> str:
+    q = (
+        "CASE WHEN his[d+1] = los[d+1] THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(least(floor((v[d+1] - los[d+1]) * 256.0 / (his[d+1] - los[d+1])), 255) AS BIGINT) "
+        "END - 128"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+stats AS (
+    SELECT d, min(v[d+1]) AS lo, max(v[d+1]) AS hi
+    FROM e, range({S.EMBED_DIM}) t(d) GROUP BY d
+),
+rng AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM stats),
+q8 AS (
+    SELECT vec_id, [{q} for d in range({S.EMBED_DIM})] AS qv
+    FROM e, rng
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id IN {_QUERY_IDS}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range({S.EMBED_DIM}),
+                d -> qq[d+1] * c.qv[d+1])) AS BIGINT) AS q_dot
+    FROM q8 c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, q_dot, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY q_dot DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v6_quantized_topk",
+    oracle=_quantized_oracle(),
+    doc="int8 scalar-quantized top-k (operators/similarity."
+    "scalar_quantize / quantized_topk): per-dimension corpus min/max "
+    "grid, floor-encoded codes in [-128, 127] (floor, not round — "
+    "round() tie-breaking is engine-specific, floor of the identical "
+    "IEEE expression never is), ranked by all-integer quantized dot "
+    "product. The compressed-domain scoring pass of a quantized ANN "
+    "index — 4x smaller than float32, int8 GEMM-able; recall vs exact "
+    "cosine (v1) pinned in tests/test_llm_ops.py.",
+)
+def v6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantized_topk(
+        load_table(spark, sf_dir, "embeddings"), list(_QUERY_IDS), k=10
+    )

@@ -1499,3 +1499,72 @@ def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || "
+    "CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+)
+
+
+@register(
+    "g15_count_min_freq",
+    oracle=f"""
+WITH fanned AS (
+    SELECT l_partkey, d, {_CMS_BUCKET} AS bucket
+    FROM lineitem, range(4) t(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS c FROM fanned GROUP BY 1, 2),
+kb AS (
+    SELECT DISTINCT l_partkey, d, {_CMS_BUCKET} AS bucket
+    FROM lineitem, range(4) t(d)
+)
+SELECT kb.l_partkey, CAST(min(s.c) AS BIGINT) AS cms_est
+FROM kb JOIN sketch s ON kb.d = s.d AND kb.bucket = s.bucket
+GROUP BY 1
+""",
+    doc="Count-min sketch frequency estimation (operators/sketches.py), "
+    "completing the sketch trio (HLL=g7, GK=g13, CMS=g15). Unlike "
+    "those, the CMS estimate is fully deterministic (explicit md5 hash "
+    "rows: depth 4 x width 256), so it IS oracle-checked, not "
+    "rows-only. The sketch table is depth*width rows regardless of "
+    "input — built with one map-side-combined aggregate, broadcast "
+    "back to score keys; sketches from disjoint shards merge by "
+    "adding counters. Overestimate-only + error bound pinned in "
+    "tests/test_llm_ops.py.",
+)
+def g15_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.sketches import cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select("l_partkey").distinct()
+    return cms_estimate(li, keys, "l_partkey")
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "sub3_lateral_topn",
+    oracle=_LATERAL_SQL,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 orders per BUILDING customer) — the SQL dialect surface "
+    "for dependent joins; the identical SQL text runs on both engines. "
+    "Catalyst decorrelates the lateral into a ranked window join "
+    "(DecorrelateInnerQuery), so execution is the same one-shuffle "
+    "top-k-per-group plan as w1, not a per-customer loop.",
+)
+def sub3_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

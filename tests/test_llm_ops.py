@@ -212,3 +212,48 @@ def test_approx_percentile_within_error_bound(spark):
     for flag, ex in exact.items():
         for a, e in zip(approx[flag], ex):
             assert abs(a - e) / max(e, 1.0) < 0.01, (flag, a, e)
+
+
+def test_count_min_overestimates_within_bound(spark):
+    """g15: the CMS estimate is (a) never below the true count (min of
+    counters that each include the key's own increments) and (b) within
+    the classic eps*N bound (eps = e/width) for the overwhelming
+    majority of keys (per-key failure probability <= exp(-depth))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.sketches import CMS_WIDTH, cms_estimate
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    exact = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("exact"))
+    est = cms_estimate(li, li.select("l_partkey").distinct(), "l_partkey")
+    joined = est.join(exact, "l_partkey").toPandas()
+    n_rows = int(joined["exact"].sum())
+    bound = math.e / CMS_WIDTH * n_rows
+    assert (joined["cms_est"] >= joined["exact"]).all()
+    within = (joined["cms_est"] - joined["exact"] <= bound).mean()
+    assert within >= 0.95, (within, bound)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """v6: int8 scalar quantization keeps recall@10 vs the exact cosine
+    baseline >= 0.5 on the fixture corpus (measured 0.7; the embeddings
+    are unit-norm so quantized dot product approximates cosine rank)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = S.cosine_topk(emb, queries, k=10).toPandas()
+    quant = S.quantized_topk(emb, [0, 1, 2], k=10).toPandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        t = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(quant[quant.query_id == qid].neighbor_id)
+        recalls.append(len(t & a) / len(t))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

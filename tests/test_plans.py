@@ -294,3 +294,29 @@ def test_dynamic_partition_overwrite(spark):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_cms_sketch_broadcasts(spark):
+    """g15: the depth*width sketch table is the broadcast side of the
+    probe join — keys never shuffle against the sketch."""
+    df = spark_queries()["g15_count_min_freq"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """t12: the benchmark gram set (tiny vs the training corpus)
+    broadcasts; the corpus-side gram relation never shuffles for the
+    contamination join."""
+    df = spark_queries()["t12_decontamination"](spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """sub3: Catalyst decorrelates the LATERAL ORDER BY+LIMIT subquery
+    into a ranked window join — no per-row re-execution (the plan
+    contains a Window/rank, not a nested-loop over customers)."""
+    from kafka_flink_spark.plans import plan_string
+
+    df = spark_queries()["sub3_lateral_topn"](spark, SF_SMALL)
+    p = plan_string(df)
+    assert "Window" in p or "row_number" in p, p[:2000]
