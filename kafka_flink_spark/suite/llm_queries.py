@@ -1022,14 +1022,15 @@ _DECON_GRAM = "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
     oracle=f"""
 WITH grams AS (
     SELECT doc_id,
-           unnest(list_distinct([{_DECON_GRAM} for i in range(1, len(w) - 3)])) AS gram
+           unnest([{_DECON_GRAM} for i in range(1, len(w) - 3)]) AS gram
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     WHERE len(w) >= 5
 ),
 hashed AS (SELECT doc_id, {_md5l("gram")} AS gram_h FROM grams),
 train AS (SELECT * FROM hashed WHERE doc_id % 50 <> 0),
 bench AS (SELECT doc_id AS bench_id, gram_h FROM hashed WHERE doc_id % 50 = 0),
-totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM train GROUP BY 1),
+totals AS (SELECT doc_id, CAST(count(DISTINCT gram_h) AS BIGINT) AS n_grams
+           FROM train GROUP BY 1),
 hits AS (
     SELECT t.doc_id,
            CAST(count(DISTINCT t.gram_h) AS BIGINT) AS n_shared_grams,

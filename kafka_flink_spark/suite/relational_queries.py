@@ -1501,33 +1501,32 @@ def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_BUCKET = (
-    "CAST(('0x' || substr(md5('cms:' || CAST(d AS VARCHAR) || ':' || "
-    "CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5('cms:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)"
 )
 
 
 @register(
     "g15_count_min_freq",
     oracle=f"""
-WITH fanned AS (
-    SELECT l_partkey, d, {_CMS_BUCKET} AS bucket
-    FROM lineitem, range(4) t(d)
+WITH hashed AS (SELECT l_partkey, {_CMS_HASH} AS h FROM lineitem),
+fanned AS (
+    SELECT l_partkey, d, (h >> CAST(8 * d AS INT)) & 255 AS bucket
+    FROM hashed, range(4) t(d)
 ),
 sketch AS (SELECT d, bucket, count(*) AS c FROM fanned GROUP BY 1, 2),
-kb AS (
-    SELECT DISTINCT l_partkey, d, {_CMS_BUCKET} AS bucket
-    FROM lineitem, range(4) t(d)
-)
+kb AS (SELECT DISTINCT l_partkey, d, bucket FROM fanned)
 SELECT kb.l_partkey, CAST(min(s.c) AS BIGINT) AS cms_est
 FROM kb JOIN sketch s ON kb.d = s.d AND kb.bucket = s.bucket
 GROUP BY 1
 """,
     doc="Count-min sketch frequency estimation (operators/sketches.py), "
     "completing the sketch trio (HLL=g7, GK=g13, CMS=g15). Unlike "
-    "those, the CMS estimate is fully deterministic (explicit md5 hash "
-    "rows: depth 4 x width 256), so it IS oracle-checked, not "
-    "rows-only. The sketch table is depth*width rows regardless of "
+    "those, the CMS estimate is fully deterministic (one md5 digest "
+    "per key, depth 4 buckets byte-sliced out of it, width 256), so "
+    "it IS oracle-checked, not rows-only. md5 dominates sketch-build "
+    "cost, so hashing once and slicing bytes is 4x cheaper than "
+    "hashing per depth. The sketch table is depth*width rows regardless of "
     "input — built with one map-side-combined aggregate, broadcast "
     "back to score keys; sketches from disjoint shards merge by "
     "adding counters. Overestimate-only + error bound pinned in "
