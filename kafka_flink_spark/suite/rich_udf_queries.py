@@ -218,3 +218,36 @@ def u6_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_no, c.piece, c.n_words "
         "FROM docs_udtf d, LATERAL doc_chunker(d.text, 32) c"
     )
+
+
+@register(
+    "u7_pandas_grouped_agg_udaf",
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) * 1.0
+           / (sum(CAST(l_quantity AS BIGINT)) * 100.0) AS w_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Grouped-aggregate pandas UDF (the Python UDAF surface, "
+    "PandasUDFType.GROUPED_AGG): quantity-weighted average price per "
+    "returnflag. The UDAF accumulates in exact int64 cents inside "
+    "pandas (accumulation ORDER varies with partition read order, so "
+    "float sums there would not be reproducible; integer sums are), "
+    "then performs the identical float division the oracle does. "
+    "Arrow-batched per group; one shuffle on the group key. Spark disallows mixing a GROUPED_AGG UDF with JVM aggregates in one agg, so the query is the UDAF alone.",
+)
+def u7_pandas_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @pandas_udf(T.DoubleType())
+    def w_avg_cents(cents: pd.Series, qty: pd.Series) -> float:
+        num = int((cents * qty).sum())
+        den = int(qty.sum())
+        return num * 1.0 / (den * 100.0)
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        w_avg_cents(cents.alias("c"), qty.alias("q")).alias("w_avg_price")
+    )
