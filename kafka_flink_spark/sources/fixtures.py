@@ -30,25 +30,71 @@ _RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain TIMESTAMP column regardless of
+    how the fixture was written:
+
+    * TIMESTAMP(NANOS) parquet + ``spark.sql.legacy.parquet.nanosAsLong``
+      → arrives as LONG nanos; exact integer division (``div 1000`` → µs,
+      truncating like DuckDB/Arrow do).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → arrives as
+      TIMESTAMP_NTZ; cast to TIMESTAMP is value-identical because the
+      engine pins ``spark.sql.session.timeZone`` to UTC (session.py),
+      and it restores the full scalar surface (unix_micros etc.).
+    * plain TIMESTAMP → untouched.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning and filter pushdown are
     Catalyst's job — callers express projections/filters declaratively
     and they reach the parquet reader (verified in plans tests).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot
-    read natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as a LONG of nanos and is converted here via exact integer
-    division (``div 1000`` → µs, truncating like DuckDB/Arrow do).
+    ``events.ts`` is normalized to TIMESTAMP at the source wrapper
+    (see ``_normalize_event_ts``) so every downstream query sees one
+    type whichever parquet precision the fixture generation used.
     """
     cache = _RELATION_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
     df = cache.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            df = _normalize_event_ts(df)
         cache[key] = df
     return df
+
+
+def stream_events_raw(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of the events fixture with ``ts`` normalized to
+    TIMESTAMP — the one place that knows the fixture's on-disk ts
+    encoding. FileStreamSource needs an explicit schema, so the batch
+    footer schema (one cached driver round-trip via ``load_table``'s
+    raw read) decides which declared schema + conversion applies.
+    """
+    raw_t = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_decl = {
+        T.LongType: "long",
+        T.TimestampNTZType: "timestamp_ntz",
+    }.get(type(raw_t), "timestamp")
+    reader = spark.readStream.schema(
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # FileStreamSource wants a directory; select just the events table
+    # out of the fixture dir with a glob filter.
+    events = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return _normalize_event_ts(events)
 
 
 def load_tables(

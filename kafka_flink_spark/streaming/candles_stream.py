@@ -35,10 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_flink_spark.operators.candles import ohlcv_aggs
-
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+from kafka_flink_spark.sources.fixtures import stream_events_raw
 
 
 def stream_trades_from_fixture(
@@ -48,18 +45,12 @@ def stream_trades_from_fixture(
     Kafka-free test harness; swap for sources/kafka.kafka_json_source
     in production — the downstream pipeline is identical).
 
-    The fixture's TIMESTAMP(NANOS) column arrives as LONG nanos under
-    the engine's read conf; converted here exactly like the batch
-    path.
+    ``ts`` arrives already normalized to TIMESTAMP by the fixture
+    source wrapper, whichever parquet encoding the fixture used.
     """
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    # FileStreamSource wants a directory; select just the events table
-    # out of the fixture dir with a glob filter.
-    events = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    events = stream_events_raw(spark, sf_dir, max_files_per_trigger)
     return events.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts"),
         F.concat(F.lit("Instrument_"), F.col("user_id")).alias("instrument_id"),
         F.col("event_type").alias("product"),
         F.col("value").alias("price"),

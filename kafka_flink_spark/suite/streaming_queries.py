@@ -345,15 +345,12 @@ def w15_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     from kafka_flink_spark.streaming.joins import interval_join
 
     def side(event_type: str) -> DataFrame:
-        ev = spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        return ev.select(
-            F.col("event_id"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            "user_id",
-            "event_type",
-        ).filter(F.col("event_type") == event_type)
+        from kafka_flink_spark.sources.fixtures import stream_events_raw
+
+        ev = stream_events_raw(spark, sf_dir)
+        return ev.select("event_id", "ts", "user_id", "event_type").filter(
+            F.col("event_type") == event_type
+        )
 
     clicks, views = side("click"), side("view")
     joined = interval_join(
@@ -399,14 +396,12 @@ FROM events
 def w16_stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.streaming.dedup_stream import dedup_stream
 
-    ev = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    from kafka_flink_spark.sources.fixtures import stream_events_raw
+
+    ev = stream_events_raw(spark, sf_dir)
     keys = ev.select(
         "event_type",
-        F.date_format(
-            F.date_trunc("minute", F.timestamp_micros(F.expr("ts div 1000"))), _FMT
-        ).alias("minute"),
+        F.date_format(F.date_trunc("minute", F.col("ts")), _FMT).alias("minute"),
     )
     return run_available_now(dedup_stream(keys, ["event_type", "minute"]), "append")
 
