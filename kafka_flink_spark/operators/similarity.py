@@ -312,6 +312,69 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    min_cosine: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-cluster the corpus, then
+    find near-duplicate pairs (cosine ≥ threshold) WITHIN each cluster
+    only — the quadratic work is bounded by cluster size instead of
+    corpus size, which is the published SemDeDup recipe for
+    billion-document training sets (cluster with k-means, dedup within
+    cells).
+
+    Centroids are assignment-only and deterministic (the ``n_cells``
+    lowest-id vectors), so the DuckDB oracle reproduces the clustering
+    bit-for-bit; a learned k-means quantizer plugs into the identical
+    dataflow. Scale shape: centroid assignment is one broadcast
+    cross-score + max_by aggregation (no corpus self-join), the
+    within-cell self-join shuffles on ``cell`` — at production scale
+    swap the per-pair cosine fold for the blocked-GEMM kernel of
+    ``embedding_near_dup_pairs`` applied per cell.
+
+    Returns (id_a, id_b, cell, cos_sim) with id_a < id_b.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine(F.col("v"), F.col("centroid")), 6))
+    )
+    # Deterministic argmax-cosine assignment: max cos, ties to low cid.
+    assigned = scored.groupBy("vid").agg(
+        F.max_by(
+            "cid",
+            F.struct(
+                F.col("cos_c").alias("cos"), (-F.col("cid")).cast("double").alias("tb")
+            ),
+        ).alias("cell")
+    )
+    clustered = (
+        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .join(assigned, "vid")
+    )
+    a = clustered.select(
+        F.col("cell"), F.col("vid").alias("id_a"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        F.col("cell"), F.col("vid").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .select("id_a", "id_b", "cell", "cos_sim")
+    )
+
+
 def multiprobe_lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -507,3 +507,38 @@ def pack_documents(
         ),
         (F.col("start_offset") % capacity).cast("long").alias("offset_in_pack"),
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b anchors —
+# no lookarounds or backreferences (RE2 has neither).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count then replace emails,
+    SSNs, phone numbers, and IPv4 addresses with typed placeholder
+    tags, applied in a fixed order (so overlapping matches — an SSN
+    shape inside a phone number — resolve deterministically).
+
+    All-narrow: four regexp_count and four chained regexp_replace
+    expressions per row, fused into the scan stage by whole-stage
+    codegen; nothing shuffles, which is the only acceptable shape for
+    a 100 TB redaction pass. Adds ``n_<kind>`` counts (from the
+    pre-redaction text) and replaces ``col`` with the redacted form.
+    """
+    counts = [
+        F.regexp_count(F.col(col), F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _tag in PII_PATTERNS
+    ]
+    red = F.col(col)
+    for _kind, pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return df.select(
+        *[c for c in df.columns if c != col], *counts, red.alias(col)
+    )

@@ -1104,3 +1104,119 @@ def v6_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(
         load_table(spark, sf_dir, "embeddings"), list(_QUERY_IDS), k=10
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = _duck_cosine
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT {S.N_CELLS}),
+cscore AS (
+    SELECT e.vec_id AS vid, e.v, c.cid,
+           round({cos("e.v", "c.centroid")}, 6) AS cos_c
+    FROM e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vid, v, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vid
+              ORDER BY cos_c DESC, cid) AS arn FROM cscore)
+    WHERE arn = 1
+)
+SELECT a.vid AS id_a, b.vid AS id_b, a.cell,
+       round({cos("a.v", "b.v")}, 6) AS cos_sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid < b.vid
+WHERE round({cos("a.v", "b.v")}, 6) >= 0.35
+"""
+
+
+@register(
+    "d8_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic dedup (operators/similarity."
+    "semantic_dedup_pairs): coarse-cluster the corpus against "
+    "deterministic assignment-only centroids (broadcast cross-score + "
+    "max_by, no corpus self-join), then near-dup pairs (cosine >= "
+    "0.35) WITHIN each cell only — quadratic work bounded by cluster "
+    "size, the published recipe for billion-document corpora. A "
+    "learned k-means quantizer plugs into the identical dataflow.",
+)
+def d8_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.35
+    )
+
+
+def _pii_synth_duck() -> str:
+    """DuckDB mirror of the PII synthesis in t13 (fixture docs carry no
+    PII, so the query plants deterministic PII to redact)."""
+    return """
+SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || ' or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         AS text
+FROM documents
+"""
+
+
+_PII_ORACLE = f"""
+WITH synth AS ({_pii_synth_duck()})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\\+[0-9]{{1,2}}-[0-9]{{2,4}}-[0-9]{{3,4}}-[0-9]{{4}}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>', 'g'),
+           '\\+[0-9]{{1,2}}-[0-9]{{2,4}}-[0-9]{{3,4}}-[0-9]{{4}}', '<PHONE>', 'g'),
+         '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS text
+FROM synth
+"""
+
+
+@register(
+    "t13_pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="PII scrubbing (operators/text.redact_pii): plant deterministic "
+    "emails/phones/IPs/SSNs into the fixture docs, then count and "
+    "redact them with typed placeholder tags in one fixed-order chain "
+    "of regexp_count/regexp_replace expressions. All-narrow: the whole "
+    "pass fuses into the scan stage (zero shuffle), the only "
+    "acceptable shape for a 100 TB redaction sweep. Patterns are "
+    "Java-regex/RE2 portable (no lookarounds, no backreferences).",
+)
+def t13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" or +1-555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return X.redact_pii(synth, "text")

@@ -1567,3 +1567,62 @@ def sub3_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+_MONTH_SPINE_SPARK = """
+WITH RECURSIVE months(m, hi) AS (
+    SELECT date_trunc('MONTH', min(o_orderdate)),
+           date_trunc('MONTH', max(o_orderdate))
+    FROM orders
+    UNION ALL
+    SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+),
+rev AS (
+    SELECT date_trunc('MONTH', o_orderdate) AS m,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY date_trunc('MONTH', o_orderdate)
+)
+SELECT date_format(months.m, 'yyyy-MM') AS month,
+       coalesce(rev.revenue, 0.0) AS revenue,
+       CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+_MONTH_SPINE_ORACLE = """
+WITH RECURSIVE months(m, hi) AS (
+    SELECT date_trunc('month', min(o_orderdate)),
+           date_trunc('month', max(o_orderdate))
+    FROM orders
+    UNION ALL
+    SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+),
+rev AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT strftime(months.m, '%Y-%m') AS month,
+       coalesce(rev.revenue, 0.0) AS revenue,
+       CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN rev ON months.m = rev.m
+"""
+
+
+@register(
+    "r1_recursive_month_spine",
+    oracle=_MONTH_SPINE_ORACLE,
+    doc="Recursive CTE (WITH RECURSIVE, Spark 4+): generate a complete "
+    "month spine from min to max order date, then left-join monthly "
+    "revenue so months without orders surface as explicit zeros — the "
+    "calendar-gap-fill idiom reporting pipelines need. The recursion "
+    "is driver-bounded (one row per month, ~80 iterations) while the "
+    "revenue aggregation stays fully distributed; at 100 TB the spine "
+    "is negligible and broadcast into the join.",
+)
+def r1_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MONTH_SPINE_SPARK)

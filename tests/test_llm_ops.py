@@ -257,3 +257,42 @@ def test_quantized_topk_recall_vs_exact(spark):
         a = set(quant[quant.query_id == qid].neighbor_id)
         recalls.append(len(t & a) / len(t))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_semantic_dedup_is_within_cell_subset_of_all_pairs(spark):
+    """Every semantic-dedup pair is an all-pairs near-dup pair (same
+    threshold), and both members share the pair's reported cell — the
+    SemDeDup trade: bounded quadratic work, recall limited to
+    within-cluster pairs."""
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sem = S.semantic_dedup_pairs(emb, min_cosine=0.35)
+    allp = S.embedding_near_dup_pairs(emb, min_cosine=0.35)
+    sem_pairs = {(r.id_a, r.id_b) for r in sem.collect()}
+    all_pairs = {(r.id_a, r.id_b) for r in allp.collect()}
+    assert sem_pairs, "fixture corpus should contain within-cell near-dups"
+    assert sem_pairs <= all_pairs
+
+
+def test_redact_pii_removes_every_pattern(spark):
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org today"),
+        (2, "call +1-555-867-5309 or +44-20-7946-0958 now"),
+        (3, "server at 192.168.1.254 and 10.0.0.1 responded"),
+        (4, "ssn is 078-05-1120 ok"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].text and "@" not in out[1].text
+    assert out[2].n_phone == 2 and out[2].text.count("<PHONE>") == 2
+    assert out[3].n_ipv4 == 2 and "192.168" not in out[3].text
+    assert out[4].n_ssn == 1 and "<SSN>" in out[4].text
+    assert out[5].text == "nothing sensitive here"
+    # counts come from pre-redaction text; redacted text has no residue
+    import re
+
+    for kind, pat, _tag in X.PII_PATTERNS:
+        for r in out.values():
+            assert not re.search(pat, r.text), (kind, r.text)
