@@ -235,3 +235,80 @@ def dual_emit(
     updates = run_available_now(candles_stream, "update", updates_name)
     finals = run_available_now(candles_stream, "append", finals_name)
     return updates, finals
+
+
+def rollup_merge_available_now(
+    trades: DataFrame,
+    target_dir: str,
+    window_duration: str = "1 hour",
+    key_col: str = "product",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable-rollup /
+    materialized-candle pattern): an update-mode streaming OHLCV
+    aggregation whose every micro-batch MERGEs its changed windows
+    into a persistent rollup table, so the table always holds the
+    latest value per (window, key) and is queryable mid-stream.
+
+    Spark-first shape: the aggregation state lives in the state store
+    (incremental, watermark-bounded); ``foreachBatch`` receives ONLY
+    the windows the batch touched and upserts them with the batch
+    MERGE operator (operators/merge.py) on the composite window+key —
+    at scale the batch side is tiny relative to the rollup table, so
+    AQE broadcasts it, and a transactional format (Delta/Iceberg)
+    replaces the local staging-dir swap with a row-level MERGE without
+    changing anything upstream. Runs to completion (availableNow) and
+    returns the final rollup table.
+    """
+    import os
+    import shutil
+
+    from kafka_flink_spark.operators.merge import merge_into
+
+    agg = ohlcv_stream(trades, window_duration, watermark_delay, key_col)
+    value_cols = ("open", "high", "low", "close", "volume")
+
+    def upsert(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        src = batch.withColumn(
+            "k",
+            F.concat_ws(
+                "|", F.col("window_start").cast("string"), F.col(key_col)
+            ),
+        )
+        if os.path.isdir(target_dir):
+            tgt = spark.read.parquet(target_dir)
+            merged = merge_into(
+                tgt,
+                src,
+                "k",
+                update_set={
+                    c: F.col(f"s.{c}")
+                    for c in ("window_start", "window_end", key_col, *value_cols)
+                },
+                insert_set={
+                    c: F.col(f"s.{c}")
+                    for c in ("window_start", "window_end", key_col, *value_cols)
+                },
+            )
+        else:
+            merged = src
+        staging = target_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(staging, target_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return trades.sparkSession.read.parquet(target_dir).drop("k")

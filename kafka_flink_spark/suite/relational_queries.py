@@ -1626,3 +1626,35 @@ FROM months LEFT JOIN rev ON months.m = rev.m
 def r1_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MONTH_SPINE_SPARK)
+
+
+@register(
+    "g16_hll_sketch_union",
+    oracle=None,  # Datasketches HLL binary images are engine-specific;
+    # union==direct equivalence and error bound pinned in tests
+    doc="Mergeable HLL sketches (Spark 3.5+ Datasketches functions): "
+    "build one hll_sketch_agg per order-priority partition, then "
+    "hll_union_agg the partial sketches into a corpus-wide distinct "
+    "estimate — the two-level pattern that lets 1000 executors "
+    "sketch independently and merge tiny binary images instead of "
+    "shuffling raw keys. Estimates are algorithm-specific, so the "
+    "driver records a rows-only check; tests pin (a) union-of-parts "
+    "== sketch-of-whole exactly and (b) <2% error vs exact.",
+)
+def g16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    parts = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    per_part = parts.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_custs"),
+        "n_rows",
+    )
+    union_row = parts.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_custs"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    return per_part.unionByName(union_row)

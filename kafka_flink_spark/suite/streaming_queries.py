@@ -508,3 +508,35 @@ def w18_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("long").alias("volume"),
     )
     return run_available_now(agg, "complete")
+
+
+@register(
+    "w20_stream_rollup_merge",
+    oracle=f"WITH {TRADES_ORACLE_CTE} {_CANDLES_1H_ORACLE_BODY}",
+    doc="Continuous-aggregate maintenance (hypertable-rollup pattern): "
+    "update-mode streaming OHLCV whose every micro-batch MERGEs its "
+    "changed windows into a persistent parquet rollup table keyed by "
+    "(window, product) — the table holds the latest value per window "
+    "mid-stream and equals the batch answer after full replay "
+    "(streaming/candles_stream.rollup_merge_available_now + "
+    "operators/merge.py; multi-batch incrementality pinned in "
+    "tests/test_streaming.py).",
+)
+def w20_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kafka_flink_spark.streaming.candles_stream import (
+        rollup_merge_available_now,
+    )
+
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="rollup_")
+    target = tmp + "/rollup"
+    try:
+        out = rollup_merge_available_now(trades, target, "1 hour")
+        result = _fmt_windows(out).cache()
+        result.count()  # pin before the backing files disappear
+        return result
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -296,3 +296,23 @@ def test_redact_pii_removes_every_pattern(spark):
     for kind, pat, _tag in X.PII_PATTERNS:
         for r in out.values():
             assert not re.search(pat, r.text), (kind, r.text)
+
+
+def test_hll_union_equals_whole_and_bounds_error(spark):
+    """g16: union of per-partition HLL sketches estimates the same as
+    one sketch over the whole column (mergeability — the property that
+    makes the two-level pattern valid), and lands within 2% of exact."""
+    from pyspark.sql import functions as F
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    unioned = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0].e
+    )
+    whole = o.agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")).collect()[0].e
+    exact = o.select("o_custkey").distinct().count()
+    assert unioned == whole
+    assert abs(unioned - exact) / exact < 0.02
