@@ -348,3 +348,49 @@ def e6_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("min_v_10m"),
         F.max("value").over(w).alias("max_v_10m"),
     )
+
+
+@register(
+    "e7_session_window_native",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us >= {_GAP_US} THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, ts, us,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 6 HOUR, '{_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    doc="NATIVE session windows in batch: groupBy(session_window(ts, "
+    "'6 hours'), user_id) — Spark's built-in gap-merge operator "
+    "(sort-merge within partition, no window-function pass) computing "
+    "the same sessions e1 derives with lag+cumsum; the oracle is the "
+    "gap-and-islands SQL. session_window.end = last event + gap by "
+    "definition, mirrored in the oracle's max(ts) + gap.",
+)
+def e7_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), F.col("user_id"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -251,3 +251,41 @@ def u7_pandas_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         w_avg_cents(cents.alias("c"), qty.alias("q")).alias("w_avg_price")
     )
+
+
+_TRADE_GEN_ORACLE = """
+SELECT seq,
+       1700000000000 + seq AS ts_ms,
+       'Instrument_' || CAST(CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 100 AS VARCHAR)
+           AS instrument_id,
+       'Product_' || CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 2000 AS VARCHAR)
+           AS product,
+       (CAST(('0x' || substr(h, 13, 8)) AS BIGINT) % 999000) / 1000.0 + 1.0 AS price,
+       CAST(('0x' || substr(h, 21, 4)) AS BIGINT) % 100 + 1 AS qty
+FROM (SELECT seq, md5('trade:' || CAST(seq AS VARCHAR)) AS h
+      FROM range(10000) t(seq))
+"""
+
+
+@register(
+    "s10_python_datasource_gen",
+    oracle=_TRADE_GEN_ORACLE,
+    doc="Custom Python Data Source (Spark 4 DataSource API, "
+    "sources/trade_gen.py): the reference's single-process kafka-python "
+    "load generator (old/gen.py:13-36 — 2000 products, price [1,1000], "
+    "qty [1,100], epoch-ms ts) as a first-class partition-parallel "
+    "SOURCE: spark.read.format('trade_gen') plans contiguous seq "
+    "ranges onto executors, no driver loop. Every field is an md5 "
+    "slice of the global seq, so any parallelism yields the identical "
+    "relation and the oracle regenerates it bit-for-bit from range().",
+)
+def s10_python_datasource_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.trade_gen import register_trade_gen
+
+    register_trade_gen(spark)
+    return (
+        spark.read.format("trade_gen")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )

@@ -73,3 +73,25 @@ def test_kafka_source_sink_wrappers_build(spark):
         raise
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == [f.name for f in TRADE_WIRE_SCHEMA.fields]
+
+
+def test_trade_gen_datasource_parallelism_invariant(spark):
+    """The trade_gen Python DataSource yields the identical relation at
+    any partition count (fields derive from the global seq, not the
+    split), and splits cover the row range exactly once."""
+    from kafka_flink_spark.sources.trade_gen import register_trade_gen
+
+    register_trade_gen(spark)
+
+    def rows(parts):
+        df = (
+            spark.read.format("trade_gen")
+            .option("rows", "500")
+            .option("partitions", str(parts))
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    a, b = rows(2), rows(7)
+    assert len(a) == 500
+    assert a == b

@@ -320,3 +320,32 @@ def test_lateral_decorrelates_to_window(spark):
     df = spark_queries()["sub3_lateral_topn"](spark, SF_SMALL)
     p = plan_string(df)
     assert "Window" in p or "row_number" in p, p[:2000]
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """Dedup scale contract: signature computation is one narrow
+    shingle-explode stage + one partial-aggregated exchange of 17
+    longs per doc — shingle strings never shuffle."""
+    from kafka_flink_spark.operators.dedup import minhash_signatures
+
+    spark.catalog.clearCache()  # a prior d3 run leaves sigs cached
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert count_exchanges(minhash_signatures(docs)) == 1
+
+
+def test_pii_redaction_zero_shuffle(spark):
+    """t13: the whole redaction pass fuses into the scan — zero
+    exchanges, one codegen span."""
+    df = spark_queries()["t13_pii_redaction"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0, count_exchanges(df)
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_shingle_rows_zero_shuffle(spark):
+    """Gram derivation is per-row: explode(shingle_array) adds no
+    exchange (the old window-lead form paid two)."""
+    from kafka_flink_spark.operators.dedup import shingle_rows
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert count_exchanges(shingle_rows(docs)) == 0
