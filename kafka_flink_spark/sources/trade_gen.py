@@ -17,7 +17,12 @@ from the same public recipe (see suite/rich_udf_queries).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 TRADE_GEN_SCHEMA = (
     "seq long, ts_ms long, instrument_id string, product string, "
@@ -61,6 +66,9 @@ class TradeGenDataSource(DataSource):
     def reader(self, schema) -> "TradeGenReader":
         return TradeGenReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "TradeGenStreamReader":
+        return TradeGenStreamReader(self.options)
+
 
 class TradeGenReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -91,3 +99,37 @@ def register_trade_gen(spark) -> None:
         spark.dataSource.register(TradeGenDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+class TradeGenStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded form of the generator: ``spark.readStream.format(
+    "trade_gen")`` — the Kafka-free stand-in for the reference's
+    continuous producer loop. The offset is just the global sequence
+    number, so replays are exact: readBetweenOffsets regenerates any
+    micro-batch bit-for-bit (the generator IS its own write-ahead log),
+    giving end-to-end exactly-once without a broker.
+    """
+
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rowsPerBatch", "1000"))
+        self.n_products = int(options.get("products", "2000"))
+        self.n_instruments = int(options.get("instruments", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = start["seq"]
+        hi = lo + self.rows_per_batch
+        return self._rows(lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["seq"], end["seq"])
+
+    def _rows(self, lo: int, hi: int):
+        # Concrete list, not a generator: the driver pickles the batch
+        # into its prefetch cache before executors consume it.
+        return [
+            trade_row(seq, self.n_products, self.n_instruments)
+            for seq in range(lo, hi)
+        ]

@@ -739,3 +739,61 @@ def test_rollup_merge_incremental_across_batches(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_trade_gen_streaming_source_feeds_candles(spark):
+    """The trade_gen DataSource's streaming reader drives the standard
+    OHLCV pipeline without Kafka: micro-batches advance a pure
+    seq-number offset, and the accumulated rows are exactly the
+    deterministic prefix of the generator (same recipe as the batch
+    reader), so the downstream candle query sees a replayable stream."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.trade_gen import (
+        register_trade_gen,
+        trade_row,
+    )
+
+    register_trade_gen(spark)
+    stream = (
+        spark.readStream.format("trade_gen")
+        .option("rowsPerBatch", "500")
+        .option("products", "50")
+        .load()
+    )
+    trades = stream.select(
+        F.timestamp_millis("ts_ms").alias("ts"),
+        F.col("product"),
+        F.col("price"),
+        F.col("qty"),
+        F.col("seq"),
+    )
+    name = "tg_stream_sink"
+    q = (
+        trades.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n >= 1000:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        got = {r.seq: (r.product, r.price, r.qty) for r in spark.table(name).collect()}
+        assert len(got) >= 1000
+        # contiguous prefix, bit-identical to the batch recipe
+        assert set(got) == set(range(len(got)))
+        for seq in (0, 1, len(got) - 1):
+            _s, _ts, _instr, product, price, qty = trade_row(seq, 50, 100)
+            assert got[seq] == (product, price, qty)
+    finally:
+        if q.isActive:
+            q.stop()
+        spark.catalog.dropTempView(name)
