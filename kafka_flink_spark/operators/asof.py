@@ -38,6 +38,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     strict: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Attach the latest right row (per ``key_col``, by time) to each
     left row. Right payload columns keep their names; rows with no
@@ -45,6 +46,13 @@ def asof_join(
 
     ``strict=True`` matches only right rows strictly earlier than the
     left timestamp (right rows at the exact same instant are ignored).
+
+    ``tolerance`` (a SQL interval string, e.g. ``"4 hours"``) bounds
+    how stale the matched right row may be: a match older than
+    ``left_ts - tolerance`` yields nulls instead — the pandas
+    ``merge_asof(tolerance=...)`` semantics. Implemented as a post-fill
+    conditional on the carried right timestamp: same single linear
+    shuffle, no extra join.
     """
     payload = [c for c in right.columns if c not in (key_col, right_ts)]
     lt = left.select(
@@ -74,13 +82,23 @@ def asof_join(
     filled = unioned.select(
         key_col,
         "_side",
+        "_t",
         "_l",
+        # the matched right row's own timestamp rides along so a
+        # staleness bound can null out too-old matches post-fill
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_rt"),
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
             for c in payload
         ],
     )
+    if tolerance is None:
+        fresh = F.lit(True)
+    else:
+        fresh = F.col("_rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
     return filled.filter(F.col("_side") == 1).select(
         F.col("_l.*"),
-        *[F.col(f"_r_{c}").alias(c) for c in payload],
+        *[F.when(fresh, F.col(f"_r_{c}")).alias(c) for c in payload],
     )

@@ -374,3 +374,48 @@ def a8_flink_tumble_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
     )
+
+
+@register(
+    "j7_asof_join_tolerance",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+candles AS (
+    SELECT product,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS cts,
+           arg_max(price, ts) AS prev_close
+    FROM trades
+    GROUP BY product, date_trunc('hour', ts)
+)
+SELECT t.seq, t.product,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       t.price,
+       CASE WHEN c.cts >= t.ts - INTERVAL 4 HOUR THEN c.prev_close END AS prev_close
+FROM trades t
+ASOF LEFT JOIN candles c ON t.product = c.product AND t.ts >= c.cts
+""",
+    doc="As-of join with a staleness tolerance (pandas merge_asof "
+    "tolerance semantics): the latest completed hourly close is "
+    "attached only if it closed within the last 4 hours; older matches "
+    "yield NULL — the point-in-time-correctness guard for feature "
+    "pipelines (a quote from last week must not leak into today's "
+    "row). Same union + ordered-window plan as j6, one linear "
+    "shuffle; the bound is a post-fill conditional, not another join.",
+)
+def j7_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.asof import asof_join
+
+    trades = trades_view(spark, sf_dir)
+    candles = ohlcv(trades, "1 hour", seq_col="seq").select(
+        "product",
+        F.col("window_end").alias("ts"),
+        F.col("close").alias("prev_close"),
+    )
+    out = asof_join(trades, candles, key_col="product", tolerance="4 hours")
+    return out.select(
+        "seq",
+        "product",
+        F.date_format("ts", _FMT + ".SSSSSS").alias("ts"),
+        "price",
+        "prev_close",
+    )

@@ -1220,3 +1220,48 @@ def t13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return X.redact_pii(synth, "text")
+
+
+@register(
+    "t14_token_freq_score",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+total AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.c) AS BIGINT) AS sum_freq,
+       round(sum(v.c) * 1.0 / (count(*) * (SELECT n FROM total)), 9) AS freq_score
+FROM tok t JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+""",
+    doc="Unigram-likelihood quality proxy (the LM-scoring stand-in "
+    "used to rank corpus docs by 'typicality'): corpus unigram counts "
+    "-> per-doc mean token frequency = sum(count(w)) / (n_tokens * N). "
+    "Two passes over the token relation with a broadcast vocab join; "
+    "all arithmetic stays integer until the final division, so the "
+    "score is bit-reproducible under any partitioning (no "
+    "transcendental logs whose last ulp differs across engines). At "
+    "100 TB the vocab aggregate is the only corpus-wide exchange and "
+    "the per-doc pass is a broadcast join.",
+)
+def t14_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("n"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_freq"),
+            F.round(
+                F.sum("c") / (F.count("*") * F.first("n")),
+                9,
+            ).alias("freq_score"),
+        )
+    )

@@ -289,3 +289,80 @@ def s10_python_datasource_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@register(
+    "u8_table_arg_udtf",
+    oracle="""
+WITH t AS (
+    SELECT event_type AS product, ts, event_id, value AS price FROM events
+),
+ranked AS (
+    SELECT product, price,
+           row_number() OVER (PARTITION BY product ORDER BY ts, event_id) AS rn,
+           row_number() OVER (PARTITION BY product ORDER BY ts DESC, event_id DESC) AS rrn
+    FROM t
+)
+SELECT product,
+       max(CASE WHEN rn = 1 THEN price END) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       max(CASE WHEN rrn = 1 THEN price END) AS close,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM ranked
+GROUP BY product
+""",
+    doc="Python UDTF with a TABLE argument (Spark 4 polymorphic "
+    "table function): SELECT * FROM ohlc_udtf(TABLE(t) PARTITION BY "
+    "product ORDER BY ts, event_id) — the engine partitions and "
+    "orders the input, each partition streams through one UDTF "
+    "instance's eval(), terminate() emits the per-key fold. This is "
+    "the reference's KeyedProcessFunction shape (7_ohlc.py:35-98) as "
+    "a SQL-invocable operator; arrival order is pinned by the ORDER "
+    "BY so the fold is deterministic, and the oracle is the "
+    "equivalent declarative aggregate.",
+)
+def u8_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="product string, open double, high double, low double, "
+          "close double, n_trades long")
+    class OhlcUdtf:
+        def __init__(self):
+            self.product = None
+            self.open = None
+            self.high = None
+            self.low = None
+            self.close = None
+            self.n = 0
+
+        def eval(self, row):
+            p = row["price"]
+            self.product = row["product"]
+            if self.open is None:
+                self.open = p
+                self.high = p
+                self.low = p
+            else:
+                self.high = max(self.high, p)
+                self.low = min(self.low, p)
+            self.close = p
+            self.n += 1
+
+        def terminate(self):
+            if self.n:
+                yield (self.product, self.open, self.high, self.low,
+                       self.close, self.n)
+
+    spark.udtf.register("ohlc_udtf", OhlcUdtf)
+    load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("product"), "ts", "event_id",
+        F.col("value").alias("price"),
+    ).createOrReplaceTempView("u8_trades")
+    return spark.sql(
+        """
+        SELECT * FROM ohlc_udtf(
+            TABLE(u8_trades) PARTITION BY product ORDER BY (ts, event_id)
+        )
+        """
+    )
