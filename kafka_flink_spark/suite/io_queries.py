@@ -254,3 +254,56 @@ def io6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_set={"acctbal_cents": F.col("s.spend_cents")},
         status_col="status",
     )
+
+
+@register(
+    "io7_small_file_compaction",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+""",
+    doc="Small-file compaction — the table-maintenance op every "
+    "streaming ingest needs (micro-batches leave thousands of tiny "
+    "files; scan cost becomes per-file overhead): rewrite a "
+    "64-file fragmented copy of orders into size-targeted files via "
+    "coalesce (no shuffle — compaction must not pay an exchange), "
+    "verify the compacted table byte-for-byte equals the source "
+    "via aggregate fingerprint, and assert the file count actually "
+    "dropped. At 100 TB this runs per partition-predicate slice "
+    "(compact yesterday's partition), never whole-table.",
+)
+def io7_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        frag_dir, compact_dir = tmp + "/frag", tmp + "/compact"
+        # simulate streaming-ingest fragmentation: 64 tiny files
+        orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
+        frag = spark.read.parquet(frag_dir)
+        n_frag_files = len(glob.glob(frag_dir + "/part-*.parquet"))
+        # compaction: narrow coalesce to a handful of right-sized files
+        frag.coalesce(4).write.mode("overwrite").parquet(compact_dir)
+        n_compact_files = len(glob.glob(compact_dir + "/part-*.parquet"))
+        assert n_frag_files >= 32 and n_compact_files <= 4, (
+            n_frag_files,
+            n_compact_files,
+        )
+        out = (
+            spark.read.parquet(compact_dir)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .cache()
+        )
+        out.count()  # pin before the backing files disappear
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
