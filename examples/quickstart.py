@@ -75,6 +75,26 @@ def main() -> None:
     print("--- JSON wire rows")
     to_json_rows(m1.limit(3)).show(3, truncate=False)
 
+    # 5. Load generation without Kafka: the reference's producer loop
+    #    as a first-class partition-parallel DataSource (Spark 4 API).
+    from kafka_flink_spark.sources.trade_gen import register_trade_gen
+
+    register_trade_gen(spark)
+    gen = spark.read.format("trade_gen").option("rows", "5000").load()
+    print(f"--- trade_gen datasource rows: {gen.count()}")
+
+    # 6. Training-data hygiene: PII redaction + semantic dedup.
+    from kafka_flink_spark.operators.similarity import semantic_dedup_pairs
+    from kafka_flink_spark.operators.text import redact_pii
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    red = redact_pii(docs.select("doc_id", "text"))
+    print(f"--- docs scanned for PII: {red.count()}")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sem = semantic_dedup_pairs(emb, min_cosine=0.35)
+    print(f"--- semantic near-dup pairs (within-cluster): {sem.count()}")
+
     spark.stop()
 
 

@@ -797,3 +797,42 @@ def test_trade_gen_streaming_source_feeds_candles(spark):
         if q.isActive:
             q.stop()
         spark.catalog.dropTempView(name)
+
+
+def test_streaming_agg_with_rocksdb_state_store(spark):
+    """The production state backend: the same windowed aggregation
+    runs under RocksDBStateStoreProvider (the large-state backend a
+    100 TB deployment uses — state spills to local SSD instead of
+    living on the JVM heap) and produces the identical result."""
+    from kafka_flink_spark.operators.candles import ohlcv
+    from kafka_flink_spark.sources.fixtures import trades_view
+    from kafka_flink_spark.streaming.candles_stream import (
+        ohlcv_stream,
+        run_available_now,
+        stream_trades_from_fixture,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        trades = stream_trades_from_fixture(spark, "/root/testdata/sf0.001")
+        out = run_available_now(ohlcv_stream(trades, "1 hour"), "update")
+        got = {
+            (r.window_start, r.product): (r.open, r.high, r.low, r.close, r.volume)
+            for r in out.collect()
+        }
+        batch = ohlcv(trades_view(spark, "/root/testdata/sf0.001"), "1 hour")
+        want = {
+            (r.window_start, r.product): (r.open, r.high, r.low, r.close, r.volume)
+            for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
