@@ -1265,3 +1265,53 @@ def t14_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("freq_score"),
         )
     )
+
+
+@register(
+    "m5_binary_file_ingest",
+    oracle="""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS file_stem,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+    doc="Raw-binary ingestion via the binaryFile source — the first "
+    "hop of every multimodal pipeline (image/audio blobs land as "
+    "files, not rows): one .bin object per doc is written from the "
+    "executors (foreachPartition; object storage at scale), read "
+    "back as (path, length, content) rows, and fingerprinted with "
+    "md5 over the binary column. The oracle recomputes byte length "
+    "and digest from the source text, so round-trip byte fidelity "
+    "is what's actually being hash-checked.",
+)
+def m5_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="blobs_")
+    try:
+        def write_blobs(rows) -> None:
+            for r in rows:
+                path = os.path.join(tmp, f"doc_{r.doc_id:06d}.bin")
+                with open(path, "wb") as f:
+                    f.write(r.text.encode("utf-8"))
+
+        docs.foreachPartition(write_blobs)
+        blobs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(tmp)
+        )
+        out = blobs.select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"(.+)\.bin$", 1
+            ).alias("file_stem"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        ).cache()
+        out.count()  # pin before the backing files disappear
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
