@@ -1315,3 +1315,79 @@ def m5_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "pipe3_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_simhash_sig_sql()}),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+assigned AS (
+    SELECT d.doc_id, c.cluster_id,
+           CAST(('0x' || substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket,
+           len(string_split(d.text, ' ')) AS n_words
+    FROM documents d JOIN clusters c USING (doc_id)
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM assigned
+GROUP BY 1
+""",
+    doc="Leakage-safe train/val/test split: near-dup clusters (d7's "
+    "connected components over the SimHash pair graph) are the unit "
+    "of assignment — the split bucket is md5(cluster_id) % 100, so "
+    "every member of a near-dup cluster lands in the SAME split and "
+    "eval contamination via near-duplicates is structurally "
+    "impossible (the held-out-split hygiene step after any dedup "
+    "pass). Deterministic hash split, no sampling state; the oracle "
+    "recomputes clusters with a recursive CTE.",
+)
+def pipe3_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
+    clusters = D.dedup_clusters(docs.select("doc_id"), pairs)
+    bucket = (
+        D._md5_long_expr(
+            F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+        )
+        % 100
+    )
+    assigned = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .join(clusters, "doc_id")
+        .withColumn("bucket", bucket)
+    )
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )

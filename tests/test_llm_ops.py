@@ -316,3 +316,29 @@ def test_hll_union_equals_whole_and_bounds_error(spark):
     exact = o.select("o_custkey").distinct().count()
     assert unioned == whole
     assert abs(unioned - exact) / exact < 0.02
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """pipe3's structural guarantee, asserted directly: no near-dup
+    cluster straddles two splits (the property that makes the split
+    contamination-safe)."""
+    from pyspark.sql import functions as F
+    from kafka_flink_spark.functions.hashing import md5_long
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
+    clusters = D.dedup_clusters(docs.select("doc_id"), pairs)
+    multi = clusters.groupBy("cluster_id").count().filter(F.col("count") > 1)
+    assert multi.count() > 0, "fixture should contain non-trivial clusters"
+    bucket = md5_long(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    ) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    spans = (
+        clusters.withColumn("split", split)
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert spans.count() == 0
