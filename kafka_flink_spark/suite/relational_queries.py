@@ -1658,3 +1658,47 @@ def g16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").cast("long").alias("n_rows"),
     )
     return per_part.unionByName(union_row)
+
+
+@register(
+    "sc9_url_functions",
+    oracle="""
+WITH u AS (
+    SELECT c_custkey,
+           'https://shop' || CAST(c_nationkey AS VARCHAR)
+             || '.example.com/cust/' || CAST(c_custkey AS VARCHAR)
+             || '?seg=' || c_mktsegment || '&v=1' AS url
+    FROM customer
+)
+SELECT c_custkey,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'seg=([^&]+)', 1) AS seg
+FROM u
+""",
+    doc="URL scalar surface: parse_url(HOST/PATH/QUERY key) over "
+    "synthesized per-customer URLs — the domain-extraction primitive "
+    "web-corpus pipelines group by (per-domain counts drive crawl "
+    "dedup/filters). DuckDB has no parse_url, so the oracle extracts "
+    "the identical components with anchored regexes — the parity is "
+    "on values, not on the function name. All-narrow, fuses into the "
+    "scan.",
+)
+def sc9_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.col("c_mktsegment"),
+        F.lit("&v=1"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )

@@ -836,3 +836,65 @@ def test_streaming_agg_with_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_update_mode_last_update_reduction_multi_batch(spark):
+    """Pins the w11 robustness fix: under a 3-file replay the update
+    sink retains one row per window PER BATCH; reducing to the last
+    update per (window, product) via max_by(n_trades) recovers exactly
+    the batch answer (n_trades is strictly increasing across a
+    window's updates, so the winner is unique)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.candles import ohlcv, ohlcv_aggs
+    from kafka_flink_spark.sources.fixtures import trades_view
+    from kafka_flink_spark.streaming.candles_stream import run_available_now
+
+    tmp = tempfile.mkdtemp(prefix="w11_src_")
+    try:
+        trades = trades_view(spark, "/root/testdata/sf0.001")
+        trades.repartition(3).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(trades.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        agg = (
+            stream.withWatermark("ts", "3650 days")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("product"))
+            .agg(
+                *ohlcv_aggs("ts", "price", "qty", seq_col="seq"),
+                F.count("*").alias("n_trades"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "product", "open", "high", "low", "close", "volume", "n_trades",
+            )
+        )
+        out = run_available_now(agg, "update")
+        # sink holds multiple updates per window — the reduction is the fix
+        assert out.count() > out.select("window_start", "product").distinct().count()
+        last = (
+            out.groupBy("window_start", "product")
+            .agg(
+                F.max_by(
+                    F.struct("open", "high", "low", "close", "volume"),
+                    F.col("n_trades"),
+                ).alias("s")
+            )
+            .select("window_start", "product", "s.*")
+        )
+        got = {
+            (r.window_start, r.product): (r.open, r.high, r.low, r.close, r.volume)
+            for r in last.collect()
+        }
+        want = {
+            (r.window_start, r.product): (r.open, r.high, r.low, r.close, r.volume)
+            for r in ohlcv(trades, "1 hour").collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
