@@ -394,3 +394,50 @@ def e7_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "e8_mau_wau_stickiness",
+    oracle="""
+WITH weekly AS (
+    SELECT date_trunc('week', ts) AS wk,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM events GROUP BY 1
+),
+monthly AS (
+    SELECT date_trunc('month', ts) AS mo,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+    FROM events GROUP BY 1
+)
+SELECT strftime(w.wk, '%Y-%m-%d') AS week_start,
+       w.wau,
+       m.mau,
+       round(w.wau * 1.0 / m.mau, 6) AS stickiness
+FROM weekly w JOIN monthly m ON date_trunc('month', w.wk) = m.mo
+""",
+    doc="Engagement analytics: weekly/monthly active users and the "
+    "WAU/MAU stickiness ratio (each week joined to the month its "
+    "START falls in — the deterministic convention for boundary "
+    "weeks). Two distinct-aggregates over one scan plus a tiny "
+    "broadcast join of week rows to month rows; all-integer until "
+    "the final ratio.",
+)
+def e8_mau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("mo")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        weekly.join(
+            F.broadcast(monthly), F.date_trunc("month", F.col("wk")) == F.col("mo")
+        )
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            "wau",
+            "mau",
+            F.round(F.col("wau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

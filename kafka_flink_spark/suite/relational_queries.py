@@ -1702,3 +1702,46 @@ def sc9_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+WITH yearly AS (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS yr,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+)
+SELECT nation, yr, revenue,
+       round(revenue / lag(revenue) OVER (PARTITION BY nation ORDER BY yr) - 1, 6)
+           AS yoy_growth
+FROM yearly
+""",
+    doc="Year-over-year growth per nation: grouped yearly revenue, then "
+    "lag over the (nation, year) series — the standard trend-report "
+    "shape. The lag window reuses the aggregation's partitioning "
+    "(nation ⊂ group key), so the whole query is one shuffle plus a "
+    "broadcast of the two dims; the ratio divides already-rounded "
+    "revenues, keeping it engine-reproducible.",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return yearly.select(
+        "nation",
+        "yr",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias("yoy_growth"),
+    )
