@@ -1391,3 +1391,68 @@ def pipe3_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+@register(
+    "t15_vocab_encode",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS ord
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+vocab AS (
+    SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS INT) AS id
+    FROM tok GROUP BY w
+    QUALIFY id <= 20
+),
+enc AS (
+    SELECT tok.doc_id, tok.ord, coalesce(v.id, 0) AS id
+    FROM tok LEFT JOIN vocab v ON tok.w = v.w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       list(id ORDER BY ord) AS ids
+FROM enc
+GROUP BY doc_id
+""",
+    doc="Vocabulary encoding — the tokenizer-adjacent step that turns "
+    "text into model-ready int sequences: top-20 tokens by (count "
+    "DESC, token) get dense ids 1..20, everything else encodes as 0 "
+    "(OOV), and each doc becomes its ordered id array (order "
+    "preserved via posexplode + sorted-struct reassembly, since "
+    "collect_list alone has no order guarantee). The vocab is a "
+    "broadcast map; the only corpus-wide exchanges are the frequency "
+    "count and the per-doc reassembly.",
+)
+def t15_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wv = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("id", F.row_number().over(wv).cast("int"))
+        .filter(F.col("id") <= 20)
+        .select("w", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("int")).cast("long").alias("n_oov"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda x: x.id,
+            ).alias("ids"),
+        )
+    )
