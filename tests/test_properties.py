@@ -246,3 +246,45 @@ def test_dedup_clusters_are_transitive(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(ids, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100), st.integers(0, 999)),
+        max_size=15,
+    ),
+    tol=st.integers(1, 50),
+)
+@SET
+def test_asof_tolerance_matches_bruteforce(spark, left, right, tol):
+    """asof_join(tolerance=t) == brute force with matches older than
+    left_ts - t nulled out (merge_asof semantics)."""
+    from kafka_flink_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, 1704067200 + t, i) for i, (k, t) in enumerate(left)],
+        "k string, t long, seq long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "seq")
+    rdf = spark.createDataFrame(
+        [(k, 1704067200 + t, float(v)) for (k, t, v) in right] or [("Z", 0, 0.0)],
+        "k string, t long, px double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px")
+
+    out = asof_join(ldf, rdf, "k", tolerance=f"{tol} seconds")
+    got = {r["seq"]: r["px"] for r in out.collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        rts = [rt for rt, _ in cands]
+        if len(set(rts)) != len(rts):
+            continue  # tie-break convention pinned in the base test
+        if cands:
+            rt, v = max(cands)
+            expected = float(v) if rt >= t - tol else None
+        else:
+            expected = None
+        assert got[i] == expected, (i, k, t, tol, got[i], expected)
