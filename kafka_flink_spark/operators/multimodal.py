@@ -150,3 +150,66 @@ def embed_media(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     return media.mapInPandas(embed, EMBED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_fp", T.StringType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, max_dim: int = 64, real: bool = False) -> DataFrame:
+    """Fit-resize plumbing via ``mapInPandas``: aspect-preserving
+    integer target dims (``new = dim * max_dim // longest_side``,
+    floor — no float rounding to disagree across engines) plus a
+    deterministic fingerprint of the would-be resized payload
+    (md5 of ``media_id:WxH``; a real pixel resample is the gated
+    ``real=True`` path, needing PIL which this environment lacks).
+
+    Input is the decode_media output (media_id, width, height, ...);
+    the batch shape, Arrow transfer, and output schema are the
+    product — swapping the stub for PIL's ``Image.resize`` changes
+    only the function body. Narrow plan, no shuffle.
+    """
+    if real:
+        raise NotImplementedError(
+            "real pixel resampling needs PIL, not present in this "
+            "environment — the Spark plumbing below is the product"
+        )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            longest = pdf[["width", "height"]].max(axis=1)
+            scale_needed = longest > max_dim
+            ow = pdf["width"].where(
+                ~scale_needed, (pdf["width"] * max_dim // longest).clip(lower=1)
+            )
+            oh = pdf["height"].where(
+                ~scale_needed, (pdf["height"] * max_dim // longest).clip(lower=1)
+            )
+            fp = [
+                hashlib.md5(f"{m}:{w}x{h}".encode()).hexdigest()
+                for m, w, h in zip(pdf["media_id"], ow, oh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": ow.astype("int32"),
+                    "out_height": oh.astype("int32"),
+                    "resized_fp": fp,
+                }
+            )
+
+    return decoded.mapInPandas(resize, RESIZED_SCHEMA)

@@ -1456,3 +1456,54 @@ def t15_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids"),
         )
     )
+
+
+@register(
+    "m6_media_resize",
+    oracle=f"""
+WITH {_MEDIA_ORACLE_CTE},
+decoded AS (
+    SELECT media_id,
+           {_hex_byte(0)} + 1 AS width,
+           {_hex_byte(1)} + 1 AS height
+    FROM media
+),
+dims AS (
+    SELECT media_id, width, height,
+           greatest(width, height) AS longest
+    FROM decoded
+),
+resized AS (
+    SELECT media_id, width, height,
+           CASE WHEN longest > 64
+                THEN greatest(CAST(width * 64 // longest AS INT), 1)
+                ELSE width END AS out_width,
+           CASE WHEN longest > 64
+                THEN greatest(CAST(height * 64 // longest AS INT), 1)
+                ELSE height END AS out_height
+    FROM dims
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(out_width AS INT) AS out_width, CAST(out_height AS INT) AS out_height,
+       md5(CAST(media_id AS VARCHAR) || ':' || CAST(out_width AS VARCHAR)
+           || 'x' || CAST(out_height AS VARCHAR)) AS resized_fp
+FROM resized
+""",
+    doc="Multimodal resize plumbing (operators/multimodal.resize_media): "
+    "aspect-preserving fit into a 64px box with pure-integer target "
+    "dims (floor division — no float rounding to disagree across "
+    "engines) computed in an Arrow-batched mapInPandas, plus a "
+    "deterministic fingerprint of the would-be resized payload. Real "
+    "pixel resampling is the gated real=True path (PIL absent here); "
+    "the batch shape, schema, and narrow no-shuffle plan are the "
+    "product.",
+)
+def m6_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import (
+        blobs_from_documents,
+        decode_media,
+        resize_media,
+    )
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    return resize_media(decode_media(media), max_dim=64)
