@@ -1507,3 +1507,54 @@ def m6_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
     return resize_media(decode_media(media), max_dim=64)
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column,
+       CAST(count({col}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_value,
+       CAST(max({col}) AS VARCHAR) AS max_value
+FROM documents"""
+
+
+@register(
+    "qa1_column_profile",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c) for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+    doc="Corpus QA profiling (the ANALYZE/summarize() equivalent with "
+    "exact semantics): per-column non-null count, exact distinct "
+    "count, and min/max — ONE aggregation pass over the table "
+    "producing a single wide row, exploded into one row per column "
+    "driver-side-free (array-of-structs explode, no per-column "
+    "rescan). The first query any training-data intake runs; at "
+    "100 TB the exact distincts are the only expensive aggregates "
+    "and swap for g7's HLL sketches without changing the shape.",
+)
+def qa1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ("doc_id", "text", "lang", "source", "n_chars")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).cast("long").alias(f"{c}__n"),
+            F.count_distinct(c).cast("long").alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_nonnull"),
+                F.col(f"{c}__d").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
