@@ -349,3 +349,52 @@ def test_shingle_rows_zero_shuffle(spark):
     spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents")
     assert count_exchanges(shingle_rows(docs)) == 0
+
+
+def test_range_partitioned_write_produces_skippable_files(spark, tmp_path):
+    """The write-side of data skipping: repartitionByRange +
+    sortWithinPartitions on the filter column yields parquet files
+    whose l_shipdate min/max ranges are (near-)disjoint, so a date
+    filter prunes whole files/row-groups from footer stats alone — a
+    hash-partitioned write gives every file the full date range and
+    skips nothing. This layout choice is what makes time-predicate
+    scans cheap at 100 TB."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_shipdate")
+
+    def file_ranges(path):
+        import glob
+
+        ranges = []
+        for f in sorted(glob.glob(str(path) + "/part-*.parquet")):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)
+                assert col.path_in_schema == "l_shipdate"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    clustered = tmp_path / "clustered"
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    ).write.parquet(str(clustered))
+    hashed = tmp_path / "hashed"
+    li.repartition(8, "l_orderkey").write.parquet(str(hashed))
+
+    def overlaps(ranges):
+        n = 0
+        for i, (lo1, hi1) in enumerate(ranges):
+            for lo2, hi2 in ranges[i + 1 :]:
+                if hi1 >= lo2 and hi2 >= lo1:
+                    n += 1
+        return n
+
+    r_clustered, r_hashed = file_ranges(clustered), file_ranges(hashed)
+    assert len(r_clustered) >= 4 and len(r_hashed) >= 4
+    # range-clustered: boundary-touch overlaps at most; hashed: all pairs overlap
+    assert overlaps(r_clustered) < len(r_clustered)
+    assert overlaps(r_hashed) == len(r_hashed) * (len(r_hashed) - 1) // 2
