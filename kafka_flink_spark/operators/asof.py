@@ -79,26 +79,32 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
+    # Fill the WHOLE matched right row as one struct, not column-by-column:
+    # per-column last(..., ignorenulls) would mix values from different
+    # right rows when the latest right row has a null payload column, and a
+    # stale value could then pass the freshness gate that _rt satisfies.
+    # The struct is non-null exactly on right rows, so last() carries the
+    # latest right row intact — a null inside it stays null, matching
+    # pandas merge_asof (the matched ROW's value, even when that is null).
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_t").alias("_rt"),
+            *[F.col(f"_r_{c}").alias(c) for c in payload],
+        ),
+    )
     filled = unioned.select(
         key_col,
         "_side",
         "_t",
         "_l",
-        # the matched right row's own timestamp rides along so a
-        # staleness bound can null out too-old matches post-fill
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_rt"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in payload
-        ],
+        F.last(rrow, ignorenulls=True).over(w).alias("_r"),
     )
     if tolerance is None:
-        fresh = F.lit(True)
+        fresh = F.col("_r").isNotNull()
     else:
-        fresh = F.col("_rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        fresh = F.col("_r._rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
     return filled.filter(F.col("_side") == 1).select(
         F.col("_l.*"),
-        *[F.when(fresh, F.col(f"_r_{c}")).alias(c) for c in payload],
+        *[F.when(fresh, F.col(f"_r.{c}")).alias(c) for c in payload],
     )

@@ -16,8 +16,15 @@ Scale design
 * **Quadratic work is confined to buckets.** The all-pairs shingle
   join (ngram_jaccard_pairs) is the correctness baseline; MinHash+LSH
   is the scale path — band width tunes the detection-probability
-  S-curve, and bucket sizes stay bounded because near-identical
-  documents are rare by mass.
+  S-curve.
+* **Bucket sizes are guarded against boilerplate mega-clusters.**
+  Docs with identical signatures (byte-identical boilerplate: empty
+  pages, license headers) are band-indistinguishable, so both banding
+  ops join ONE representative per distinct signature and expand group
+  pairs back to doc pairs afterwards — bucket size is |distinct
+  signatures per band key|, not |docs|, and a million identical copies
+  contribute a single banding row instead of a quadratic hot key. The
+  emitted pair set is unchanged (pathological-corpus test pins this).
 """
 
 from __future__ import annotations
@@ -162,7 +169,35 @@ def minhash_lsh_pairs(
     materializing a corpus-sized exploded relation.
     """
     rows_per_band = num_perms // num_bands
+    sig_cols = [f"mh{p}" for p in range(num_perms)]
     sigs = minhash_signatures(df, col, id_col, num_perms)
+    # --- bucket-size guard: collapse identical signatures -----------
+    # A boilerplate mega-cluster (empty pages, license headers) puts
+    # every copy in the SAME (band_id, band_key) bucket; self-joining
+    # docs directly goes quadratic ×num_bands on that hot key. Docs
+    # with identical full signatures are band-indistinguishable, so
+    # band-join ONE representative per distinct signature and expand
+    # group-level candidate pairs back to doc pairs afterwards. The
+    # candidate set is unchanged (same sig ⇒ same bands ⇒ candidate;
+    # reps share a band ⇔ all their members do); bucket size becomes
+    # |distinct signatures per band key|, and the mega-cluster
+    # contributes ONE banding row. The expansion is output-sized —
+    # a quadratic PAIR SET is inherent to emitting all pairs, but no
+    # join input is ever quadratic-amplified (×num_bands) anymore.
+    sigs = sigs.withColumn(
+        "_gfp", F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols]))
+    )
+    # doc → signature-group mapping; feeds the within-group self-join
+    # and both expansion joins (narrow: id + 32-char fp per doc).
+    members = sigs.select(F.col(id_col), "_gfp").persist()
+    members.count()
+    # one representative row per distinct signature (map-side min)
+    reps = (
+        sigs.groupBy("_gfp")
+        .agg(F.min(id_col).alias("_rep"), *[F.first(c).alias(c) for c in sig_cols])
+        .persist()
+    )
+    reps.count()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -175,29 +210,43 @@ def minhash_lsh_pairs(
             for b in range(num_bands)
         ]
     )
-    # Signatures feed both sides of the banding self-join; eager
-    # persist computes the narrow signature pass once — the relation
-    # is num_perms+1 longs per doc, bounded, LRU-evictable.
-    sigs = sigs.persist()
-    sigs.count()
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_key")
+    banded = reps.select(
+        "_gfp", F.col("_rep"), F.posexplode(band_arr).alias("band_id", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # group-level candidate pairs (distinct signatures sharing a band)
+    grp_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._rep") < F.col("b._rep")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a._gfp").alias("_gfp_a"), F.col("b._gfp").alias("_gfp_b"))
+        .dropDuplicates(["_gfp_a", "_gfp_b"])
     )
+    # cross-group doc pairs: candidate-group pairs are rare, so both
+    # expansion joins are candidate-sized (grp_pairs broadcastable)
+    ma = members.select(F.col(id_col).alias("_ida"), F.col("_gfp").alias("_gfp_a"))
+    mb = members.select(F.col(id_col).alias("_idb"), F.col("_gfp").alias("_gfp_b"))
+    cross = (
+        grp_pairs.join(ma, "_gfp_a")
+        .join(mb, "_gfp_b")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+        )
+    )
+    # within-group doc pairs: identical signatures share every band —
+    # always candidates; enumerated directly (no banding amplification)
+    within = ma.join(
+        mb,
+        (F.col("_gfp_a") == F.col("_gfp_b")) & (F.col("_ida") < F.col("_idb")),
+    ).select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    # disjoint by construction (cross: different groups; within: same),
+    # and each unordered pair appears exactly once — no dropDuplicates.
+    cand = cross.unionByName(within)
     # cand feeds three branches (both id sides and the verify join);
     # eager persist stops the banding join from re-running per branch.
     # Candidate pairs are orders of magnitude fewer than the corpus —
@@ -357,6 +406,14 @@ def simhash_near_pairs(
     # per doc — bounded, LRU-evictable (MEMORY_AND_DISK).
     sigs = simhash(df, col, id_col).persist()
     sigs.count()
+    # --- bucket-size guard: collapse identical signatures -----------
+    # Same rationale as minhash_lsh_pairs: a boilerplate mega-cluster
+    # shares one simhash value and would make every chunk bucket
+    # quadratic on a hot key. Chunk-join one representative per
+    # DISTINCT signature; expand group pairs back to doc pairs after.
+    # Bucket size becomes |distinct signatures per chunk key|.
+    reps = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep")).persist()
+    reps.count()
     base, extra = divmod(SIMHASH_BITS, num_chunks)
     chunk_cols, start = [], 0
     for c in range(num_chunks):
@@ -365,15 +422,15 @@ def simhash_near_pairs(
         chunk_cols.append(F.shiftright("simhash", start).bitwiseAND(F.lit(mask)))
         start += width
     chunks = F.array(*chunk_cols)
-    banded = sigs.select(
-        id_col, "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key")
+    banded = reps.select(
+        "_rep", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
     joined = a.join(
         b,
         (F.col("a.chunk_id") == F.col("b.chunk_id"))
         & (F.col("a.chunk_key") == F.col("b.chunk_key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        & (F.col("a._rep") < F.col("b._rep")),
     )
     # A pair sharing several identical chunks matches once per chunk;
     # instead of shuffling the (potentially large) candidate relation
@@ -393,15 +450,41 @@ def simhash_near_pairs(
         first_match = F.when(
             F.shiftright(xor, s).bitwiseAND(F.lit(mask)) == 0, F.lit(c)
         ).otherwise(first_match)
-    return (
+    # group-level near pairs (distinct signatures within max_hamming);
+    # signatures differ between groups, so hamming ≥ 1 here and the
+    # group-pair relation is canonical on (_rep_a < _rep_b).
+    grp_pairs = (
         joined.filter(F.col("a.chunk_id") == first_match)
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("_sig_a"),
+            F.col("b.simhash").alias("_sig_b"),
             F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    # expand to doc pairs: cross-group via the two member joins
+    # (candidate-sized — grp_pairs is broadcastable), within-group
+    # pairs (hamming 0) enumerated directly from the member mapping.
+    ma = sigs.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("_sig_a"))
+    mb = sigs.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("_sig_b"))
+    cross = (
+        grp_pairs.join(ma, "_sig_a")
+        .join(mb, "_sig_b")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = ma.join(
+        mb,
+        (F.col("_sig_a") == F.col("_sig_b")) & (F.col("_ida") < F.col("_idb")),
+    ).select(
+        F.col("_ida").alias("doc_a"),
+        F.col("_idb").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(within)
 
 
 def dedup_clusters(

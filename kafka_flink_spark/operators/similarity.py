@@ -525,6 +525,85 @@ def knn_graph(
     )
 
 
+def ann_knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    num_probes: int = 0,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """APPROXIMATE k-nearest-neighbor graph — the scale path next to
+    the exact ``knn_graph`` baseline (which is inherently quadratic:
+    every vector against every vector; SCALING.md measures 10× input →
+    ~33× wall). Here every vector is LSH-bucketed (sign-bit random
+    hyperplanes, same md5-derived planes as ``lsh_ann_topk``) and the
+    exact GEMM top-k runs only WITHIN each bucket, so total work is
+    Σ|bucket|² ≈ n²/2^planes — linear in n at constant occupancy when
+    ``num_planes`` grows with log₂(n). ``num_probes`` > 0 additionally
+    probes each vector's hamming-1 buckets on the query side (recall
+    knob, ×(1+probes) shuffle).
+
+    Shuffle carries (id, vector, bucket) — one row per vector plus one
+    per probe; candidates leaving the GEMM are k-sized. A pathological
+    bucket (many near-identical embeddings) concentrates work the same
+    way any LSH bucket does — raise ``num_planes`` or pre-collapse
+    exact-duplicate vectors (exact_dedup on a vector fingerprint).
+    """
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), num_planes, dim))
+    c = base.select("vid", "v", "bucket", F.lit("C").alias("side"))
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+        for p in range(min(num_probes, num_planes))
+    ]
+    q = base.select(
+        "vid", "v", F.explode(F.array(*probes)).alias("bucket"),
+        F.lit("Q").alias("side"),
+    )
+
+    def bucket_topk(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        qs = pdf[pdf["side"] == "Q"]
+        cs = pdf[pdf["side"] == "C"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        A = np.stack(qs["v"].to_numpy()).astype("float64")
+        B = np.stack(cs["v"].to_numpy()).astype("float64")
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        qids = qs["vid"].to_numpy()
+        nids = cs["vid"].to_numpy()
+        sims = np.round(A @ B.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            mask = nids != qids[r]
+            cand_ids, cand = nids[mask], sims[r][mask]
+            if cand.size == 0:
+                continue
+            order = np.lexsort((cand_ids, -cand))[:k]
+            out_q.extend([qids[r]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    candidates = q.unionByName(c).groupBy("bucket").applyInPandas(
+        bucket_topk, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -30,6 +30,30 @@ _RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def scratch_dir(prefix: str) -> str:
+    """A temp directory that lives until process exit (atexit cleanup)
+    instead of being deleted inside the query that created it.
+
+    The pin-then-delete pattern (cache() + count(), then rmtree in a
+    finally) is fragile: a cached partition evicted or lost after the
+    delete recomputes from files that no longer exist. Letting the
+    scratch outlive the returned DataFrame makes re-evaluation safe;
+    disk is reclaimed when the process ends.
+
+    LOCAL-MODE ASSUMPTION: executors and driver share one filesystem,
+    so executor-written files are visible to a subsequent read. On a
+    real cluster these paths must be on shared storage (object store /
+    DFS) — pass such a URI instead of a driver-local tempdir.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a plain TIMESTAMP column regardless of
     how the fixture was written:

@@ -34,8 +34,12 @@ BASE_TS_MS = 1_700_000_000_000  # fixed epoch anchor; 1 event/ms
 
 def trade_row(seq: int, n_products: int, n_instruments: int) -> tuple:
     """The generator recipe: one md5 digest per event, field = hex
-    slice mod domain (mirrors old/gen.py's schema and value domains;
-    deterministic instead of random.randint)."""
+    slice mod domain — deterministic instead of random.randint.
+
+    Mirrors old/gen.py's SCHEMA; the value domains deliberately differ:
+    the reference emits Product_1..1999 / Instrument_1..100 / integer
+    prices 1..1000, this source emits 0-based names and fractional
+    prices in [1.0, 1000.0) so repeated runs exercise float paths."""
     import hashlib
 
     h = hashlib.md5(f"trade:{seq}".encode()).hexdigest()

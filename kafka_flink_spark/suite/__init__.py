@@ -19,7 +19,13 @@ comparison meaningful (driver contract, ``__spark_entry__.py``):
   order differs between engines; raw parquet doubles pass through
   un-rounded since both engines read identical bits);
 * integer aggregates are cast to BIGINT on both sides (DuckDB SUM
-  returns HUGEINT).
+  returns HUGEINT) — including window sums (``sum() OVER``) and any
+  arithmetic derived from them, which otherwise leak HUGEINT into
+  pandas as float64 while Spark sends int64;
+* array columns render as delimiter-joined strings on both sides
+  (Spark ``array_join``, DuckDB ``array_to_string``) — the driver's
+  canonicalizer sorts every column in pandas, and numpy arrays are
+  unhashable there.
 """
 
 from __future__ import annotations
@@ -83,9 +89,98 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
+# Driver-verification rotation. The correctness driver samples the
+# FIRST 50 queries in iteration order each round; rounds 1–2 covered
+# the candles, LLM, and early-relational blocks (91 unique names, see
+# CORRECTNESS_r01/r02.json). Round 3 leads with the blocks that have
+# never received a driver row — streaming, events, io, UDF/source, and
+# the round-2 relational additions — plus the three fix-verification
+# reruns (g7 rows-only, t9 oracle cast, t15 array rendering). Names
+# listed here float to the front of ``all_queries()`` in this order;
+# everything else follows in registration order. Round 4 should rotate
+# again: the 12 names that still overflow this round's budget are the
+# relational tail starting at ``s2_sort_null_ordering`` below the
+# 50-line mark, plus any queries added this round.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # streaming block (reference core semantics W3/W5/W7/W8/W11/W12/W14)
+    "w11_stream_ohlcv_update",
+    "w12_stream_ohlcv_append",
+    "w8_stateful_running_candles",
+    "w9_stateful_stream_candles",
+    "w14_session_windows",
+    "w14_sliding_windows",
+    "w15_stream_stream_interval_join",
+    "w16_stream_distinct_keys",
+    "w17_stream_complete_mode",
+    "w18_stream_static_join",
+    "w19_stream_cascade_chained",
+    "w20_stream_rollup_merge",
+    # events analytics
+    "e1_sessionization",
+    "e2_funnel",
+    "e3_retention_cohorts",
+    "e4_gapfill_hourly",
+    "e5_rolling_zscore",
+    "e6_trailing_range_window",
+    "e7_session_window_native",
+    "e8_mau_wau_stickiness",
+    # fix-verification reruns (r1 fail → rows-only; r2 harness bugs)
+    "g7_approx_distinct_sketch",
+    "t9_pack_documents",
+    "t15_vocab_encode",
+    # io block
+    "k1_json_envelope_roundtrip",
+    "io2_csv_roundtrip",
+    "io3_json_roundtrip",
+    "io4_orc_roundtrip",
+    "io5_partitioned_pruned_read",
+    "io6_merge_upsert",
+    "io7_small_file_compaction",
+    # UDF / source surface
+    "s6_rich_schema_ingest",
+    "s10_python_datasource_gen",
+    "u2_pandas_udf_vectorized",
+    "u3_registered_sql_udf",
+    "u6_python_udtf",
+    "u7_pandas_grouped_agg_udaf",
+    "u8_table_arg_udtf",
+    # round-2 relational additions
+    "g10_statistical_aggs",
+    "w4_window_frames",
+    "g11_grouping_sets",
+    "g12_histogram",
+    "g13_approx_percentile_sketch",
+    "g14_boolean_aggs",
+    "g15_count_min_freq",
+    "g16_hll_sketch_union",
+    "sc5_conditional_math_functions",
+    "sc6_regex_functions",
+    "sc7_map_functions",
+    "sc8_bitwise_aggs",
+    "sc9_url_functions",
+    # ---- 50-query budget line (round 3) ----
+    "s2_sort_null_ordering",
+    "sub3_lateral_topn",
+    "r1_recursive_month_spine",
+    "q_yoy_growth",
+    "q_top_supplier",
+    "q_market_share",
+    "q_small_qty_revenue",
+    "q_min_price_supplier",
+    "q_product_profit",
+    "q_shipping_delay_priority",
+    "q_important_parts",
+    "q_supplier_part_counts",
+    "q_dominant_suppliers",
+    "q_waiting_suppliers",
+)
+
+
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    front = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    rest = {n: q for n, q in _REGISTRY.items() if n not in front}
+    return {**front, **rest}
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -358,13 +358,13 @@ WITH ordered AS (
            lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
     FROM events
 ), flagged AS (
-    SELECT user_id, ts, us,
+    SELECT user_id, ts, event_id,
            CASE WHEN prev_us IS NULL OR us - prev_us >= {_GAP_US} THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ), numbered AS (
-    SELECT user_id, ts, us,
+    SELECT user_id, ts,
            sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, us
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM flagged
 )

@@ -66,23 +66,15 @@ def k1_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip(df, fmt: str, schema: str, read_opts: dict, write_opts: dict):
-    """Write → read-back → materialize → clean up. The result is cached
-    and pinned before the temp dir is deleted, so the returned frame
-    stays valid without leaking disk across registry runs."""
-    import shutil
-    import tempfile
+    """Write → read-back. The scratch dir outlives the returned frame
+    (atexit cleanup, see sources.fixtures.scratch_dir) so re-evaluation
+    never recomputes from deleted files — no cache pin needed."""
+    from kafka_flink_spark.sources.fixtures import scratch_dir
 
     spark = df.sparkSession
-    tmp = tempfile.mkdtemp(prefix=f"io_{fmt}_")
-    try:
-        df.write.mode("overwrite").options(**write_opts).format(fmt).save(tmp)
-        back = (
-            spark.read.schema(schema).options(**read_opts).format(fmt).load(tmp)
-        ).cache()
-        back.count()
-        return back
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    tmp = scratch_dir(f"io_{fmt}_")
+    df.write.mode("overwrite").options(**write_opts).format(fmt).save(tmp)
+    return spark.read.schema(schema).options(**read_opts).format(fmt).load(tmp)
 
 
 @register(
@@ -152,34 +144,27 @@ GROUP BY o_orderpriority
     "before any I/O, unlike row-group stats which still read footers.",
 )
 def io5_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    from kafka_flink_spark.sources.fixtures import scratch_dir
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="io_part_")
-    try:
-        (
-            o.repartition(F.col("o_orderpriority"))
-            .write.mode("overwrite")
-            .partitionBy("o_orderpriority")
-            .parquet(tmp)
+    tmp = scratch_dir("io_part_")
+    (
+        o.repartition(F.col("o_orderpriority"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(tmp)
+    )
+    return (
+        spark.read.parquet(tmp)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
-        back = (
-            spark.read.parquet(tmp)
-            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            )
-            .cache()
-        )
-        back.count()
-        return back
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    )
 
 
 @register(
@@ -276,34 +261,25 @@ FROM orders
 )
 def io7_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
-    import shutil
-    import tempfile
+
+    from kafka_flink_spark.sources.fixtures import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="compact_")
-    try:
-        frag_dir, compact_dir = tmp + "/frag", tmp + "/compact"
-        # simulate streaming-ingest fragmentation: 64 tiny files
-        orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
-        frag = spark.read.parquet(frag_dir)
-        n_frag_files = len(glob.glob(frag_dir + "/part-*.parquet"))
-        # compaction: narrow coalesce to a handful of right-sized files
-        frag.coalesce(4).write.mode("overwrite").parquet(compact_dir)
-        n_compact_files = len(glob.glob(compact_dir + "/part-*.parquet"))
-        assert n_frag_files >= 32 and n_compact_files <= 4, (
-            n_frag_files,
-            n_compact_files,
-        )
-        out = (
-            spark.read.parquet(compact_dir)
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            )
-            .cache()
-        )
-        out.count()  # pin before the backing files disappear
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    tmp = scratch_dir("compact_")
+    frag_dir, compact_dir = tmp + "/frag", tmp + "/compact"
+    # simulate streaming-ingest fragmentation: 64 tiny files
+    orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_frag_files = len(glob.glob(frag_dir + "/part-*.parquet"))
+    # compaction: narrow coalesce to a handful of right-sized files
+    frag.coalesce(4).write.mode("overwrite").parquet(compact_dir)
+    n_compact_files = len(glob.glob(compact_dir + "/part-*.parquet"))
+    assert n_frag_files >= 32 and n_compact_files <= 4, (
+        n_frag_files,
+        n_compact_files,
+    )
+    return spark.read.parquet(compact_dir).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -758,7 +758,9 @@ with_off AS (
 )
 SELECT doc_id, shard, n_tokens,
        shard * 1000000 + CAST(floor(start_offset / 8192) AS BIGINT) AS pack_id,
-       start_offset % 8192 AS offset_in_pack
+       -- DuckDB sum() OVER yields HUGEINT which pandas renders float64;
+       -- Spark sends int64 — cast per the suite BIGINT convention
+       CAST(start_offset % 8192 AS BIGINT) AS offset_in_pack
 FROM with_off
 """,
     doc="Deterministic context-window (sequence) packing: hash-sharded, "
@@ -943,6 +945,51 @@ WHERE rn <= 5
 )
 def v5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def _ann_graph_oracle() -> str:
+    # same md5-derived hyperplane bucketing as _ann_oracle, but every
+    # vector is a query and candidates come from its own bucket only
+    plane_hash = _md5l("'plane:' || p || ':' || i")
+    plane = (
+        f"list_transform(range({S.EMBED_DIM}), i -> "
+        f"({plane_hash} % 2000000) / 1000000.0 - 1.0)"
+    )
+    bucket = (
+        f"list_sum(list_transform(range({_ANN_PLANES}), p -> "
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_duck_cosine("q.v", "c.v")}, 6) AS cos_sim
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "v7_ann_knn_graph",
+    oracle=_ann_graph_oracle(),
+    doc="APPROXIMATE k-NN graph — the scale path beside v5's exact "
+    "baseline: LSH-bucket every vector (md5-derived sign-bit planes), "
+    "exact GEMM top-5 within each bucket only, global window rank. "
+    "Total work is sum(|bucket|^2) ~ n^2/2^planes instead of n^2 — "
+    "linear at constant occupancy when planes grow with log2(n) "
+    "(operators/similarity.ann_knn_graph; recall vs v5 pinned in "
+    "tests/test_llm_ops.py).",
+)
+def v7_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_knn_graph(
+        load_table(spark, sf_dir, "embeddings"), k=5, num_planes=_ANN_PLANES
+    )
 
 
 @register(
@@ -1286,35 +1333,34 @@ FROM documents
 )
 def m5_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
-    import tempfile
+
+    from kafka_flink_spark.sources.fixtures import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="blobs_")
-    try:
-        def write_blobs(rows) -> None:
-            for r in rows:
-                path = os.path.join(tmp, f"doc_{r.doc_id:06d}.bin")
-                with open(path, "wb") as f:
-                    f.write(r.text.encode("utf-8"))
+    # scratch outlives the returned frame (atexit cleanup) — see
+    # scratch_dir for the local-mode shared-filesystem assumption; on a
+    # cluster the blob path must be shared storage.
+    tmp = scratch_dir("blobs_")
 
-        docs.foreachPartition(write_blobs)
-        blobs = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.bin")
-            .load(tmp)
-        )
-        out = blobs.select(
-            F.regexp_extract(
-                F.element_at(F.split("path", "/"), -1), r"(.+)\.bin$", 1
-            ).alias("file_stem"),
-            F.col("length").alias("n_bytes"),
-            F.md5("content").alias("content_md5"),
-        ).cache()
-        out.count()  # pin before the backing files disappear
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def write_blobs(rows) -> None:
+        for r in rows:
+            path = os.path.join(tmp, f"doc_{r.doc_id:06d}.bin")
+            with open(path, "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(write_blobs)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(tmp)
+    )
+    return blobs.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"(.+)\.bin$", 1
+        ).alias("file_stem"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
 
 
 @register(
@@ -1414,7 +1460,7 @@ enc AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       list(id ORDER BY ord) AS ids
+       array_to_string(list(id ORDER BY ord), ',') AS ids
 FROM enc
 GROUP BY doc_id
 """,
@@ -1434,12 +1480,17 @@ def t15_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
+    # top-k via distributed orderBy().limit(): map-side partial top-20 per
+    # partition, merged on one reducer — NOT a global row_number window over
+    # every distinct token (single-partition sort of the whole vocabulary
+    # at corpus scale). The residual window then numbers only 20 rows.
     wv = Window.orderBy(F.desc("cnt"), F.asc("w"))
     vocab = (
         tok.groupBy("w")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
         .withColumn("id", F.row_number().over(wv).cast("int"))
-        .filter(F.col("id") <= 20)
         .select("w", "id")
     )
     enc = tok.join(F.broadcast(vocab), "w", "left").select(
@@ -1450,9 +1501,15 @@ def t15_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.sum((F.col("id") == 0).cast("int")).cast("long").alias("n_oov"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                lambda x: x.id,
+            # rendered as a ','-joined string, not array<int>: the driver's
+            # canonicalizer sorts all columns in pandas and numpy arrays are
+            # unhashable (suite conventions header — array-columns rule)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda x: x.id.cast("string"),
+                ),
+                ",",
             ).alias("ids"),
         )
     )
@@ -1507,6 +1564,42 @@ def m6_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = blobs_from_documents(load_table(spark, sf_dir, "documents"))
     return resize_media(decode_media(media), max_dim=64)
+
+
+@register(
+    "m7_real_media_probe",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS format,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 31 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 17 + 1 AS INT) END AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1
+                            WHEN 1 THEN doc_id % 1000 + 100
+                            ELSE doc_id % 10 + 1 END AS INT) AS n_frames,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(1 AS INT) END AS n_channels,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST((doc_id % 1000 + 100) * 1000 // 8000 AS BIGINT)
+       END AS duration_ms
+FROM documents
+""",
+    doc="REAL media decoding, byte-level round-trip: format-valid "
+    "blobs are synthesized per doc (CRC-correct PNG, stdlib-wave WAV, "
+    "block-structured animated GIF; operators/multimodal.synth_*) and "
+    "probe_media genuinely parses the container bytes back — IHDR "
+    "dims, GIF block-walk frame counts, RIFF/WAVE rate/frames. The "
+    "oracle re-derives the generator's parameter formulas from doc_id, "
+    "so a hash match proves the encode→parse round trip bit-exactly. "
+    "Both stages are narrow mapInPandas; blobs never shuffle.",
+)
+def m7_real_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.multimodal import (
+        probe_media,
+        real_blobs_from_documents,
+    )
+
+    media = real_blobs_from_documents(load_table(spark, sf_dir, "documents"))
+    return probe_media(media)
 
 
 def _profile_col_sql(col: str) -> str:

@@ -523,20 +523,14 @@ def w18_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_streaming.py).",
 )
 def w20_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
+    from kafka_flink_spark.sources.fixtures import scratch_dir
     from kafka_flink_spark.streaming.candles_stream import (
         rollup_merge_available_now,
     )
 
     trades = stream_trades_from_fixture(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="rollup_")
-    target = tmp + "/rollup"
-    try:
-        out = rollup_merge_available_now(trades, target, "1 hour")
-        result = _fmt_windows(out).cache()
-        result.count()  # pin before the backing files disappear
-        return result
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # scratch outlives the returned frame (atexit cleanup; local-mode
+    # shared-filesystem assumption documented on scratch_dir)
+    target = scratch_dir("rollup_") + "/rollup"
+    out = rollup_merge_available_now(trades, target, "1 hour")
+    return _fmt_windows(out)

@@ -134,6 +134,34 @@ def test_asof_join_semantics(spark):
     assert strict[2] == 150.0
 
 
+def test_asof_join_nullable_payload_matched_row_semantics(spark):
+    """merge_asof semantics for nullable payloads: the MATCHED row's
+    value is carried even when null — a null in the latest right row
+    must not be back-filled from an older (possibly tolerance-stale)
+    right row."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", 100, 1)], "k string, t long, seq long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "seq")
+    right = spark.createDataFrame(
+        [("A", 10, 5.0, 50.0), ("A", 99, None, 99.0)],
+        "k string, t long, px double, qty double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px", "qty")
+
+    # latest right row (t=99) matches; its px is null and must stay null
+    # (the old per-column fill leaked px=5.0 from the t=10 row)
+    row = asof_join(left, right, "k").collect()[0]
+    assert row["px"] is None and row["qty"] == 99.0
+
+    # with a 10s tolerance the t=10 row is stale: same result, and the
+    # freshness gate must judge the matched row (t=99), not the t=10 one
+    row = asof_join(left, right, "k", tolerance="10 seconds").collect()[0]
+    assert row["px"] is None and row["qty"] == 99.0
+
+
 def test_expand_tumble_sql_rewrites():
     """Dialect translation: TUMBLE family + FIRST/LAST_VALUE rewrite."""
     from kafka_flink_spark.functions.tumble import expand_tumble_sql

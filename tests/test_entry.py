@@ -18,6 +18,18 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) > 0
 
 
+def test_driver_priority_names_all_registered():
+    """A typo in the rotation list would silently waste driver budget."""
+    from kafka_flink_spark import suite
+
+    qs = suite.all_queries()
+    missing = [n for n in suite._DRIVER_PRIORITY if n not in qs]
+    assert missing == []
+    assert len(set(suite._DRIVER_PRIORITY)) == len(suite._DRIVER_PRIORITY)
+    # rotation actually floats the priority block to the front
+    assert list(qs)[: len(suite._DRIVER_PRIORITY)] == list(suite._DRIVER_PRIORITY)
+
+
 def test_cluster_conf_scales_with_shape():
     from kafka_flink_spark.session import cluster_conf
 

@@ -53,6 +53,40 @@ def test_simhash_near_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 20
 
 
+def test_lsh_mega_cluster_bucket_bounded(spark):
+    """Pathological boilerplate corpus: many byte-identical docs land
+    in one LSH bucket. The signature-collapse guard must (a) keep the
+    banding join input at ONE row per distinct signature — bounded
+    buckets regardless of cluster size — and (b) leave the emitted
+    pair set unchanged: all within-cluster pairs plus the unrelated
+    docs' near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    n = 200
+    boiler = [(i, "this page is intentionally left blank do not index it") for i in range(n)]
+    distinct = [
+        (1000, "a genuinely unique document about distributed query planning"),
+        (1001, "another unrelated text concerning watermark semantics in streams"),
+    ]
+    docs = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+
+    # (a) bounded banding input: distinct signatures, not docs
+    sigs = D.minhash_signatures(docs)
+    n_sigs = sigs.select(*[f"mh{p}" for p in range(D.NUM_PERMS)]).distinct().count()
+    assert n_sigs == 3  # one per distinct text — the 200 copies collapse
+
+    # (b) pair set unchanged: exactly C(200,2) boilerplate pairs at j=1.0
+    pairs = D.minhash_lsh_pairs(docs, min_jaccard=0.5)
+    got = pairs.agg(
+        F.count("*").alias("n"), F.min("jaccard").alias("jmin")
+    ).collect()[0]
+    assert got.n == n * (n - 1) // 2 and got.jmin == 1.0
+
+    sim = D.simhash_near_pairs(docs, max_hamming=6)
+    sgot = sim.agg(F.count("*").alias("n"), F.max("hamming").alias("hmax")).collect()[0]
+    assert sgot.n == n * (n - 1) // 2 and sgot.hmax == 0
+
+
 def test_cosine_topk_identical_vector_first(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
     rows.append((3, [1.0, 0.1, 0.0, 0.0]))  # near vec 0
@@ -89,8 +123,91 @@ def test_multimodal_plumbing(spark):
     assert all(f.media_id == 2 for f in frames) and len(frames) >= 1
     emb = M.embed_media(media).collect()
     assert all(len(r.embedding) == 8 for r in emb)
-    with pytest.raises(NotImplementedError):
-        M.decode_media(media, real=True)
+    # real=True on NON-media payloads (text bytes) decodes to nulls —
+    # the probe recognizes nothing, it doesn't invent dimensions
+    real = {r.media_id: r for r in M.decode_media(media, real=True).collect()}
+    assert real[0].width is None and real[0].n_frames is None
+
+
+def test_real_media_probe_roundtrip():
+    """probe_media_bytes genuinely parses the format-valid synthesized
+    containers: PNG IHDR dims, GIF block-walk frame count, WAV
+    rate/frames/duration; junk and truncated payloads → format None."""
+    p = M.probe_media_bytes(M.synth_png(31, 17, seed=5))
+    assert (p["format"], p["width"], p["height"], p["n_frames"]) == ("png", 31, 17, 1)
+    w = M.probe_media_bytes(M.synth_wav(850))
+    assert (w["format"], w["sample_rate"], w["n_channels"], w["n_frames"]) == (
+        "wav", 8000, 1, 850,
+    )
+    assert w["duration_ms"] == 850 * 1000 // 8000
+    g = M.probe_media_bytes(M.synth_gif(12, 7, 4))
+    assert (g["format"], g["width"], g["height"], g["n_frames"]) == ("gif", 12, 7, 4)
+    assert M.probe_media_bytes(b"not a media file")["format"] is None
+    assert M.probe_media_bytes(M.synth_png(8, 8)[:20])["format"] is None
+
+
+def test_real_media_probe_spark_path(spark):
+    """End-to-end real decode over the binary column: synthesize real
+    blobs per doc, parse them back with probe_media, check the decoded
+    metadata equals the generator parameters."""
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.media_id: r for r in M.probe_media(M.real_blobs_from_documents(docs)).collect()}
+    assert len(out) == 9
+    for i in range(9):
+        r = out[i]
+        if i % 3 == 0:
+            assert (r.format, r.width, r.height, r.n_frames) == ("png", i % 31 + 1, i % 17 + 1, 1)
+        elif i % 3 == 1:
+            assert (r.format, r.sample_rate, r.n_frames) == ("wav", 8000, i % 1000 + 100)
+        else:
+            assert (r.format, r.width, r.n_frames) == ("gif", i % 31 + 1, i % 10 + 1)
+
+
+def test_real_decode_with_pil_if_available(spark):
+    """PIL cross-check (skips where PIL is absent): the import-guarded
+    real=True image path must agree with the stdlib probe."""
+    pytest.importorskip("PIL")
+    docs = spark.createDataFrame(
+        [(0, "t", "en", "s", 1), (3, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = M.real_blobs_from_documents(docs)
+    decoded = {r.media_id: r for r in M.decode_media(media, real=True).collect()}
+    assert decoded[0].width == 1 and decoded[3].width == 4
+
+
+def test_ann_knn_graph_recall_and_probes(spark):
+    """ann_knn_graph: within-bucket edges are a subset of the exact
+    graph's candidate space with decent recall on the fixture corpus,
+    and hamming-1 probing strictly widens recall."""
+    from kafka_flink_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_graph(emb, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_knn_graph(emb, k=5, num_planes=4).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_knn_graph(emb, k=5, num_planes=4, num_probes=2).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    recall_probed = len(probed & exact) / len(exact)
+    # sign-bit LSH recall on near-random 64-dim fixture vectors is
+    # bounded by (1-theta/pi)^planes ~ 0.13 at 4 planes — assert the
+    # mechanism (non-trivial recall, probing strictly widens), not a
+    # wishful number; real corpora with cluster structure recall far
+    # higher (and d8/v3 cover the IVF-style path).
+    assert recall >= 0.08, recall
+    assert recall_probed > recall, (recall_probed, recall)
 
 
 def test_ivf_recall_vs_exact(spark):
