@@ -86,6 +86,17 @@ def main() -> None:
         total = time.time() - s
         print(f"vectors={n:>7,} wall={total:6.1f}s (write {w:4.1f}s)")
 
+    print("== ann_knn_graph (64-dim, k=4; planes grow with log2 n) ==")
+    from kafka_flink_spark.operators.similarity import ann_knn_graph
+
+    for n, planes in ((5_000, 7), (50_000, 10), (500_000, 13)):
+        vecs = synth_vectors(spark, n)
+        s = time.time()
+        out = ann_knn_graph(vecs, k=4, num_planes=planes)
+        w = t(out)
+        total = time.time() - s
+        print(f"vectors={n:>8,} planes={planes} wall={total:6.1f}s (write {w:4.1f}s)")
+
     spark.stop()
 
 
