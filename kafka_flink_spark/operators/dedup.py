@@ -105,7 +105,11 @@ def perm_constant(p: int) -> int:
 
 
 def minhash_signatures(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", num_perms: int = NUM_PERMS
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    fan_out: bool = True,
 ) -> DataFrame:
     """MinHash signature per document: each shingle is md5-hashed ONCE
     to a 60-bit value, and permutation ``p`` is the xor-bijection
@@ -128,7 +132,17 @@ def minhash_signatures(
     Xor by a constant is a bijection on the hash space, so each sig[p]
     is still the min of a uniformly-distributed relabeling; candidate
     quality is guarded downstream by exact-Jaccard verification.
+
+    ``fan_out`` (default on) re-splits an under-partitioned input
+    first — a sub-splittable corpus file otherwise serializes the
+    whole md5 pass onto one core; see operators/partitioning.py. On an
+    already-parallel scan it is a no-op and the single-exchange plan
+    contract below holds exactly (plan-gated with fan_out=False).
     """
+    if fan_out:
+        from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+        df = fan_out_narrow(df)
     hashed = df.select(
         F.col(id_col), F.explode(shingle_array(col)).alias("s")
     ).select(F.col(id_col), _md5_long_expr(F.col("s")).alias("h"))
@@ -170,7 +184,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perms // num_bands
     sig_cols = [f"mh{p}" for p in range(num_perms)]
-    sigs = minhash_signatures(df, col, id_col, num_perms)
+    # One fan-out decision for the whole operator: the signature pass
+    # AND the verification re-shingle read the same raw relation, and
+    # both are CPU-bound narrow passes (operators/partitioning.py).
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
+    sigs = minhash_signatures(df, col, id_col, num_perms, fan_out=False)
     # --- bucket-size guard: collapse identical signatures -----------
     # A boilerplate mega-cluster (empty pages, license headers) puts
     # every copy in the SAME (band_id, band_key) bucket; self-joining
@@ -184,14 +204,22 @@ def minhash_lsh_pairs(
     # contributes ONE banding row. The expansion is output-sized —
     # a quadratic PAIR SET is inherent to emitting all pairs, but no
     # join input is ever quadratic-amplified (×num_bands) anymore.
+    # The signature relation feeds the member mapping, the rep table,
+    # and (through them) every downstream join — persist it ONCE, or
+    # the corpus-wide signature aggregation (the dominant cost) re-runs
+    # per derivation. num_perms+2 longs per doc: bounded, evictable.
     sigs = sigs.withColumn(
         "_gfp", F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols]))
-    )
+    ).persist()
+    sigs.count()
     # doc → signature-group mapping; feeds the within-group self-join
     # and both expansion joins (narrow: id + 32-char fp per doc).
-    members = sigs.select(F.col(id_col), "_gfp").persist()
-    members.count()
-    # one representative row per distinct signature (map-side min)
+    members = sigs.select(F.col(id_col), "_gfp")
+    # one representative row per distinct signature (map-side min over
+    # the cached signatures); persisted because the banding self-join
+    # reads it from two aliases (exchange reuse doesn't fire there, so
+    # an unpersisted rep relation recomputes per alias — measured
+    # slower than the barrier job it saves).
     reps = (
         sigs.groupBy("_gfp")
         .agg(F.min(id_col).alias("_rep"), *[F.first(c).alias(c) for c in sig_cols])
@@ -330,7 +358,9 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60  # md5_long yields 60 usable bits
 
 
-def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", fan_out: bool = True
+) -> DataFrame:
     """SimHash document signatures: per token occurrence, each of the
     60 hash bits votes +1/-1; bit i of the signature is set when the
     vote is positive.
@@ -345,8 +375,14 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
     order of magnitude over per-row higher-order ``aggregate()``
     folds, whose lambdas run interpreted per element. Bit-count sums
     are order-independent integers, so the signature is deterministic
-    under any partitioning.
+    under any partitioning — which is also what makes the ``fan_out``
+    re-split of an under-partitioned input safe (see
+    operators/partitioning.py).
     """
+    if fan_out:
+        from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+        df = fan_out_narrow(df)
     toks = F.split(F.col(col), " ")
     exploded = df.select(
         F.col(id_col),

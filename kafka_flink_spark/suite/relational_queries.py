@@ -1745,3 +1745,41 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "j8_bloom_prune_semi_join",
+    oracle="""
+SELECT l.l_partkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p
+              WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1')
+GROUP BY l.l_partkey
+""",
+    doc="Bloom-filter join pruning (operators/bloom.py): the dim keys "
+    "(parts of one brand) are summarized into a constant-size bit set; "
+    "the fact side is pruned by k broadcast semi-joins on hashed bit "
+    "positions BEFORE the exact semi join strips false positives. "
+    "Result is exactly the plain semi join (this oracle); the point is "
+    "that at 100 TB the exact join's exchange sees only Bloom "
+    "survivors, not the whole fact table. Sized 2^16 bits / 3 hashes "
+    "for the fixture dim (~1k keys → FP rate ~1e-4).",
+)
+def j8_bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    matched = bloom_semi_join(
+        li, brand_parts, "l_partkey", "p_partkey", num_bits=1 << 16, num_hashes=3
+    )
+    return matched.groupBy("l_partkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )

@@ -459,3 +459,59 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         .filter(F.col("n_splits") > 1)
     )
     assert spans.count() == 0
+
+
+def test_bloom_prune_superset_and_exact_join_equality(spark):
+    """operators/bloom: (a) pruning never drops a true match (Bloom
+    filters have no false negatives — every dim key's positions are in
+    the bit set by construction); (b) with a deliberately tiny filter
+    (64 bits) false positives survive pruning but the composed
+    bloom_semi_join still equals the plain semi join exactly; (c) a
+    realistically-sized filter prunes most non-matching fact rows."""
+    from pyspark.sql import functions as F
+    from kafka_flink_spark.operators.bloom import bloom_bits, bloom_prune, bloom_semi_join
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    dim = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    exact = li.join(dim, li.l_partkey == dim.p_partkey, "left_semi")
+    n_exact, n_fact = exact.count(), li.count()
+    assert 0 < n_exact < n_fact
+
+    # (b) tiny filter: heavy collisions, equality must still hold
+    tiny = bloom_semi_join(li, dim, "l_partkey", "p_partkey", num_bits=64, num_hashes=2)
+    assert tiny.count() == n_exact
+    bits64 = bloom_bits(dim, "p_partkey", 64, 2)
+    pruned64 = bloom_prune(li, "l_partkey", bits64, 64, 2)
+    assert pruned64.count() >= n_exact  # superset: no false negatives
+
+    # (c) sized filter: survivors ~= true matches (FP rate tiny)
+    bits = bloom_bits(dim, "p_partkey", 1 << 16, 3)
+    pruned = bloom_prune(li, "l_partkey", bits, 1 << 16, 3)
+    n_pruned = pruned.count()
+    assert n_exact <= n_pruned <= n_exact + max(10, n_fact // 100)
+    # schema passes through unchanged
+    assert pruned.columns == li.columns
+
+
+def test_bloom_prune_is_broadcast_only(spark):
+    """Scale contract: every Bloom probe is a broadcast semi join —
+    the fact side reaches the exact join without a single shuffle."""
+    from pyspark.sql import functions as F
+    from kafka_flink_spark.operators.bloom import bloom_bits, bloom_prune
+    from kafka_flink_spark.plans import plan_string
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_partkey")
+    dim = load_table(spark, sf, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    bits = bloom_bits(dim, "p_partkey", 1 << 16, 3)
+    pruned = bloom_prune(li, "l_partkey", bits, 1 << 16, 3)
+    p = plan_string(pruned)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

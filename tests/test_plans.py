@@ -325,12 +325,31 @@ def test_lateral_decorrelates_to_window(spark):
 def test_minhash_signatures_single_exchange(spark):
     """Dedup scale contract: signature computation is one narrow
     shingle-explode stage + one partial-aggregated exchange of 17
-    longs per doc — shingle strings never shuffle."""
+    longs per doc — shingle strings never shuffle. (fan_out=False:
+    the adaptive re-split for sub-splittable inputs is pinned
+    separately below.)"""
     from kafka_flink_spark.operators.dedup import minhash_signatures
 
     spark.catalog.clearCache()  # a prior d3 run leaves sigs cached
     docs = load_table(spark, SF_SMALL, "documents")
-    assert count_exchanges(minhash_signatures(docs)) == 1
+    assert count_exchanges(minhash_signatures(docs, fan_out=False)) == 1
+
+
+def test_fan_out_narrow_splits_only_underpartitioned_input(spark):
+    """operators/partitioning.fan_out_narrow: a one-partition scan
+    (the fixture documents file has a single row group — Catalyst
+    sizes scan tasks by bytes, so a CPU-heavy narrow pass would run
+    on one core) is re-split to default parallelism; an input already
+    at cluster parallelism is returned UNCHANGED — no exchange is ever
+    added to a big scan."""
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    split = fan_out_narrow(docs)
+    assert split.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    already = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert fan_out_narrow(already) is already
 
 
 def test_pii_redaction_zero_shuffle(spark):
