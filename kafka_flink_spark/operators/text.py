@@ -542,3 +542,42 @@ def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
     return df.select(
         *[c for c in df.columns if c != col], *counts, red.alias(col)
     )
+
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 50, col: str = "text") -> DataFrame:
+    """One iteration of BPE merge-pair counting — the inner loop of
+    byte-pair-encoding tokenizer training: count adjacent character
+    pairs across the corpus, weighted by word frequency, and rank the
+    merge candidates.
+
+    Scale shape (the same factoring real BPE trainers use on large
+    corpora): the only corpus-sized pass is the word explode +
+    frequency count, whose exchange carries (word, count) with map-side
+    partials. Pair enumeration then runs over the DISTINCT-word table —
+    Zipf-bounded, orders of magnitude smaller than the corpus — so the
+    quadratic-ish per-word character work never touches corpus-scale
+    data. Subsequent BPE iterations would re-run only the small
+    pair-enumeration stage on re-segmented words.
+
+    Deterministic top-k: ties broken by the pair string, so the result
+    is engine-reproducible (oracle-checked in DuckDB).
+    """
+    words = df.select(F.explode(F.split(F.col(col), " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top_k)
+    )

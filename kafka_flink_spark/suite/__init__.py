@@ -98,9 +98,13 @@ def _load() -> None:
 # reruns (g7 rows-only, t9 oracle cast, t15 array rendering). Names
 # listed here float to the front of ``all_queries()`` in this order;
 # everything else follows in registration order. Round 4 should rotate
-# again: the 12 names that still overflow this round's budget are the
+# again: the names that still overflow this round's budget are the
 # relational tail starting at ``s2_sort_null_ordering`` below the
-# 50-line mark, plus any queries added this round.
+# 50-line mark, plus the round-3 additions (``j8_bloom_prune_semi_join``,
+# ``t16_bpe_pair_counts``, ``w21_stream_outer_interval_join``,
+# ``w22_stream_dedup_within_watermark``, ``io8_xml_roundtrip``,
+# ``io9_zorder_layout``, ``sc10_variant_functions``, ``m7_real_media_probe``,
+# ``v7_ann_knn_graph``).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # streaming block (reference core semantics W3/W5/W7/W8/W11/W12/W14)
     "w11_stream_ohlcv_update",

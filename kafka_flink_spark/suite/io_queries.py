@@ -283,3 +283,98 @@ def io7_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "io8_xml_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="Native XML sink+source roundtrip (Spark 4 ships spark-xml "
+    "in-core): row-per-element write with an explicit rowTag, schema-"
+    "declared read-back — the fourth interchange format next to "
+    "CSV/JSON/ORC, closing the enterprise-ingest surface. Doubles "
+    "survive via shortest-roundtrip rendering like the CSV path.",
+)
+def io8_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    return _roundtrip(
+        s,
+        "xml",
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        read_opts={"rowTag": "row"},
+        write_opts={"rowTag": "row"},
+    )
+
+
+def _morton_sql(exprs: list[str], bits: int = 10) -> str:
+    n = len(exprs)
+    terms = []
+    for c, x in enumerate(exprs):
+        terms += [f"(((({x}) >> {j}) & 1) << {j * n + c})" for j in range(bits)]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SCALED_P = "(((l_partkey - lo_p) * 1023) // greatest(1, hi_p - lo_p))"
+_SCALED_S = "(((l_suppkey - lo_s) * 1023) // greatest(1, hi_s - lo_s))"
+
+
+@register(
+    "io9_zorder_layout",
+    oracle=f"""
+WITH b AS (
+    SELECT min(l_partkey) AS lo_p, max(l_partkey) AS hi_p,
+           min(l_suppkey) AS lo_s, max(l_suppkey) AS hi_s
+    FROM lineitem
+),
+z AS (
+    SELECT CAST({_morton_sql([_SCALED_P, _SCALED_S])} AS BIGINT) AS zcode,
+           l_partkey, l_suppkey
+    FROM lineitem, b
+)
+SELECT CAST(zcode >> 14 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_part,
+       CAST(max(l_partkey) AS BIGINT) AS max_part,
+       CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM z
+GROUP BY 1
+""",
+    doc="Z-order (Morton) clustering key (operators/zorder.py): "
+    "rescale l_partkey/l_suppkey onto the 10-bit range and interleave "
+    "their bits into one code, then profile the 64 top-level code "
+    "buckets — each bucket's min/max on BOTH key columns is narrow "
+    "simultaneously, which is exactly why a Morton-range-partitioned "
+    "write lets footer stats prune files for predicates on EITHER "
+    "column (file-level evidence pinned in "
+    "tests/test_plans.py::test_zorder_write_skips_on_both_dims). Pure "
+    "integer algebra, deterministic, fused into the scan (plus one "
+    "tiny column-pruned min/max pre-pass for the domain bounds).",
+)
+def io9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.zorder import morton_code, scale_to_bits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey").alias("lo_p"),
+        F.max("l_partkey").alias("hi_p"),
+        F.min("l_suppkey").alias("lo_s"),
+        F.max("l_suppkey").alias("hi_s"),
+    ).collect()[0]
+    scaled = [
+        scale_to_bits("l_partkey", int(b.lo_p), int(b.hi_p)),
+        scale_to_bits("l_suppkey", int(b.lo_s), int(b.hi_s)),
+    ]
+    z = li.select(
+        morton_code(scaled, bits=10).alias("zcode"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return z.groupBy(F.shiftright("zcode", 14).cast("long").alias("zbucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_part"),
+        F.max("l_partkey").cast("long").alias("max_part"),
+        F.min("l_suppkey").cast("long").alias("min_supp"),
+        F.max("l_suppkey").cast("long").alias("max_supp"),
+    )

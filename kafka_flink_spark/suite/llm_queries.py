@@ -1651,3 +1651,33 @@ def qa1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "t16_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (
+    SELECT w, count(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w
+),
+pairs AS (
+    SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+    FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+          FROM wf WHERE length(w) >= 2)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+""",
+    doc="BPE tokenizer-training inner loop: adjacent character-pair "
+    "counts weighted by word frequency, top-50 merge candidates. The "
+    "only corpus-sized pass is the word-frequency count (map-side "
+    "partials); pair enumeration runs over the Zipf-bounded DISTINCT-"
+    "word table (operators/text.bpe_pair_counts).",
+)
+def t16_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)

@@ -1783,3 +1783,58 @@ def j8_bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
     )
+
+
+@register(
+    "sc10_variant_functions",
+    oracle="""
+WITH j AS (
+    SELECT event_id,
+           '{"id": ' || CAST(event_id AS VARCHAR)
+             || ', "meta": {"type": "' || event_type
+             || '", "u": ' || CAST(user_id AS VARCHAR)
+             || '}, "tags": ["evt", "' || event_type || '"]}' AS doc,
+           props
+    FROM events
+)
+SELECT event_id,
+       CAST(json_extract(doc, '$.id') AS BIGINT) AS vid,
+       json_extract_string(doc, '$.meta.type') AS vtype,
+       CAST(json_extract(doc, '$.meta.u') AS BIGINT) AS vu,
+       json_extract_string(doc, '$.tags[1]') AS tag1,
+       CAST(json_extract(doc, '$.missing') AS BIGINT) AS missing,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM j
+""",
+    doc="VARIANT semi-structured surface (Spark 4): parse_json into "
+    "the binary VARIANT type, then typed variant_get path extraction "
+    "(nested object fields, array index, absent path -> NULL via "
+    "try_variant_get) over per-row synthesized JSON plus the fixture's "
+    "props column. VARIANT is the 100 TB answer to schema-on-read "
+    "telemetry: one binary-encoded column, shredded access without "
+    "re-parsing text per path. DuckDB oracle extracts the same paths "
+    "with its JSON functions — parity on values, not function names.",
+)
+def sc10_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "u": '),
+        F.col("user_id").cast("string"),
+        F.lit('}, "tags": ["evt", "'),
+        F.col("event_type"),
+        F.lit('"]}'),
+    )
+    j = ev.select("event_id", F.parse_json(doc).alias("v"), F.parse_json("props").alias("p"))
+    return j.select(
+        "event_id",
+        F.variant_get("v", "$.id", "bigint").alias("vid"),
+        F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.variant_get("v", "$.meta.u", "bigint").alias("vu"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("missing"),
+        F.variant_get("p", "$.k", "bigint").alias("k"),
+    )

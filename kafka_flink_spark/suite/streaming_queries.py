@@ -534,3 +534,118 @@ def w20_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = scratch_dir("rollup_") + "/rollup"
     out = rollup_merge_available_now(trades, target, "1 hour")
     return _fmt_windows(out)
+
+
+@register(
+    "w21_stream_outer_interval_join",
+    oracle="""
+WITH cutoff AS (
+    SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'view')) AS wm
+)
+SELECT l.event_id AS click_id,
+       r.event_id AS view_id,
+       l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events l LEFT JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'view'
+ AND r.ts BETWEEN l.ts - INTERVAL 4 HOUR AND l.ts
+WHERE l.event_type = 'click'
+  AND l.ts < (SELECT wm FROM cutoff)
+""",
+    doc="Stream-stream LEFT OUTER interval join (clicks with or "
+    "without a prior view in 4h): matched rows emit immediately; an "
+    "unmatched click emits with a NULL view side only once the "
+    "watermark passes its interval's upper bound and its state is "
+    "evicted — so clicks at the very tail of the replay (at or past "
+    "the global watermark = min of the two sides' max event times) "
+    "are still open in state, and BOTH the streamed result and the "
+    "oracle restrict to clicks strictly below that watermark. State "
+    "per side stays rate x (interval + delay) — the same eviction "
+    "bound that makes the inner form (w15) 100 TB-safe.",
+)
+def w21_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import stream_events_raw
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    def side(event_type: str) -> DataFrame:
+        ev = stream_events_raw(spark, sf_dir)
+        return ev.select("event_id", "ts", "user_id", "event_type").filter(
+            F.col("event_type") == event_type
+        )
+
+    clicks = (
+        side("click")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("ts", "click_ts")
+    )
+    views = side("view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("user_id").alias("r_user_id"),
+    ).withColumn("user_id", F.col("r_user_id"))
+    joined = interval_join(
+        clicks,
+        views,
+        key_col="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        lower="4 hours",
+        upper="0 seconds",
+        how="left_outer",
+    )
+    out = run_available_now(
+        joined.select(
+            "click_id", "view_id", joined["click_ts"], clicks["user_id"].alias("l_user_id")
+        ),
+        "append",
+    )
+    # Deterministic region: the replay's final global watermark is the
+    # min of the two sides' max event times (delay 0); clicks below it
+    # have either matched or been evicted-with-NULL — strictly-later
+    # clicks may still sit in state, so both sides exclude them.
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            ).alias("wm")
+        )
+        .collect()[0]
+        .wm
+    )
+    return out.filter(F.col("click_ts") < F.lit(wm)).select(
+        "click_id",
+        "view_id",
+        F.col("l_user_id").alias("user_id"),
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+    )
+
+
+@register(
+    "w22_stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Watermark-evicted streaming dedup "
+    "(dropDuplicatesWithinWatermark, streaming/dedup_stream.py): "
+    "unlike w16's forever-state dropDuplicates, state for keys older "
+    "than the watermark is dropped, bounding it at rate x delay — the "
+    "100 TB default for at-least-once sources whose duplicates are "
+    "near-in-time retries. The replay uses a delay longer than the "
+    "fixture's span, so every duplicate falls inside the budget and "
+    "the result equals batch DISTINCT exactly; only the key columns "
+    "are returned because the surviving row's non-key columns are "
+    "arrival-order-dependent.",
+)
+def w22_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import stream_events_raw
+    from kafka_flink_spark.streaming.dedup_stream import dedup_stream_within_watermark
+
+    ev = stream_events_raw(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = dedup_stream_within_watermark(
+        ev, ["user_id", "event_type"], ts_col="ts", watermark_delay="400 days"
+    )
+    return run_available_now(deduped, "append").select("user_id", "event_type")

@@ -515,3 +515,20 @@ def test_bloom_prune_is_broadcast_only(spark):
     p = plan_string(pruned)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """bpe_pair_counts on a tiny corpus against hand-derived counts:
+    'abab ab' x2 + 'ab' => words: abab(x2), ab(x3); pairs: ab from
+    abab(2 per word x2=4... weighted by word freq) — asserts the
+    frequency weighting and adjacent-window enumeration exactly."""
+    from kafka_flink_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab ab"), (3, "ab")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(docs, top_k=10).collect()}
+    # wf: abab freq 2, ab freq 3
+    # abab pairs: ab, ba, ab -> ab x2, ba x1 (weight 2 each)
+    # ab pairs: ab (weight 3)
+    assert got == {"ab": 2 * 2 + 3, "ba": 2}

@@ -417,3 +417,64 @@ def test_range_partitioned_write_produces_skippable_files(spark, tmp_path):
     # range-clustered: boundary-touch overlaps at most; hashed: all pairs overlap
     assert overlaps(r_clustered) < len(r_clustered)
     assert overlaps(r_hashed) == len(r_hashed) * (len(r_hashed) - 1) // 2
+
+
+def test_zorder_write_skips_on_both_dims(spark, tmp_path):
+    """operators/zorder: a Morton-range-partitioned write is skippable
+    on BOTH interleaved columns — for a selective range predicate on
+    either key, the fraction of files whose footer [min,max] overlaps
+    the predicate is well below 100%, while a single-column range
+    layout skips only on its own column and a hash layout on neither."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.zorder import zorder_write
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey")
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+
+    zdir = tmp_path / "zorder"
+    zorder_write(li, ["l_partkey", "l_suppkey"], str(zdir), bits=10, num_files=16)
+    sdir = tmp_path / "single"
+    li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey").write.parquet(
+        str(sdir)
+    )
+
+    def file_ranges(path, col_name):
+        out = []
+        for f in sorted(glob.glob(str(path) + "/part-*.parquet")):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == col_name:
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def hit_fraction(ranges, lo, hi):
+        hits = sum(1 for (a, b) in ranges if b >= lo and a <= hi)
+        return hits / len(ranges)
+
+    # a ~12%-wide range predicate on each dimension
+    span_p, span_s = hi_p - lo_p, hi_s - lo_s
+    p_pred = (lo_p + span_p // 2, lo_p + span_p // 2 + span_p // 8)
+    s_pred = (lo_s + span_s // 2, lo_s + span_s // 2 + span_s // 8)
+
+    z_part = hit_fraction(file_ranges(zdir, "l_partkey"), *p_pred)
+    z_supp = hit_fraction(file_ranges(zdir, "l_suppkey"), *s_pred)
+    s_part = hit_fraction(file_ranges(sdir, "l_partkey"), *p_pred)
+    s_supp = hit_fraction(file_ranges(sdir, "l_suppkey"), *s_pred)
+
+    # single-column layout: perfect on its own column, useless on the other
+    assert s_part <= 0.5
+    assert s_supp > 0.9
+    # z-order: skips meaningfully on BOTH columns
+    assert z_part <= 0.75, z_part
+    assert z_supp <= 0.75, z_supp
