@@ -134,12 +134,16 @@ def _streaming_rate(spark) -> int:
 
         # First streaming query in a session pays ~6s of one-time
         # engine init (micro-batch machinery, state-store classes);
-        # warm once so the figure reports steady-state throughput —
-        # what a long-running streaming job actually sustains.
+        # warm once, then report the MEDIAN of three measured replays —
+        # single replays vary ±25% run-to-run (state-store and GC
+        # timing), which previously dominated round-over-round deltas.
         replay()
-        t0 = time.perf_counter()
-        replay()
-        return int(n / (time.perf_counter() - t0))
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            replay()
+            rates.append(int(n / (time.perf_counter() - t0)))
+        return sorted(rates)[1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -581,3 +581,68 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50, col: str = "text") -> DataFr
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(top_k)
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", boundary_mod: int = 32
+) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup: split each
+    document at content-derived boundaries (a new chunk starts before
+    any word whose md5 is 0 mod ``boundary_mod``), fingerprint each
+    chunk, and collapse identical chunks corpus-wide.
+
+    Why content-defined instead of fixed windows (t5_doc_chunks):
+    inserting one word near the start of a doc shifts EVERY
+    fixed-window chunk, but only the one content-defined chunk
+    containing the edit — the property that lets chunk-level dedup
+    find shared passages across near-identical documents (the rsync /
+    backup-dedup trick, applied to training corpora).
+
+    Plan shape: boundary detection, chunk start positions, and chunk
+    assembly are all per-row higher-order expressions over the token
+    array — narrow, no token ever shuffles; the exchange is the final
+    groupBy on 32-char chunk fingerprints (expected chunk length =
+    ``boundary_mod`` words, so the shuffle carries ~1/mod of a digest
+    per word). Deterministic: boundaries come from md5, not RNG.
+    """
+
+    def md5l(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    toks = F.split(F.col(col), " ")
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: md5l(F.element_at(toks, i)) % boundary_mod == 0,
+        ),
+    )
+    with_starts = df.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+    n_starts = F.size("_starts")
+    chunk_len = lambda k: (
+        F.when(
+            k < n_starts,
+            F.element_at("_starts", k + F.lit(1)) - F.element_at("_starts", k),
+        ).otherwise(F.size("_toks") - F.element_at("_starts", k) + 1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_starts),
+        lambda k: F.array_join(
+            F.slice("_toks", F.element_at("_starts", k), chunk_len(k)), " "
+        ),
+    )
+    exploded = with_starts.select(
+        F.col(id_col), F.explode(chunks).alias("chunk_text")
+    )
+    return (
+        exploded.select(
+            F.col(id_col), F.md5("chunk_text").alias("chunk_fp"),
+            F.length("chunk_text").alias("_chars"),
+        )
+        .groupBy("chunk_fp")
+        .agg(
+            F.min(id_col).alias("keep_doc"),
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("_chars").cast("long").alias("chunk_chars"),
+        )
+    )

@@ -1681,3 +1681,42 @@ LIMIT 50
 )
 def t16_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+@register(
+    "t17_cdc_chunk_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (
+    SELECT doc_id, w,
+           list_concat([1], list_filter(range(2, len(w) + 1),
+               i -> ({_md5l('w[i]')}) % 32 = 0)) AS starts
+    FROM t
+),
+ch AS (
+    SELECT doc_id,
+           unnest([array_to_string(
+                     w[starts[k]:
+                       CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                            ELSE len(w) END], ' ')
+                   for k in range(1, len(starts) + 1)]) AS chunk_text
+    FROM st
+)
+SELECT md5(chunk_text) AS chunk_fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(length(chunk_text)) AS BIGINT) AS chunk_chars
+FROM ch
+GROUP BY 1
+""",
+    doc="Content-defined chunking + chunk-level dedup "
+    "(operators/text.cdc_chunk_dedup): chunk boundaries derive from "
+    "word hashes (new chunk before any word with md5 % 32 == 0), so an "
+    "edit shifts only its own chunk — the rsync/backup-dedup property "
+    "that finds shared passages across near-identical docs, unlike "
+    "fixed windows (t5) where one insertion shifts every chunk. All "
+    "chunking is per-row higher-order expressions; the only exchange "
+    "carries chunk fingerprints.",
+)
+def t17_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.cdc_chunk_dedup(load_table(spark, sf_dir, "documents"), boundary_mod=32)

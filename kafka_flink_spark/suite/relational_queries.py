@@ -1838,3 +1838,31 @@ def sc10_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.missing", "bigint").alias("missing"),
         F.variant_get("p", "$.k", "bigint").alias("k"),
     )
+
+
+@register(
+    "g17_approx_top_k",
+    oracle="""
+SELECT event_type AS item,
+       CAST(count(*) AS BIGINT) AS est
+FROM events
+GROUP BY event_type
+""",
+    doc="Heavy-hitter sketch via the approx_top_k aggregate (Spark 4): "
+    "bounded-memory top-k item tracking in one pass — the built-in "
+    "companion to the hand-built count-min sketch (g15). Tracked-item "
+    "budget (10k) exceeds the column's cardinality here, so the "
+    "estimates are exact and the whole result is oracle-checkable "
+    "against a plain GROUP BY; k also exceeds the cardinality so no "
+    "tie at the k boundary can change the selected set. At real "
+    "cardinalities the same call degrades gracefully to approximate "
+    "counts in fixed memory.",
+)
+def g17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(
+        F.expr("approx_top_k(event_type, 20, 10000)").alias("tk")
+    )
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("est")
+    )

@@ -532,3 +532,24 @@ def test_bpe_pair_counts_hand_computed(spark):
     # abab pairs: ab, ba, ab -> ab x2, ba x1 (weight 2 each)
     # ab pairs: ab (weight 3)
     assert got == {"ab": 2 * 2 + 3, "ba": 2}
+
+
+def test_cdc_chunks_survive_an_insertion(spark):
+    """The property content-defined chunking exists for: inserting one
+    word at the FRONT of a long document leaves most chunk
+    fingerprints shared with the original (only the chunk containing
+    the edit changes), while fixed-width windows all shift. Verified
+    by chunking a doc and its one-word-prefixed copy."""
+    from pyspark.sql import functions as F
+    from kafka_flink_spark.operators.text import cdc_chunk_dedup
+
+    base = " ".join(f"word{i % 97}x{i % 13}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id long, text string"
+    )
+    chunks = cdc_chunk_dedup(docs, boundary_mod=16)
+    shared = chunks.filter(F.col("n_copies") == 2).count()
+    total_1 = chunks.filter(F.col("keep_doc") == 1).count()
+    assert total_1 >= 4, f"doc too short for the test ({total_1} chunks)"
+    # all but the first chunk (which absorbed the insertion) dedup away
+    assert shared >= total_1 - 2, (shared, total_1)

@@ -432,17 +432,19 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
 
     from kafka_flink_spark.operators.zorder import zorder_write
 
-    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_suppkey")
-    lo_p, hi_p, lo_s, hi_s = li.agg(
-        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
-    ).collect()[0]
+    # Synthetic keys covering the full 0..1023 domain on both dims:
+    # the fixture's l_suppkey has only 10 distinct values at this SF,
+    # which makes file boundaries (range-partitioner sampling) land
+    # unstably relative to so coarse a grid.
+    df = spark.range(50_000).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1024)).alias("y"),
+    )
 
     zdir = tmp_path / "zorder"
-    zorder_write(li, ["l_partkey", "l_suppkey"], str(zdir), bits=10, num_files=16)
+    zorder_write(df, ["x", "y"], str(zdir), bits=10, num_files=16)
     sdir = tmp_path / "single"
-    li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey").write.parquet(
-        str(sdir)
-    )
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(str(sdir))
 
     def file_ranges(path, col_name):
         out = []
@@ -462,19 +464,20 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
         hits = sum(1 for (a, b) in ranges if b >= lo and a <= hi)
         return hits / len(ranges)
 
-    # a ~12%-wide range predicate on each dimension
-    span_p, span_s = hi_p - lo_p, hi_s - lo_s
-    p_pred = (lo_p + span_p // 2, lo_p + span_p // 2 + span_p // 8)
-    s_pred = (lo_s + span_s // 2, lo_s + span_s // 2 + span_s // 8)
+    # average over four disjoint 12%-wide range predicates per dim
+    def avg_hits(ranges):
+        preds = [(s, s + 127) for s in (64, 320, 576, 832)]
+        return sum(hit_fraction(ranges, lo, hi) for lo, hi in preds) / len(preds)
 
-    z_part = hit_fraction(file_ranges(zdir, "l_partkey"), *p_pred)
-    z_supp = hit_fraction(file_ranges(zdir, "l_suppkey"), *s_pred)
-    s_part = hit_fraction(file_ranges(sdir, "l_partkey"), *p_pred)
-    s_supp = hit_fraction(file_ranges(sdir, "l_suppkey"), *s_pred)
+    z_x = avg_hits(file_ranges(zdir, "x"))
+    z_y = avg_hits(file_ranges(zdir, "y"))
+    s_x = avg_hits(file_ranges(sdir, "x"))
+    s_y = avg_hits(file_ranges(sdir, "y"))
 
-    # single-column layout: perfect on its own column, useless on the other
-    assert s_part <= 0.5
-    assert s_supp > 0.9
-    # z-order: skips meaningfully on BOTH columns
-    assert z_part <= 0.75, z_part
-    assert z_supp <= 0.75, z_supp
+    # single-column layout: selective on its own column, useless on the other
+    assert s_x <= 0.5, s_x
+    assert s_y > 0.9, s_y
+    # z-order: skips meaningfully on BOTH columns (16 files over a
+    # 20-bit code => each file spans ~1/4 of each dim's range)
+    assert z_x <= 0.75, z_x
+    assert z_y <= 0.75, z_y
