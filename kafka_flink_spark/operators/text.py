@@ -646,3 +646,59 @@ def cdc_chunk_dedup(
             F.min("_chars").cast("long").alias("chunk_chars"),
         )
     )
+
+
+def bigram_lm_scores(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram language-model likelihood scoring — the CCNet-style
+    'perplexity filter' shape: train add-one-smoothed bigram
+    conditionals on the corpus itself, then score each document by its
+    mean smoothed bigram likelihood. Low scores = atypical word
+    sequences (boilerplate, gibberish, wrong-language fragments) even
+    when unigram frequencies (t14) look normal.
+
+    Engine-reproducible without transcendental math: each bigram's
+    smoothed conditional (c12+1)/(c1+V) is scaled to integer 1e-9
+    units with ONE exact float multiply + ONE correctly-rounded
+    divide, then summed as longs — deterministic under any
+    partitioning (the t14 integer-exactness recipe extended to
+    conditionals; a log-space score would differ in last ulps across
+    engines).
+
+    Plan: bigram derivation is per-row (narrow); corpus model = one
+    bigram-count aggregation (map-side partials); scoring joins each
+    doc's bigrams to the model on the bigram key and broadcasts the
+    unigram vocab. Docs with fewer than two tokens have no bigrams and
+    drop out (both engine and oracle).
+    """
+    toks = F.split(F.col(col), " ")
+    doc_bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+                ),
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    bc = doc_bigrams.groupBy("bigram").agg(F.count("*").alias("c12"))
+    tok = df.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab_n = uni.agg(F.count("*").alias("v"))
+    term = F.round((F.col("c12") + 1) * F.lit(1e9) / (F.col("c1") + F.col("v"))).cast(
+        "long"
+    )
+    return (
+        doc_bigrams.join(bc, "bigram")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(term).cast("long").alias("lik_e9"),
+        )
+        .withColumn(
+            "mean_lik_e9", F.round(F.col("lik_e9") / F.col("n_bigrams"), 3)
+        )
+    )

@@ -1720,3 +1720,42 @@ GROUP BY 1
 )
 def t17_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.cdc_chunk_dedup(load_table(spark, sf_dir, "documents"), boundary_mod=32)
+
+
+@register(
+    "t18_bigram_lm_score",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dbg AS (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM t WHERE len(w) >= 2
+),
+dbg1 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM dbg),
+bc AS (SELECT bigram, count(*) AS c12 FROM dbg GROUP BY bigram),
+tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+vv AS (SELECT count(*) AS v FROM uni),
+scored AS (
+    SELECT d.doc_id,
+           CAST(round((bc.c12 + 1) * 1000000000.0 /
+                      (u.c1 + (SELECT v FROM vv))) AS BIGINT) AS term
+    FROM dbg1 d JOIN bc ON d.bigram = bc.bigram JOIN uni u ON u.w = d.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS lik_e9,
+       round(sum(term) * 1.0 / count(*), 3) AS mean_lik_e9
+FROM scored
+GROUP BY doc_id
+""",
+    doc="Bigram-LM likelihood scoring (operators/text.bigram_lm_scores) "
+    "— the CCNet-style perplexity-filter shape with add-one smoothing, "
+    "in integer 1e-9 units so the iterative-free conditional-"
+    "probability sum is bit-reproducible across engines (t14's "
+    "integer-exactness recipe extended from unigrams to conditionals). "
+    "One corpus bigram-count exchange; scoring is a bigram-keyed join "
+    "plus a broadcast vocab.",
+)
+def t18_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_scores(load_table(spark, sf_dir, "documents"))

@@ -1866,3 +1866,68 @@ def g17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("est")
     )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    from kafka_flink_spark.operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = f"(SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * n) FROM nn)"
+    levels = []
+    for k in range(iters):
+        levels.append(
+            f"""pr{k + 1} AS (
+    SELECT nd.id, CAST({base} + coalesce(s.c, 0) AS BIGINT) AS pr
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS id,
+               sum(({PR_DAMP_NUM} * p.pr) // ({PR_DAMP_DEN} * d.deg)) AS c
+        FROM pr{k} p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.id = nd.id
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT src, dst FROM pairs),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT id, {PR_SCALE} // (SELECT n FROM nn) AS pr FROM nodes),
+{chain}
+SELECT id AS part_id, pr AS pr_e12 FROM pr{iters}
+"""
+
+
+@register(
+    "gr1_pagerank_copurchase",
+    oracle=_pagerank_oracle(5),
+    doc="PageRank over the part co-purchase graph (parts sharing an "
+    "order are neighbors), 5 power iterations in INTEGER fixed point "
+    "(operators/graph.py: scaled-long ranks, every update an integer "
+    "multiply/divide) — bit-reproducible under any partitioning or "
+    "engine, so an iterative float algorithm becomes fully "
+    "oracle-checkable (unrolled-SQL oracle). Pregel cost model: one "
+    "edges-ranks join + one aggregation per round, lineage truncated "
+    "per round with localCheckpoint.",
+)
+def gr1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    pr = pagerank(nodes, edges, "id", iterations=5)
+    return pr.select(F.col("id").alias("part_id"), F.col("pr").alias("pr_e12"))

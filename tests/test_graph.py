@@ -1,0 +1,37 @@
+"""operators/graph.pagerank — integer fixed-point semantics pinned
+against a hand-rolled Python reference on a small directed graph."""
+
+from __future__ import annotations
+
+from kafka_flink_spark.operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE, pagerank
+
+
+def _reference(n_nodes: int, edges: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    from collections import defaultdict
+
+    deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    pr = {i: PR_SCALE // n_nodes for i in range(n_nodes)}
+    for _ in range(iterations):
+        nxt = {i: base for i in range(n_nodes)}
+        for s, d in edges:
+            nxt[d] += (PR_DAMP_NUM * pr[s]) // (PR_DAMP_DEN * deg[s])
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark):
+    # directed graph with a hub, a chain, and an isolated node
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.pr for r in pagerank(nodes_df, edges_df, "id", iterations=7).collect()}
+    want = _reference(5, edges, 7)
+    assert got == want
+    # isolated node 4 holds exactly the base rank
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * 5)
+    assert got[4] == base
+    # the sink-heavy node 2 outranks everyone
+    assert got[2] == max(got.values())
