@@ -101,10 +101,13 @@ def _load() -> None:
 # again: the names that still overflow this round's budget are the
 # relational tail starting at ``s2_sort_null_ordering`` below the
 # 50-line mark, plus the round-3 additions (``j8_bloom_prune_semi_join``,
-# ``t16_bpe_pair_counts``, ``w21_stream_outer_interval_join``,
-# ``w22_stream_dedup_within_watermark``, ``io8_xml_roundtrip``,
-# ``io9_zorder_layout``, ``sc10_variant_functions``, ``m7_real_media_probe``,
-# ``v7_ann_knn_graph``).
+# ``t16_bpe_pair_counts``, ``t17_cdc_chunk_dedup``, ``t18_bigram_lm_score``,
+# ``w21_stream_outer_interval_join``, ``w22_stream_dedup_within_watermark``,
+# ``io8_xml_roundtrip``, ``io9_zorder_layout``, ``io10_schema_evolution_merge``,
+# ``sc10_variant_functions``, ``sc11_collation_group``, ``g17_approx_top_k``,
+# ``gr1_pagerank_copurchase``, ``m7_real_media_probe``, ``v7_ann_knn_graph``).
+# All of these are ALL-MATCH green under the local bare-session driver
+# simulation at sf0.01 (round 3), so rotating them in carries low risk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # streaming block (reference core semantics W3/W5/W7/W8/W11/W12/W14)
     "w11_stream_ohlcv_update",

@@ -378,3 +378,44 @@ def io9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("long").alias("min_supp"),
         F.max("l_suppkey").cast("long").alias("max_supp"),
     )
+
+
+@register(
+    "io10_schema_evolution_merge",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CAST(NULL AS VARCHAR) AS region_name
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_nationkey >= 10
+""",
+    doc="Parquet schema evolution: two file generations of one table "
+    "(the later adds a region_name column), read back with "
+    "mergeSchema=true — early rows surface NULL for the added column, "
+    "late rows carry it. The append-only-table reality at 100 TB: "
+    "columns get added over months of files and the scan must "
+    "reconcile footers without a rewrite. (Merged-schema reads pay a "
+    "footer-union planning cost — production tables pin the schema in "
+    "a catalog and only enable this for evolving raw zones.)",
+)
+def io10_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    tmp = scratch_dir("io_evolve_")
+    v1 = n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
+    v2 = (
+        n.filter(F.col("n_nationkey") >= 10)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+    v1.write.mode("overwrite").parquet(tmp + "/gen=1")
+    v2.write.mode("overwrite").parquet(tmp + "/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(tmp + "/gen=1", tmp + "/gen=2")
+        .select("n_nationkey", "n_name", "region_name")
+    )

@@ -1931,3 +1931,40 @@ def gr1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     pr = pagerank(nodes, edges, "id", iterations=5)
     return pr.select(F.col("id").alias("part_id"), F.col("pr").alias("pr_e12"))
+
+
+@register(
+    "sc11_collation_group",
+    oracle="""
+WITH v AS (
+    SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                ELSE lower(c_mktsegment) END AS seg
+    FROM customer
+)
+SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n_customers
+FROM v
+GROUP BY lower(seg)
+""",
+    doc="Collation-aware grouping (Spark 4 string collations): a "
+    "mixed-case segment column grouped under UTF8_LCASE merges case "
+    "variants WITHOUT rewriting the data — the collation is a type "
+    "property the whole comparison/aggregation machinery respects "
+    "(vs the lower() rewrite the oracle uses), which at 100 TB means "
+    "case-insensitive joins and groupBys without materializing "
+    "normalized copies of string columns. Group representative is "
+    "normalized with lower() for engine-independent comparison.",
+)
+def sc11_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    return (
+        v.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("cseg"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            F.lower(F.col("cseg").cast("string")).alias("segment"), "n_customers"
+        )
+    )
