@@ -1759,3 +1759,107 @@ GROUP BY doc_id
 )
 def t18_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipe4_quality_dedup_corpus",
+    oracle=f"""
+WITH sdocs AS (
+    SELECT doc_id, text, source FROM documents
+    WHERE ({_md5l('CAST(doc_id AS VARCHAR)')}) % 100 < 50
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM sdocs),
+dbg AS (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM t WHERE len(w) >= 2
+),
+dbg1 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM dbg),
+bc AS (SELECT bigram, count(*) AS c12 FROM dbg GROUP BY bigram),
+tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM sdocs),
+uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+vv AS (SELECT count(*) AS v FROM uni),
+scored AS (
+    SELECT d.doc_id,
+           CAST(round((bc.c12 + 1) * 1000000000.0 /
+                      (u.c1 + (SELECT v FROM vv))) AS BIGINT) AS term
+    FROM dbg1 d JOIN bc ON d.bigram = bc.bigram JOIN uni u ON u.w = d.w1
+),
+docscore AS (
+    SELECT doc_id, round(sum(term) * 1.0 / count(*), 3) AS mean_lik
+    FROM scored GROUP BY doc_id
+),
+med AS (SELECT quantile_cont(mean_lik, 0.5) AS m FROM docscore),
+keepers AS (
+    SELECT s.doc_id, s.text, s.source
+    FROM sdocs s JOIN docscore q ON s.doc_id = q.doc_id
+    WHERE q.mean_lik >= (SELECT m FROM med)
+),
+kt AS (SELECT doc_id, string_split(text, ' ') AS w FROM keepers),
+st AS (
+    SELECT doc_id, w,
+           list_concat([1], list_filter(range(2, len(w) + 1),
+               i -> ({_md5l('w[i]')}) % 32 = 0)) AS starts
+    FROM kt
+),
+ch AS (
+    SELECT doc_id,
+           unnest([array_to_string(
+                     w[starts[k]:
+                       CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                            ELSE len(w) END], ' ')
+                   for k in range(1, len(starts) + 1)]) AS chunk_text
+    FROM st
+),
+uchunks AS (
+    SELECT md5(chunk_text) AS fp, min(doc_id) AS keep_doc,
+           min(length(chunk_text)) AS chunk_chars
+    FROM ch GROUP BY 1
+),
+chunk_stats AS (
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(u.chunk_chars) AS BIGINT) AS unique_chars
+    FROM uchunks u JOIN keepers k ON u.keep_doc = k.doc_id
+    GROUP BY k.source
+),
+doc_stats AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM keepers GROUP BY source
+)
+SELECT d.source, d.n_docs, c.n_unique_chunks, c.unique_chars
+FROM doc_stats d JOIN chunk_stats c ON d.source = c.source
+""",
+    doc="Composed round-3 pipeline: deterministic 50% hash sample -> "
+    "bigram-LM quality filter (keep docs at or above the sampled "
+    "corpus's median mean-likelihood; exact sort-based percentile, "
+    "reproducible unlike a float mean) -> content-defined chunk dedup "
+    "over the survivors -> per-source corpus stats. Demonstrates that "
+    "t6/t18/t17 compose into one lazy plan: the only corpus passes "
+    "are the LM model build and the chunk fingerprint groupBy.",
+)
+def pipe4_quality_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = X.hash_sample(docs, rates={}, default_rate=50, key_col="doc_id")
+    scores = X.bigram_lm_scores(sampled)
+    med = scores.agg(F.expr("percentile(mean_lik_e9, 0.5)").alias("m"))
+    keep = (
+        scores.crossJoin(F.broadcast(med))
+        .filter(F.col("mean_lik_e9") >= F.col("m"))
+        .select("doc_id")
+    )
+    keepers = sampled.join(keep, "doc_id").select("doc_id", "text", "source")
+    chunks = X.cdc_chunk_dedup(keepers, boundary_mod=32)
+    src = keepers.select(F.col("doc_id").alias("keep_doc"), "source")
+    chunk_stats = (
+        chunks.join(src, "keep_doc")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_unique_chunks"),
+            F.sum("chunk_chars").cast("long").alias("unique_chars"),
+        )
+    )
+    doc_stats = keepers.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return doc_stats.join(chunk_stats, "source").select(
+        "source", "n_docs", "n_unique_chunks", "unique_chars"
+    )
