@@ -649,3 +649,105 @@ def w22_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         ev, ["user_id", "event_type"], ts_col="ts", watermark_delay="400 days"
     )
     return run_available_now(deduped, "append").select("user_id", "event_type")
+
+
+@register(
+    "w23_stream_full_outer_interval_join",
+    oracle="""
+WITH cutoff AS (
+    SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'view')) AS wm
+),
+j AS (
+    SELECT l.event_id AS click_id,
+           r.event_id AS view_id,
+           coalesce(l.user_id, r.user_id) AS user_id,
+           l.ts AS click_ts,
+           r.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 4 HOUR AND l.ts
+)
+SELECT click_id, view_id, user_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM j
+WHERE (click_id IS NOT NULL AND click_ts < (SELECT wm FROM cutoff))
+   OR (click_id IS NULL AND view_ts + INTERVAL 4 HOUR < (SELECT wm FROM cutoff))
+""",
+    doc="Stream-stream FULL OUTER interval join — both sides' "
+    "unmatched rows NULL-emit on watermark eviction: an unmatched "
+    "click when the watermark passes its own time (its match window "
+    "looks only backward), an unmatched view when the watermark "
+    "passes view_ts + 4h (a future click could still claim it until "
+    "then). The deterministic-region filter (click_ts < wm, or for "
+    "click-less rows view_ts + 4h < wm) is applied identically to the "
+    "streamed result and the batch oracle; matched rows emit "
+    "immediately and pass the same filter on their click side.",
+)
+def w23_stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import load_table, stream_events_raw
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    def side(event_type: str) -> DataFrame:
+        ev = stream_events_raw(spark, sf_dir)
+        return ev.select("event_id", "ts", "user_id", "event_type").filter(
+            F.col("event_type") == event_type
+        )
+
+    clicks = (
+        side("click")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("ts", "click_ts")
+    )
+    views = side("view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("user_id").alias("r_user_id"),
+    ).withColumn("user_id", F.col("r_user_id"))
+    joined = interval_join(
+        clicks,
+        views,
+        key_col="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        lower="4 hours",
+        upper="0 seconds",
+        how="full_outer",
+    )
+    out = run_available_now(
+        joined.select(
+            "click_id",
+            "view_id",
+            joined["click_ts"],
+            "view_ts",
+            F.coalesce(clicks["user_id"], F.col("r_user_id")).alias("u_id"),
+        ),
+        "append",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    wm = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            ).alias("wm")
+        )
+        .collect()[0]
+        .wm
+    )
+    kept = out.filter(
+        (F.col("click_id").isNotNull() & (F.col("click_ts") < F.lit(wm)))
+        | (
+            F.col("click_id").isNull()
+            & (F.col("view_ts") + F.expr("INTERVAL 4 HOURS") < F.lit(wm))
+        )
+    )
+    return kept.select(
+        "click_id",
+        "view_id",
+        F.col("u_id").alias("user_id"),
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+        F.date_format("view_ts", _FMT).alias("view_ts"),
+    )
