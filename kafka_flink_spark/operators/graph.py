@@ -71,3 +71,66 @@ def pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge set (columns
+    ``src``/``dst``, any orientation, duplicates tolerated).
+
+    Degree-ordered orientation (the standard distributed-triangles
+    trick): orient every edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate wedges by self-joining oriented edges on
+    their apex, and close wedges against the oriented edge set. Wedge
+    count is Σ out-degree², and degree-ordering caps out-degrees at
+    O(sqrt(|E|)) even under power-law skew — a hub's edges all point
+    INTO it, so the hub contributes no wedges (plain id-ordering has
+    no such bound; the triangle COUNT is orientation-invariant, which
+    is also why the oracle can orient by id). Three shuffle joins
+    (degree annotate, wedge, close), one scalar aggregate; nothing
+    driver-side.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    e0 = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("id"))
+        .unionByName(e0.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    annotated = (
+        e0.join(deg.withColumnsRenamed({"id": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"id": "b", "d": "db"}), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e = annotated.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    ).persist()
+    e.count()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # wedge endpoints compared in the SAME (degree, id) order, so the
+    # closing edge (b -> c) matches the stored orientation exactly
+    b_before_c = (F.col("e1.dst_d") < F.col("e2.dst_d")) | (
+        (F.col("e1.dst_d") == F.col("e2.dst_d")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.src") == F.col("e2.src")) & b_before_c
+    ).select(F.col("e1.dst").alias("wb"), F.col("e2.dst").alias("wc"))
+    tris = wedges.join(
+        e3, (F.col("wb") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst"))
+    )
+    return (
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(tris.agg(F.count("*").cast("long").alias("n_triangles")))
+    )

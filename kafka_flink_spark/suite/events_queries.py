@@ -441,3 +441,38 @@ def e8_mau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "e9_event_transitions",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+)
+SELECT event_type AS prev_type, next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+    doc="Per-user event transition matrix (Markov-chain counts): lead "
+    "over (user, ts, event_id) pairs each event with its successor, "
+    "then one aggregation — the navigation/behavior-model primitive "
+    "next to sessionization (e1) and funnels (e2). One shuffle for the "
+    "per-user window (ties broken by event_id, matching the e7 "
+    "ordering convention), one result-sized aggregation exchange.",
+)
+def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )

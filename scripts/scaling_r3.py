@@ -70,6 +70,23 @@ def main() -> None:
         zorder_write(fact, ["fk", "k2"], d + "/t", bits=10, num_files=16)
         print(f"rows={n:>11,} wall={time.perf_counter() - t0:5.1f}s")
 
+    print("== pagerank / triangle_count (random graph, avg degree 20) ==")
+    from kafka_flink_spark.operators.graph import pagerank, triangle_count
+
+    for n in (100_000, 1_000_000):
+        edges = spark.range(n * 10).select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n)).alias("dst"),
+        )
+        nodes = spark.range(n).select(F.col("id"))
+        t0 = time.perf_counter()
+        pagerank(nodes, edges, "id", iterations=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wp = time.perf_counter() - t0
+        wt = t(triangle_count(edges))
+        print(f"nodes={n:>9,} edges={n * 10:>10,} pagerank5={wp:5.1f}s triangles={wt:5.1f}s")
+
     print("== bpe_pair_counts / cdc_chunk_dedup ==")
     for n in (5_000, 50_000):
         docs = synth_docs(spark, n).persist()

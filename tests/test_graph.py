@@ -35,3 +35,17 @@ def test_pagerank_matches_python_reference(spark):
     assert got[4] == base
     # the sink-heavy node 2 outranks everyone
     assert got[2] == max(got.values())
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 (4 triangles) plus a pendant edge and a duplicate/reversed
+    edge — duplicates and orientation must not change the count."""
+    from kafka_flink_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (1, 0), (2, 1)]  # pendant + reversed dups
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(edges_df).collect()[0]
+    assert row.n_nodes == 5
+    assert row.n_edges == 7  # 6 K4 edges + pendant, dups collapsed
+    assert row.n_triangles == 4
