@@ -126,6 +126,16 @@ def _streaming_rate(spark) -> int:
             .parquet(f"{tmp}/src")
         )
 
+        # State-partition sizing: a streaming aggregation pays state-store
+        # open/commit overhead PER PARTITION PER MICRO-BATCH, so partition
+        # count should track key cardinality / cores, not the batch
+        # shuffle default. Measured on this 2k-key replay: 32 partitions
+        # 42k ev/s, 16 -> 64k, 8 -> 72k (see SCALING.md); production
+        # jobs size it to keys x throughput before first checkpoint
+        # (the count is fixed for the life of a checkpointed query).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
         def replay() -> None:
             stream = spark.readStream.schema(
                 "ts timestamp, product string, price double, qty long, seq long"
@@ -143,6 +153,7 @@ def _streaming_rate(spark) -> int:
             t0 = time.perf_counter()
             replay()
             rates.append(int(n / (time.perf_counter() - t0)))
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return sorted(rates)[1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
