@@ -702,3 +702,44 @@ def bigram_lm_scores(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
             "mean_lik_e9", F.round(F.col("lik_e9") / F.col("n_bigrams"), 3)
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 8, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus in
+    doc-id order: the share of a doc's distinct word n-grams whose
+    FIRST corpus occurrence (minimum doc id) is this doc. The
+    incremental-crawl signal — a re-crawled or heavily-templated page
+    scores near 0, fresh content near 1 — complementing pairwise dedup
+    (d2-d5) with a per-doc scalar that needs no pair enumeration.
+
+    Plan: per-row distinct n-gram arrays (narrow, the shingle
+    machinery), one exploded aggregation to (gram -> min doc id) —
+    grams are md5-compressed to 60-bit longs first so the corpus-wide
+    exchange carries (long, long), never gram text — then a semi-sized
+    join back to each doc's grams. Two exchanges total.
+    """
+    from kafka_flink_spark.operators.dedup import shingle_array
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingle_array(col, n)).alias("_g"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    first_seen = grams.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(first_seen, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("novel_grams") / F.col("n_grams"), 6)
+        )
+    )

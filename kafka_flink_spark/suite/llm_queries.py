@@ -1863,3 +1863,39 @@ def pipe4_quality_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats.join(chunk_stats, "source").select(
         "source", "n_docs", "n_unique_chunks", "unique_chars"
     )
+
+
+@register(
+    "t19_ngram_novelty",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 8
+                THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w) - 6)])
+                ELSE [array_to_string(w, ' ')] END AS grams
+    FROM t
+),
+g AS (
+    SELECT doc_id, {_md5l('unnest(grams)')} AS h FROM sh
+),
+fs AS (SELECT h, min(doc_id) AS first FROM g GROUP BY h)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fs.first = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams,
+       round(sum(CASE WHEN fs.first = g.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM g JOIN fs ON g.h = fs.h
+GROUP BY g.doc_id
+""",
+    doc="Per-doc 8-gram novelty vs the corpus in doc-id order "
+    "(operators/text.ngram_novelty): share of a doc's distinct grams "
+    "first seen in that doc — the incremental-crawl freshness signal; "
+    "templated/re-crawled pages score near 0 without any pair "
+    "enumeration. Grams md5-compress to longs before the corpus-wide "
+    "exchange; two shuffles total.",
+)
+def t19_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.ngram_novelty(load_table(spark, sf_dir, "documents"), n=8)
