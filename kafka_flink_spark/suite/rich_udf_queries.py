@@ -366,3 +366,28 @@ def u8_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "u9_arrow_python_udf",
+    oracle="""
+SELECT s_suppkey,
+       upper(s_name) || '#' || CAST(s_nationkey AS VARCHAR) AS tag
+FROM supplier
+""",
+    doc="Arrow-optimized scalar Python UDF (Spark 4 useArrow=True): "
+    "per-row Python semantics but Arrow-batched transfer — the "
+    "drop-in upgrade path for legacy row-at-a-time UDFs that can't be "
+    "rewritten as pandas series ops (u2) or native expressions (u3). "
+    "Completes the Python-boundary matrix: native > pandas_udf > "
+    "arrow-python-udf > pickled-row udf (the last deliberately absent "
+    "from every hot path).",
+)
+def u9_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def tag(name: str, nationkey: int) -> str:
+        return f"{name.upper()}#{nationkey}"
+
+    return s.select("s_suppkey", tag("s_name", "s_nationkey").alias("tag"))
