@@ -26,7 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def scale_to_bits(col: Column | str, lo: int, hi: int, bits: int = 10) -> Column:
+def scale_to_bits(
+    col: Column | str, lo: Column | int, hi: Column | int, bits: int = 10
+) -> Column:
     """Rescale an integer column's [lo, hi] domain onto the full
     [0, 2^bits) bucket range — REQUIRED before interleaving: Morton
     locality comes from the high bits of each dimension, and a column
@@ -34,10 +36,14 @@ def scale_to_bits(col: Column | str, lo: int, hi: int, bits: int = 10) -> Column
     under 10-bit interleave) would contribute no high bits at all,
     leaving files unclustered in that dimension. Integer arithmetic
     (floor of exact products) — deterministic and oracle-reproducible.
+    Bounds may be literals or columns (e.g. broadcast-joined min/max
+    aggregates, keeping the whole computation lazy and cluster-side).
     """
     x = F.col(col) if isinstance(col, str) else col
-    span = max(1, hi - lo)
-    return F.floor((x - F.lit(lo)) * F.lit((1 << bits) - 1) / F.lit(span)).cast("long")
+    lo_c = F.lit(lo) if isinstance(lo, int) else lo
+    hi_c = F.lit(hi) if isinstance(hi, int) else hi
+    span = F.greatest(F.lit(1).cast("long"), (hi_c - lo_c).cast("long"))
+    return F.floor((x - lo_c) * F.lit((1 << bits) - 1) / span).cast("long")
 
 
 def morton_code(cols: list[Column | str], bits: int = 10) -> Column:
@@ -77,19 +83,22 @@ def zorder_write(
     the output — it is a layout key, not data.
 
     The min/max pre-pass reads only the key columns (column-pruned
-    footer-friendly scan); production tables would take the bounds
-    from catalog statistics instead.
+    footer-friendly scan) and joins back as a broadcast single-row
+    relation — no value ever reaches the driver; production tables
+    would take the bounds from catalog statistics instead.
     """
     bounds = df.agg(
         *[f for c in cols for f in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))]
-    ).collect()[0]
+    )
+    annotated = df.crossJoin(F.broadcast(bounds))
     scaled = [
-        scale_to_bits(c, int(bounds[f"_lo_{c}"]), int(bounds[f"_hi_{c}"]), bits)
-        for c in cols
+        scale_to_bits(c, F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits) for c in cols
     ]
     zcol = "_zorder"
+    bound_cols = [f"_{side}_{c}" for c in cols for side in ("lo", "hi")]
     (
-        df.withColumn(zcol, morton_code(scaled, bits))
+        annotated.withColumn(zcol, morton_code(scaled, bits))
+        .drop(*bound_cols)
         .repartitionByRange(num_files, zcol)
         .sortWithinPartitions(zcol)
         .drop(zcol)

@@ -356,17 +356,19 @@ def io9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.zorder import morton_code, scale_to_bits
 
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.agg(
+    bounds = li.agg(
         F.min("l_partkey").alias("lo_p"),
         F.max("l_partkey").alias("hi_p"),
         F.min("l_suppkey").alias("lo_s"),
         F.max("l_suppkey").alias("hi_s"),
-    ).collect()[0]
+    )
+    # bounds join back as a broadcast single-row relation — the whole
+    # query stays lazy and cluster-side (no driver scalar round-trip)
     scaled = [
-        scale_to_bits("l_partkey", int(b.lo_p), int(b.hi_p)),
-        scale_to_bits("l_suppkey", int(b.lo_s), int(b.hi_s)),
+        scale_to_bits("l_partkey", F.col("lo_p"), F.col("hi_p")),
+        scale_to_bits("l_suppkey", F.col("lo_s"), F.col("hi_s")),
     ]
-    z = li.select(
+    z = li.crossJoin(F.broadcast(bounds)).select(
         morton_code(scaled, bits=10).alias("zcode"),
         "l_partkey",
         "l_suppkey",

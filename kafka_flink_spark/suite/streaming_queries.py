@@ -608,21 +608,22 @@ def w21_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     from kafka_flink_spark.sources.fixtures import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    wm = (
-        ev.agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-            ).alias("wm")
-        )
-        .collect()[0]
-        .wm
+    wm = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        ).alias("wm")
     )
-    return out.filter(F.col("click_ts") < F.lit(wm)).select(
-        "click_id",
-        "view_id",
-        F.col("l_user_id").alias("user_id"),
-        F.date_format("click_ts", _FMT).alias("click_ts"),
+    # broadcast single-row cutoff — no driver scalar round-trip
+    return (
+        out.crossJoin(F.broadcast(wm))
+        .filter(F.col("click_ts") < F.col("wm"))
+        .select(
+            "click_id",
+            "view_id",
+            F.col("l_user_id").alias("user_id"),
+            F.date_format("click_ts", _FMT).alias("click_ts"),
+        )
     )
 
 
@@ -727,21 +728,18 @@ def w23_stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Dat
         "append",
     )
     ev = load_table(spark, sf_dir, "events")
-    wm = (
-        ev.agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
-            ).alias("wm")
-        )
-        .collect()[0]
-        .wm
+    wm = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        ).alias("wm")
     )
-    kept = out.filter(
-        (F.col("click_id").isNotNull() & (F.col("click_ts") < F.lit(wm)))
+    # broadcast single-row cutoff — no driver scalar round-trip
+    kept = out.crossJoin(F.broadcast(wm)).filter(
+        (F.col("click_id").isNotNull() & (F.col("click_ts") < F.col("wm")))
         | (
             F.col("click_id").isNull()
-            & (F.col("view_ts") + F.expr("INTERVAL 4 HOURS") < F.lit(wm))
+            & (F.col("view_ts") + F.expr("INTERVAL 4 HOURS") < F.col("wm"))
         )
     )
     return kept.select(
