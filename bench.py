@@ -63,6 +63,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # Per-query isolation: drop relations the previous query
+        # persisted (dedup/similarity ops cache intermediates they
+        # legitimately reuse within one run). A query's own persists
+        # still happen inside its own timing; without the clear, the
+        # leftover blocks GC-pressure every query that runs later.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -76,6 +82,7 @@ def main() -> None:
 
     llm_timings: dict[str, float] = {}
     for name in llm_names:
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         llm_timings[name] = round(time.perf_counter() - t0, 3)

@@ -222,7 +222,11 @@ def minhash_lsh_pairs(
     # slower than the barrier job it saves).
     reps = (
         sigs.groupBy("_gfp")
-        .agg(F.min(id_col).alias("_rep"), *[F.first(c).alias(c) for c in sig_cols])
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.count("*").alias("_n"),
+            *[F.first(c).alias(c) for c in sig_cols],
+        )
         .persist()
     )
     reps.count()
@@ -267,11 +271,21 @@ def minhash_lsh_pairs(
         )
     )
     # within-group doc pairs: identical signatures share every band —
-    # always candidates; enumerated directly (no banding amplification)
-    within = ma.join(
-        mb,
-        (F.col("_gfp_a") == F.col("_gfp_b")) & (F.col("_ida") < F.col("_idb")),
-    ).select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    # always candidates; enumerated directly (no banding amplification).
+    # Restricted FIRST to groups that actually have >1 member (the _n
+    # count rides on the reps aggregation for free): the restriction
+    # join's build side is the tiny dup-group list, so the common
+    # no-duplicates corpus pays nothing here instead of a corpus-wide
+    # self-join on the signature fingerprint.
+    dup_groups = reps.filter(F.col("_n") > 1).select("_gfp")
+    dup_members = members.join(dup_groups, "_gfp")
+    wa = dup_members.select(F.col("_gfp"), F.col(id_col).alias("_ida"))
+    wb = dup_members.select(F.col("_gfp"), F.col(id_col).alias("_idb"))
+    within = (
+        wa.join(wb, "_gfp")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    )
     # disjoint by construction (cross: different groups; within: same),
     # and each unordered pair appears exactly once — no dropDuplicates.
     cand = cross.unionByName(within)
@@ -448,7 +462,11 @@ def simhash_near_pairs(
     # quadratic on a hot key. Chunk-join one representative per
     # DISTINCT signature; expand group pairs back to doc pairs after.
     # Bucket size becomes |distinct signatures per chunk key|.
-    reps = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep")).persist()
+    reps = (
+        sigs.groupBy("simhash")
+        .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
+        .persist()
+    )
     reps.count()
     base, extra = divmod(SIMHASH_BITS, num_chunks)
     chunk_cols, start = [], 0
@@ -512,13 +530,23 @@ def simhash_near_pairs(
             "hamming",
         )
     )
-    within = ma.join(
-        mb,
-        (F.col("_sig_a") == F.col("_sig_b")) & (F.col("_ida") < F.col("_idb")),
-    ).select(
-        F.col("_ida").alias("doc_a"),
-        F.col("_idb").alias("doc_b"),
-        F.lit(0).cast("int").alias("hamming"),
+    # Within-group pairs are restricted FIRST to signatures with >1
+    # member (the _n count rides on the reps aggregation for free): the
+    # restriction join's build side is the tiny dup-signature list, so
+    # the common no-duplicates corpus pays nothing here instead of a
+    # corpus-wide self-join on the signature.
+    dup_sigs = reps.filter(F.col("_n") > 1).select("simhash")
+    dup_members = sigs.select(id_col, "simhash").join(dup_sigs, "simhash")
+    wa = dup_members.select("simhash", F.col(id_col).alias("_ida"))
+    wb = dup_members.select("simhash", F.col(id_col).alias("_idb"))
+    within = (
+        wa.join(wb, "simhash")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
     return cross.unionByName(within)
 
