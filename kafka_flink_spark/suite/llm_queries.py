@@ -1899,3 +1899,64 @@ GROUP BY g.doc_id
 )
 def t19_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.ngram_novelty(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> str:
+    """Unrolled Lloyd iterations mirroring operators/clustering.py:
+    same init (k lowest vec_ids, cid = rank), same per-iteration
+    9-decimal centroid rounding, same (d2, cid) tie-break."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for i in range(iterations + 1):
+        parts.append(
+            f"""a{i} AS (
+    SELECT vec_id, v, cid, d2 FROM (
+        SELECT e.vec_id, e.v, c.cid, {d2} AS d2 FROM e, c{i} c
+    ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)"""
+        )
+        if i < iterations:
+            parts.append(
+                f"""c{i + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS c
+    FROM (
+        SELECT cid, pos, round(avg(val), 9) AS m
+        FROM (
+            SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+            FROM a{i}
+        ) GROUP BY cid, pos
+    ) GROUP BY cid
+)"""
+            )
+    sel = f"""
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       round(sum(d2), 4) AS inertia, min(vec_id) AS min_member
+FROM a{iterations} GROUP BY cid
+"""
+    return ",\n".join(parts) + sel
+
+
+@register(
+    "cl1_kmeans_profile",
+    oracle=_kmeans_oracle(),
+    doc="Distributed k-means (2 Lloyd rounds, k=8) over the embedding "
+    "corpus (operators/clustering.py): assignment is a zero-exchange "
+    "narrow pass over a broadcast centroid array (no driver round-trip, "
+    "unlike MLlib); the centroid update's shuffle is k x dim cells "
+    "thanks to map-side partial aggregation. Deterministic lowest-id "
+    "init + 9-decimal centroid rounding make the unrolled DuckDB CTE "
+    "oracle converge identically.",
+)
+def cl1_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.clustering import kmeans_profile
+
+    return kmeans_profile(load_table(spark, sf_dir, "embeddings"), k=8, iterations=2)

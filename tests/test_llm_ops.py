@@ -553,3 +553,68 @@ def test_cdc_chunks_survive_an_insertion(spark):
     assert total_1 >= 4, f"doc too short for the test ({total_1} chunks)"
     # all but the first chunk (which absorbed the insertion) dedup away
     assert shared >= total_1 - 2, (shared, total_1)
+
+
+class TestKmeans:
+    def test_assignment_partitions_input(self, spark):
+        from kafka_flink_spark.operators.clustering import kmeans_fit
+
+        from kafka_flink_spark.sources.fixtures import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        n = emb.count()
+        assigned = kmeans_fit(emb, k=4, iterations=1)
+        rows = assigned.groupBy("cid").count().collect()
+        assert sum(r["count"] for r in rows) == n
+        assert len(rows) <= 4
+        # every d2 is a valid squared distance
+        assert assigned.filter("d2 < 0").count() == 0
+
+    def test_iterations_do_not_increase_inertia(self, spark):
+        """Lloyd's algorithm monotonically decreases total inertia."""
+        from pyspark.sql import functions as F
+
+        from kafka_flink_spark.operators.clustering import kmeans_fit
+        from kafka_flink_spark.sources.fixtures import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        inertias = []
+        for it in (0, 1, 2):
+            a = kmeans_fit(emb, k=4, iterations=it)
+            inertias.append(a.agg(F.sum("d2")).collect()[0][0])
+        assert inertias[1] <= inertias[0] + 1e-6
+        assert inertias[2] <= inertias[1] + 1e-6
+
+    def test_assignment_plan_has_no_shuffle(self, spark):
+        """The assignment pass must stay narrow: broadcast of the
+        one-row centroid array, zero Exchange above the scan."""
+        from pyspark.sql import functions as F
+
+        from kafka_flink_spark.operators.clustering import _assign
+        from kafka_flink_spark.operators.similarity import _as_double
+        from kafka_flink_spark.sources.fixtures import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        base = emb.select(F.col("vec_id"), _as_double("embedding").alias("v"))
+        cents = base.limit(4).select(
+            F.lit(0).cast("int").alias("cid"), F.col("v").alias("c")
+        )
+        plan = _assign(base, cents, "vec_id")._jdf.queryExecution().executedPlan().toString()
+        # the only exchange allowed is building the broadcast side
+        import re
+
+        # Allowed: the BroadcastExchange of the one-row centroid array
+        # and the SinglePartition exchange collapsing the k centroid
+        # rows inside that broadcast build. Forbidden: any shuffle of
+        # the corpus side.
+        non_broadcast_exchanges = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln
+            and "Broadcast" not in ln
+            and "ReusedExchange" not in ln
+            and "SinglePartition" not in ln
+        ]
+        assert non_broadcast_exchanges == [], plan
