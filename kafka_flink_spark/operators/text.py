@@ -743,3 +743,135 @@ def ngram_novelty(
             "novelty", F.round(F.col("novel_grams") / F.col("n_grams"), 6)
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    n: int = 3,
+    max_df: int = 100,
+    min_df: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram-shingle -> postings-list construction (the candidate-
+    lookup index behind incremental near-dup checks and contamination
+    probes): per shingle, its document frequency and the sorted
+    posting list of containing documents.
+
+    Scale shape: the shingle-doc pair relation is derived per row
+    (shingle_array is already distinct-per-doc, narrow) and aggregated
+    with map-side partials. Postings lists are materialized ONLY for
+    shingles with df in [min_df, max_df]: a boilerplate shingle's
+    corpus-wide posting list is an unbounded hot row, so high-df
+    shingles keep their count but never build a list (a real index
+    shards those by doc-id range; the cap is where that policy plugs
+    in). The postings string is the cross-engine-comparable rendering
+    (suite convention: arrays render as delimiter-joined strings).
+    """
+    from kafka_flink_spark.operators.dedup import shingle_array
+
+    tp = df.select(
+        F.explode(shingle_array(col, n)).alias("term"), F.col(id_col)
+    )
+    counts = tp.groupBy("term").agg(F.count("*").cast("long").alias("df_count"))
+    small = counts.filter(
+        (F.col("df_count") >= min_df) & (F.col("df_count") <= max_df)
+    )
+    return (
+        tp.join(small, "term")
+        .groupBy("term")
+        .agg(
+            F.first("df_count").alias("df_count"),
+            F.array_join(F.array_sort(F.collect_list(id_col)), ",").alias("postings"),
+        )
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame, min_count: int = 5, top_n: int = 50, col: str = "text"
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: bigrams whose parts
+    co-occur far more than independence predicts — the phrase-mining /
+    tokenizer-merge-candidate primitive.
+
+    PMI = ln(c(ab) * N / (c(a) * c(b))). Ranking compares the RATIO
+    (one IEEE division of exactly-representable integer products —
+    bit-identical across engines), never the ln(): last-ulp log
+    differences can't flip an order. Plan: two token passes (bigram +
+    unigram counts, both map-side combined), two broadcast joins of
+    the bigram relation against the unigram counts, TakeOrdered top-N.
+    """
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array())
+    bi = (
+        df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    total = df.select(F.explode(grams).alias("g")).agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "ratio", (F.col("n_ab") * F.col("n_total")) / (F.col("n_a") * F.col("n_b"))
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), F.asc("bigram"))
+        .limit(top_n)
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.log("ratio"), 6).alias("pmi"),
+        )
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    frac: float = 0.1,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota stratified sampling: per stratum, keep exactly
+    ceil(frac * |stratum|) rows, chosen by md5-hash order — the
+    eval-set / ablation-split primitive when proportions must be exact
+    (hash_sample's Bernoulli gate only hits the rate in expectation).
+
+    Deterministic: the hash order is a pure function of ids, so the
+    same rows survive on any cluster, any partitioning, any run. Plan:
+    one shuffle on the stratum key; both window functions (rank by
+    hash, stratum size) share the single sort.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws(":", F.lit("strat"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy(strata_col)
+    return (
+        df.select(F.col(id_col), F.col(strata_col))
+        .withColumn("sample_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("n_stratum", F.count("*").over(w_all).cast("long"))
+        .filter(F.col("sample_rank") <= F.ceil(F.lit(frac) * F.col("n_stratum")))
+        .select(id_col, strata_col, "sample_rank", "n_stratum")
+    )

@@ -1960,3 +1960,95 @@ def cl1_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.clustering import kmeans_profile
 
     return kmeans_profile(load_table(spark, sf_dir, "embeddings"), k=8, iterations=2)
+
+
+@register(
+    "t20_inverted_index",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tp AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, len(w) - 1)])
+             ELSE [array_to_string(w, ' ')] END) AS term
+    FROM t
+),
+counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tp GROUP BY term
+),
+small AS (SELECT * FROM counts WHERE df_count BETWEEN 2 AND 100)
+SELECT s.term, s.df_count,
+       array_to_string(list(tp.doc_id ORDER BY tp.doc_id), ',') AS postings
+FROM small s JOIN tp ON tp.term = s.term
+GROUP BY s.term, s.df_count
+""",
+    doc="Inverted index over 3-word shingles (operators/text."
+    "inverted_index): shingle -> df + sorted posting list — the "
+    "candidate-lookup index behind incremental near-dup checks. Lists "
+    "materialize only for df in [2,100] so a boilerplate shingle's "
+    "corpus-wide postings never becomes an unbounded hot row; high-df "
+    "shingles keep their count. Narrow shingle derivation, map-side-"
+    "combined counts.",
+)
+def t20_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t21_pmi_collocations",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+    FROM toks WHERE len(w) >= 2
+),
+bi AS (
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+    FROM grams GROUP BY bigram HAVING count(*) >= 5
+),
+uc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+    FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM grams)
+SELECT bigram, n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+       round(ln((n_ab * n_total) * 1.0 / (a.n_tok * b.n_tok)), 6) AS pmi
+FROM bi, tot, uc a, uc b
+WHERE a.tok = string_split(bigram, ' ')[1]
+  AND b.tok = string_split(bigram, ' ')[2]
+ORDER BY (n_ab * n_total) * 1.0 / (a.n_tok * b.n_tok) DESC, bigram
+LIMIT 50
+""",
+    doc="PMI collocations (operators/text.pmi_bigrams): phrase-mining /"
+    " tokenizer-merge candidates. Ranked by the exact integer-product "
+    "ratio (single IEEE division, engine-identical bits) so ln() ulps "
+    "can never flip an order; ln is display-only.",
+)
+def t21_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t22_stratified_exact_sample",
+    oracle="""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS sample_rank,
+           CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+    FROM documents
+)
+SELECT doc_id, lang, sample_rank, n_stratum
+FROM s WHERE sample_rank <= ceil(0.1 * n_stratum)
+""",
+    doc="Exact-quota stratified sampling (operators/text."
+    "stratified_exact_sample): exactly ceil(10% of each language) "
+    "survives, chosen by deterministic md5 order — hash_sample's "
+    "Bernoulli gate (t6) hits rates only in expectation. One shuffle "
+    "on the stratum key; rank and size share the sort.",
+)
+def t22_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.stratified_exact_sample(load_table(spark, sf_dir, "documents"))

@@ -618,3 +618,47 @@ class TestKmeans:
             and "SinglePartition" not in ln
         ]
         assert non_broadcast_exchanges == [], plan
+
+
+class TestTextRound3:
+    def test_inverted_index_caps_high_df_terms(self, spark):
+        """A shingle above max_df keeps no posting list; one inside the
+        band keeps a sorted, complete list."""
+        from kafka_flink_spark.operators.text import inverted_index
+
+        boiler = "alpha beta gamma"
+        rows = [(i, boiler) for i in range(6)] + [
+            (10, "one two three"),
+            (11, "one two three"),
+            (12, "unique only here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["term"]: r for r in inverted_index(df, n=3, max_df=5).collect()}
+        assert "alpha beta gamma" not in out  # df=6 > cap
+        assert out["one two three"]["postings"] == "10,11"
+        assert out["one two three"]["df_count"] == 2
+        assert "unique only here" not in out  # df=1 < min_df
+
+    def test_stratified_exact_sample_quota(self, spark):
+        from math import ceil
+
+        from kafka_flink_spark.operators.text import stratified_exact_sample
+        from kafka_flink_spark.sources.fixtures import load_table
+        from tests.conftest import SF_SMALL
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+        out = stratified_exact_sample(docs, frac=0.1)
+        got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        assert got == {k: ceil(0.1 * v) for k, v in totals.items()}
+
+    def test_pmi_ranks_collocation_over_independent(self, spark):
+        """A bigram always occurring together outranks one whose parts
+        are frequent independently."""
+        from kafka_flink_spark.operators.text import pmi_bigrams
+
+        rows = [(i, "strong glue " + "filler word " * 10) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_bigrams(df, min_count=5, top_n=5).collect()
+        assert out[0]["bigram"] == "strong glue"
+        assert out[0]["pmi"] > 0
