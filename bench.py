@@ -43,6 +43,23 @@ LLM_OPS = (
     "pipe2_training_mix",
 )
 
+# Round-3 additions, timed as a third section so the headline and LLM
+# totals stay comparable across rounds while the new ops are still
+# measured per-round.
+EXTRA_OPS = (
+    "cl1_kmeans_profile",
+    "t16_bpe_pair_counts",
+    "t19_ngram_novelty",
+    "t20_inverted_index",
+    "t21_pmi_collocations",
+    "t22_stratified_exact_sample",
+    "gr1_pagerank_copurchase",
+    "gr2_triangle_count",
+    "v7_ann_knn_graph",
+    "j8_bloom_prune_semi_join",
+    "pipe4_quality_dedup_corpus",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +104,13 @@ def main() -> None:
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         llm_timings[name] = round(time.perf_counter() - t0, 3)
 
+    extra_timings: dict[str, float] = {}
+    for name in [n for n in EXTRA_OPS if n in qs]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra_timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +122,8 @@ def main() -> None:
                 "sf": sf,
                 "llm_queries": llm_timings,
                 "llm_total": round(sum(llm_timings.values()), 3),
+                "extra_queries": extra_timings,
+                "extra_total": round(sum(extra_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": _streaming_rate(spark),
             }
         )
