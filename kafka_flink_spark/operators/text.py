@@ -330,8 +330,13 @@ def repetition_signals(df: DataFrame, col: str = "text", id_col: str = "doc_id")
     counts and reduce back per doc — two map-side-combined shuffles
     carrying counts keyed by (doc, gram-hash-sized) rows, never raw
     text. All output fractions are exact-integer ratios (one IEEE
-    division — engine-identical, no rounding).
+    division — engine-identical, no rounding). The per-doc gram
+    explosion is CPU-bound, so an under-partitioned input re-splits
+    first (fan_out_narrow; no-op on a parallel scan).
     """
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
     toks = tokens(col)
     base = df.select(
         F.col(id_col),
@@ -718,10 +723,14 @@ def ngram_novelty(
     machinery), one exploded aggregation to (gram -> min doc id) —
     grams are md5-compressed to 60-bit longs first so the corpus-wide
     exchange carries (long, long), never gram text — then a semi-sized
-    join back to each doc's grams. Two exchanges total.
+    join back to each doc's grams. Two exchanges total. The shingle
+    md5 pass is CPU-bound, so an under-partitioned input re-splits
+    first (fan_out_narrow; no-op on an already-parallel scan).
     """
     from kafka_flink_spark.operators.dedup import shingle_array
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
 
+    df = fan_out_narrow(df)
     grams = df.select(
         F.col(id_col),
         F.explode(shingle_array(col, n)).alias("_g"),
@@ -767,9 +776,13 @@ def inverted_index(
     shards those by doc-id range; the cap is where that policy plugs
     in). The postings string is the cross-engine-comparable rendering
     (suite convention: arrays render as delimiter-joined strings).
+    The shingle derivation is CPU-bound, so an under-partitioned input
+    re-splits first (fan_out_narrow; no-op on a parallel scan).
     """
     from kafka_flink_spark.operators.dedup import shingle_array
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
 
+    df = fan_out_narrow(df)
     tp = df.select(
         F.explode(shingle_array(col, n)).alias("term"), F.col(id_col)
     )
@@ -800,7 +813,12 @@ def pmi_bigrams(
     differences can't flip an order. Plan: two token passes (bigram +
     unigram counts, both map-side combined), two broadcast joins of
     the bigram relation against the unigram counts, TakeOrdered top-N.
+    The gram derivation is CPU-bound, so an under-partitioned input
+    re-splits first (fan_out_narrow; no-op on a parallel scan).
     """
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
     toks = tokens(col)
     grams = F.when(
         F.size(toks) >= 2,
