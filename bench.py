@@ -56,6 +56,7 @@ EXTRA_OPS = (
     "gr1_pagerank_copurchase",
     "gr2_triangle_count",
     "v7_ann_knn_graph",
+    "v8_ivf_learned_topk",
     "j8_bloom_prune_semi_join",
     "pipe4_quality_dedup_corpus",
 )

@@ -93,6 +93,24 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _fit(
+    base: DataFrame, k: int, iterations: int, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (final centroids, final assignment)."""
+    w = Window.orderBy(id_col)
+    cents = (
+        base.orderBy(id_col)
+        .limit(k)
+        .withColumn("cid", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("cid", F.col("v").alias("c"))
+    )
+    assigned = _assign(base, cents, id_col)
+    for _ in range(iterations):
+        cents = _update(assigned)
+        assigned = _assign(base, cents, id_col)
+    return cents, assigned
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -109,18 +127,22 @@ def kmeans_fit(
     identically).
     """
     base = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    w = Window.orderBy(id_col)
-    cents = (
-        base.orderBy(id_col)
-        .limit(k)
-        .withColumn("cid", (F.row_number().over(w) - F.lit(1)).cast("int"))
-        .select("cid", F.col("v").alias("c"))
-    )
-    assigned = _assign(base, cents, id_col)
-    for _ in range(iterations):
-        cents = _update(assigned)
-        assigned = _assign(base, cents, id_col)
-    return assigned
+    return _fit(base, k, iterations, id_col)[1]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained centroid relation (cid, c) after ``iterations``
+    Lloyd rounds — the learned coarse quantizer that plugs into
+    ``similarity.ivf_topk(centroids=...)`` in place of its
+    assignment-only lowest-id cells."""
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return _fit(base, k, iterations, id_col)[0]
 
 
 def kmeans_profile(

@@ -244,27 +244,35 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_cells`` cells, probe each query against its ``n_probe`` nearest
     cells, exact-rank within the probed candidates.
 
-    The coarse centroids here are assignment-only: the ``n_cells``
+    The default coarse centroids are assignment-only: the ``n_cells``
     lowest-id corpus vectors, chosen deterministically so the DuckDB
-    oracle reproduces the index bit-for-bit. A learned k-means
-    quantizer plugs into the identical dataflow (swap the centroid
-    frame); determinism is what round-1 buys.
+    oracle reproduces the index bit-for-bit. Pass ``centroids`` (a
+    (cid, c) relation, e.g. ``clustering.kmeans_centroids``) to use a
+    LEARNED quantizer in the identical dataflow — better-balanced
+    cells, same plan shape.
 
     Scale shape: centroids broadcast (tiny); assignment is one
     broadcast-join + max_by aggregation (|corpus| × n_cells score rows,
     combined map-side); the candidate join touches only probed cells —
     ~n_probe/n_cells of the corpus per query instead of all of it.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("c").alias("centroid"),
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
+        )
     # Deterministic argmax-cosine assignment: max cos, ties to low cid.
     order_key = lambda cos_col: F.struct(  # noqa: E731
         cos_col.alias("cos"), (-F.col("cid")).cast("double").alias("tb")

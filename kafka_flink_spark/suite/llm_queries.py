@@ -1901,10 +1901,15 @@ def t19_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.ngram_novelty(load_table(spark, sf_dir, "documents"), n=8)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> str:
-    """Unrolled Lloyd iterations mirroring operators/clustering.py:
-    same init (k lowest vec_ids, cid = rank), same per-iteration
-    9-decimal centroid rounding, same (d2, cid) tie-break."""
+def _kmeans_ctes(
+    k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM, final_assign: bool = True
+) -> list[str]:
+    """Unrolled Lloyd-iteration CTE chain mirroring
+    operators/clustering.py: same init (k lowest vec_ids, cid = rank),
+    same per-iteration 9-decimal centroid rounding, same (d2, cid)
+    tie-break. Ends at c{iterations}; ``final_assign`` adds the last
+    assignment a{iterations} (cl1 needs it; the learned-IVF composition
+    only needs the centroids)."""
     d2 = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
         f"j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])))"
@@ -1916,7 +1921,8 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> s
     FROM e ORDER BY vec_id LIMIT {k}
 )""",
     ]
-    for i in range(iterations + 1):
+    n_assign = iterations + 1 if final_assign else iterations
+    for i in range(n_assign):
         parts.append(
             f"""a{i} AS (
     SELECT vec_id, v, cid, d2 FROM (
@@ -1937,12 +1943,16 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> s
     ) GROUP BY cid
 )"""
             )
+    return parts
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> str:
     sel = f"""
 SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        round(sum(d2), 4) AS inertia, min(vec_id) AS min_member
 FROM a{iterations} GROUP BY cid
 """
-    return ",\n".join(parts) + sel
+    return ",\n".join(_kmeans_ctes(k, iterations, dim)) + sel
 
 
 @register(
@@ -2052,3 +2062,66 @@ FROM s WHERE sample_rank <= ceil(0.1 * n_stratum)
 )
 def t22_stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.stratified_exact_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _ivf_learned_oracle(k_cells: int = 8, iterations: int = 2, n_probe: int = 4) -> str:
+    """v3's IVF search body over v8's LEARNED centroids: the kmeans CTE
+    chain replaces the lowest-id cents CTE; everything downstream is
+    the v3 oracle with cents = c{iterations}."""
+    cos = _duck_cosine
+    chain = ",\n".join(_kmeans_ctes(k_cells, iterations, final_assign=False))
+    return f"""{chain},
+cents AS (SELECT CAST(cid AS BIGINT) AS cid, c AS centroid FROM c{iterations}),
+cscore AS (
+    SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+           round({cos("e.v", "c.centroid")}, 6) AS cos_c
+    FROM e CROSS JOIN cents c
+),
+assigned AS (
+    SELECT neighbor_id, cv, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+              ORDER BY cos_c DESC, cid) AS arn FROM cscore)
+    WHERE arn = 1
+),
+qscore AS (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+           round({cos("e.v", "c.centroid")}, 6) AS cos_c
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id IN {_QUERY_IDS}
+),
+probes AS (
+    SELECT query_id, qv, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_c DESC, cid) AS prn FROM qscore)
+    WHERE prn <= {n_probe}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id,
+           round({cos("p.qv", "a.cv")}, 6) AS cos_sim
+    FROM assigned a JOIN probes p ON a.cell = p.cell
+    WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v8_ivf_learned_topk",
+    oracle=_ivf_learned_oracle(),
+    doc="IVF ANN top-10 over a LEARNED coarse quantizer: the k-means "
+    "centroids (cl1's trainer, operators/clustering.py) replace v3's "
+    "assignment-only lowest-id cells in the identical search dataflow "
+    "— train and search compose into ONE lazy plan (no driver "
+    "round-trip between them). Better-balanced cells than v3 at the "
+    "same probe budget; oracle = kmeans CTE chain + v3's search body.",
+)
+def v8_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.clustering import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    cents = kmeans_centroids(emb, k=8, iterations=2)
+    return S.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents)
