@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str = "ts",
     strict: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Attach the latest right row (per ``key_col``, by time) to each
     left row. Right payload columns keep their names; rows with no
@@ -53,7 +54,15 @@ def asof_join(
     ``merge_asof(tolerance=...)`` semantics. Implemented as a post-fill
     conditional on the carried right timestamp: same single linear
     shuffle, no extra join.
+
+    ``direction`` — ``"backward"`` (default, latest right row at or
+    before the left timestamp) or ``"forward"`` (EARLIEST right row at
+    or after it, pandas ``merge_asof(direction="forward")``): the same
+    union + ordered-window pass traversed in descending time, with the
+    tolerance gate flipped to ``right_ts <= left_ts + tolerance``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward: {direction}")
     payload = [c for c in right.columns if c not in (key_col, right_ts)]
     lt = left.select(
         F.col(key_col),
@@ -71,8 +80,11 @@ def asof_join(
     )
     # side-priority: at equal timestamps the right row sorts first, so
     # a left row at t sees a right row at t (non-strict); strict mode
-    # flips the order so same-instant right rows come after.
-    order = [F.col("_t")] + ([F.col("_side")] if not strict else [F.desc("_side")])
+    # flips the order so same-instant right rows come after. Forward
+    # mode traverses time DESCENDING — "last right row seen" then means
+    # "earliest right row at or after t" — with the same tie rules.
+    ts_ord = F.col("_t") if direction == "backward" else F.desc("_t")
+    order = [ts_ord] + ([F.col("_side")] if not strict else [F.desc("_side")])
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)
@@ -102,8 +114,10 @@ def asof_join(
     )
     if tolerance is None:
         fresh = F.col("_r").isNotNull()
-    else:
+    elif direction == "backward":
         fresh = F.col("_r._rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+    else:
+        fresh = F.col("_r._rt") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
     return filled.filter(F.col("_side") == 1).select(
         F.col("_l.*"),
         *[F.when(fresh, F.col(f"_r.{c}")).alias(c) for c in payload],

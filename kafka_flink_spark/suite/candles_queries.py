@@ -419,3 +419,47 @@ def j7_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "prev_close",
     )
+
+
+@register(
+    "j9_asof_join_forward",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE},
+candles AS (
+    SELECT product,
+           date_trunc('hour', ts) AS cts,
+           arg_max(price, ts) AS hour_close
+    FROM trades
+    GROUP BY date_trunc('hour', ts), product
+)
+SELECT t.seq, t.product,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       t.price, c.hour_close
+FROM trades t
+ASOF LEFT JOIN candles c ON t.product = c.product AND t.ts <= c.cts
+""",
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): "
+    "each trade annotated with the close of the next hourly candle "
+    "whose window START is at-or-after the trade — the look-ahead "
+    "labeling primitive of supervised market-data pipelines. Same "
+    "union + ordered-window composition as j6 traversed in descending "
+    "time (operators/asof.py); DuckDB ASOF with the inequality "
+    "flipped is the oracle.",
+)
+def j9_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.asof import asof_join
+
+    trades = trades_view(spark, sf_dir)
+    candles = ohlcv(trades, "1 hour", seq_col="seq").select(
+        "product",
+        F.col("window_start").alias("ts"),
+        F.col("close").alias("hour_close"),
+    )
+    out = asof_join(trades, candles, key_col="product", direction="forward")
+    return out.select(
+        "seq",
+        "product",
+        F.date_format("ts", _FMT + ".SSSSSS").alias("ts"),
+        "price",
+        "hour_close",
+    )

@@ -288,3 +288,40 @@ def test_asof_tolerance_matches_bruteforce(spark, left, right, tol):
         else:
             expected = None
         assert got[i] == expected, (i, k, t, tol, got[i], expected)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 100), st.integers(0, 999)),
+        max_size=15,
+    ),
+)
+@SET
+def test_asof_forward_matches_bruteforce(spark, left, right):
+    """asof_join(direction='forward') == brute force: EARLIEST right
+    row at-or-after each left ts per key (merge_asof forward)."""
+    from kafka_flink_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, 1704067200 + t, i) for i, (k, t) in enumerate(left)],
+        "k string, t long, seq long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "seq")
+    rdf = spark.createDataFrame(
+        [(k, 1704067200 + t, float(v)) for (k, t, v) in right] or [("Z", 0, 0.0)],
+        "k string, t long, px double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px")
+
+    out = asof_join(ldf, rdf, "k", direction="forward")
+    got = {r["seq"]: r["px"] for r in out.collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt >= t]
+        rts = [rt for rt, _ in cands]
+        if len(set(rts)) != len(rts):
+            continue  # same-instant right ties: convention pinned elsewhere
+        expected = float(min(cands)[1]) if cands else None
+        assert got[i] == expected, (i, k, t, got[i], expected)
