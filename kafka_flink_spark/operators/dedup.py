@@ -211,15 +211,16 @@ def minhash_lsh_pairs(
     sigs = sigs.withColumn(
         "_gfp", F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols]))
     ).persist()
-    sigs.count()
     # doc → signature-group mapping; feeds the within-group self-join
     # and both expansion joins (narrow: id + 32-char fp per doc).
     members = sigs.select(F.col(id_col), "_gfp")
     # one representative row per distinct signature (map-side min over
     # the cached signatures); persisted because the banding self-join
     # reads it from two aliases (exchange reuse doesn't fire there, so
-    # an unpersisted rep relation recomputes per alias — measured
-    # slower than the barrier job it saves).
+    # an unpersisted rep relation recomputes per alias). Persists here
+    # are LAZY: an eager count() barrier per cached relation cost more
+    # wall (one extra job each) than the partition-level duplicate
+    # compute the cache race can cause — measured at the bench corpus.
     reps = (
         sigs.groupBy("_gfp")
         .agg(
@@ -229,7 +230,6 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    reps.count()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -290,11 +290,10 @@ def minhash_lsh_pairs(
     # and each unordered pair appears exactly once — no dropDuplicates.
     cand = cross.unionByName(within)
     # cand feeds three branches (both id sides and the verify join);
-    # eager persist stops the banding join from re-running per branch.
+    # the persist stops the banding join from re-running per branch.
     # Candidate pairs are orders of magnitude fewer than the corpus —
     # near-identical docs are rare by mass — so this cache is tiny.
     cand = cand.persist()
-    cand.count()
     # Exact-Jaccard verification over candidate docs only: the shingle
     # arrays are recomputed just for ids surviving banding (the semi
     # join is on the id column, so Catalyst defers the shingle
@@ -449,13 +448,12 @@ def simhash_near_pairs(
         )
     # Signatures feed BOTH sides of the bucket self-join; without
     # persistence Spark recomputes the 60-vote aggregation per side
-    # (exchange reuse doesn't fire across the aliased self-join), and
-    # with only a LAZY persist both sides still race the cold cache
-    # inside one job. Materializing eagerly (this triggers a job at
-    # call time) halves the cold-run cost; the relation is one long
-    # per doc — bounded, LRU-evictable (MEMORY_AND_DISK).
+    # (exchange reuse doesn't fire across the aliased self-join). The
+    # persist is LAZY: both sides can race the cold cache inside one
+    # job, but the partition-level duplicate compute that causes costs
+    # less wall than an eager count() barrier job (measured at the
+    # bench corpus). One long per doc — bounded, MEMORY_AND_DISK.
     sigs = simhash(df, col, id_col).persist()
-    sigs.count()
     # --- bucket-size guard: collapse identical signatures -----------
     # Same rationale as minhash_lsh_pairs: a boilerplate mega-cluster
     # shares one simhash value and would make every chunk bucket
@@ -467,7 +465,6 @@ def simhash_near_pairs(
         .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
         .persist()
     )
-    reps.count()
     base, extra = divmod(SIMHASH_BITS, num_chunks)
     chunk_cols, start = [], 0
     for c in range(num_chunks):
