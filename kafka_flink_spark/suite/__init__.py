@@ -107,7 +107,8 @@ def _load() -> None:
 # ``sc10_variant_functions``, ``sc11_collation_group``, ``g17_approx_top_k``,
 # ``gr1_pagerank_copurchase``, ``m7_real_media_probe``, ``v7_ann_knn_graph``,
 # ``cl1_kmeans_profile``, ``t20_inverted_index``, ``t21_pmi_collocations``,
-# ``t22_stratified_exact_sample``).
+# ``t22_stratified_exact_sample``, ``v8_ivf_learned_topk``,
+# ``j9_asof_join_forward``).
 # All of these are ALL-MATCH green under the local bare-session driver
 # simulation at sf0.01 (round 3), so rotating them in carries low risk.
 _DRIVER_PRIORITY: tuple[str, ...] = (

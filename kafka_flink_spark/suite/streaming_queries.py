@@ -749,3 +749,59 @@ def w23_stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> Dat
         F.date_format("click_ts", _FMT).alias("click_ts"),
         F.date_format("view_ts", _FMT).alias("view_ts"),
     )
+
+
+@register(
+    "w24_stream_semi_join",
+    oracle="""
+SELECT l.event_id AS click_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events l
+WHERE l.event_type = 'click'
+  AND EXISTS (
+      SELECT 1 FROM events r
+      WHERE r.user_id = l.user_id AND r.event_type = 'view'
+        AND r.ts BETWEEN l.ts - INTERVAL 4 HOUR AND l.ts
+  )
+""",
+    doc="Stream-stream LEFT SEMI interval join (clicks having at least "
+    "one view in the prior 4h per user) replayed with availableNow — "
+    "the existence-check form of w15 that emits each left row at most "
+    "once and buffers NO right payload in the result. Same evictable "
+    "watermark-bounded state as the inner form (streaming/joins.py); "
+    "oracle is the batch EXISTS.",
+)
+def w24_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import stream_events_raw
+    from kafka_flink_spark.streaming.joins import interval_join
+
+    def side(event_type: str) -> DataFrame:
+        ev = stream_events_raw(spark, sf_dir)
+        return ev.select("event_id", "ts", "user_id", "event_type").filter(
+            F.col("event_type") == event_type
+        )
+
+    clicks = side("click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id"),
+    )
+    views = side("view").select(
+        F.col("ts").alias("view_ts"), F.col("user_id").alias("user_id")
+    )
+    joined = interval_join(
+        clicks,
+        views,
+        key_col="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+        lower="4 hours",
+        upper="0 seconds",
+        how="left_semi",
+    )
+    out = run_available_now(joined, "append")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", _FMT).alias("click_ts"),
+    )
