@@ -421,3 +421,70 @@ def io10_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tmp + "/gen=1", tmp + "/gen=2")
         .select("n_nationkey", "n_name", "region_name")
     )
+
+
+@register(
+    "io11_dynamic_partition_overwrite",
+    oracle="""
+WITH final AS (
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents
+FROM final GROUP BY o_orderpriority
+""",
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "a priority-partitioned copy of orders has ONE partition "
+    "('1-URGENT', prices doubled) rewritten in place; dynamic mode "
+    "replaces exactly the partitions present in the written frame and "
+    "provably leaves the other partitions' files untouched — the "
+    "idempotent daily-reprocess primitive (re-run one day, never "
+    "truncate the table). Oracle is the expected final table state.",
+)
+def io11_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    tmp = scratch_dir("dpo_") + "/orders_by_priority"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    untouched_before = sorted(
+        f for f in glob.glob(tmp + "/o_orderpriority=*/part-*.parquet")
+        if "1-URGENT" not in f
+    )
+    urgent_doubled = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "price_cents", F.col("price_cents") * 2
+    )
+    (
+        urgent_doubled.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(tmp)
+    )
+    untouched_after = sorted(
+        f for f in glob.glob(tmp + "/o_orderpriority=*/part-*.parquet")
+        if "1-URGENT" not in f
+    )
+    # dynamic mode must not have rewritten (or deleted) other partitions
+    assert untouched_before == untouched_after, (
+        len(untouched_before),
+        len(untouched_after),
+    )
+    return (
+        spark.read.parquet(tmp)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("total_cents"),
+        )
+    )
