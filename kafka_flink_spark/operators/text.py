@@ -608,8 +608,14 @@ def cdc_chunk_dedup(
     array — narrow, no token ever shuffles; the exchange is the final
     groupBy on 32-char chunk fingerprints (expected chunk length =
     ``boundary_mod`` words, so the shuffle carries ~1/mod of a digest
-    per word). Deterministic: boundaries come from md5, not RNG.
+    per word). Deterministic: boundaries come from md5, not RNG. The
+    per-token chunk assembly is the heaviest CPU in the text family,
+    so an under-partitioned input re-splits first (fan_out_narrow;
+    no-op on a parallel scan).
     """
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
 
     def md5l(c: Column) -> Column:
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -673,8 +679,13 @@ def bigram_lm_scores(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     bigram-count aggregation (map-side partials); scoring joins each
     doc's bigrams to the model on the bigram key and broadcasts the
     unigram vocab. Docs with fewer than two tokens have no bigrams and
-    drop out (both engine and oracle).
+    drop out (both engine and oracle). The bigram derivation is
+    CPU-bound, so an under-partitioned input re-splits first
+    (fan_out_narrow; no-op on a parallel scan).
     """
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
     toks = F.split(F.col(col), " ")
     doc_bigrams = df.select(
         F.col(id_col),
