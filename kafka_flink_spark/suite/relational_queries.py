@@ -1918,6 +1918,13 @@ def gr1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Edge build as an orderkey self-join (exchange reused across the
+    # two aliases). The groupBy + per-row basket-expansion alternative
+    # (used in gr2, where the edge set is persisted before reuse) loses
+    # HERE because pagerank consumes the un-checkpointed edge relation
+    # twice (degree pass + the annotate join) and the interpreted
+    # higher-order pair expansion would run per consumer — measured
+    # slower in situ despite a faster isolated build.
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -2004,16 +2011,31 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # oriented basket pairs via groupBy + per-row expansion (same
+    # rationale as gr1: the basket per order is bounded, so pair
+    # expansion is narrow and the fact table never self-joins)
+    # collect_list (not set): the pair weight counts LINE-level
+    # co-occurrences, same multiset as the a.l_partkey < b.l_partkey
+    # line self-join the oracle mirrors
+    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ps"),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                        lambda s: s["src"] < s["dst"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     strong = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("src", "dst")
