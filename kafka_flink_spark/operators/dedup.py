@@ -611,3 +611,118 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Incremental near-dup screening of a NEW batch against an
+    EXISTING corpus — the production shape of dedup (today's crawl vs
+    the training set): every new doc is classified as
+
+    * ``dup_of_existing`` — verified near-dup of an existing doc
+      (partner = smallest such existing id),
+    * ``dup_within_batch`` — no existing match, but a verified
+      near-dup of a smaller-id doc in the same batch,
+    * ``novel`` — neither.
+
+    Scale shape: both sides get the narrow signature pass; the
+    cross-relation band join shuffles (id, band_key) rows only and —
+    unlike the self-join in ``minhash_lsh_pairs`` — its left side is
+    batch-sized, so the per-day cost is O(batch + matched buckets),
+    not O(corpus). In production the EXISTING side's signatures and
+    band keys are computed once and stored with the corpus (this
+    function recomputes them so it stays a pure function of its
+    inputs; feed it a signature table to skip that). Verification
+    re-shingles only candidate docs behind semi joins.
+    """
+    rows_per_band = num_perms // num_bands
+    sig_e = minhash_signatures(existing, col, id_col, num_perms)
+    sig_n = minhash_signatures(new, col, id_col, num_perms)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+    def banded(sig: DataFrame, alias: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(alias),
+            F.posexplode(band_arr).alias("band_id", "band_key"),
+        )
+
+    bn = banded(sig_n, "new_id").persist()
+    be = banded(sig_e, "_pid")
+    cand_e = (
+        bn.join(be, ["band_id", "band_key"])
+        .select("new_id", F.col("_pid").alias("partner"), F.lit(0).alias("ptype"))
+        .dropDuplicates(["new_id", "partner"])
+    )
+    bn2 = bn.select(
+        F.col("new_id").alias("_pid"), "band_id", "band_key"
+    )
+    cand_n = (
+        bn.join(bn2, ["band_id", "band_key"])
+        .filter(F.col("_pid") < F.col("new_id"))
+        .select("new_id", F.col("_pid").alias("partner"), F.lit(1).alias("ptype"))
+        .dropDuplicates(["new_id", "partner"])
+    )
+    cand = cand_e.unionByName(cand_n).persist()
+
+    # verification shingles only for docs appearing in candidates
+    all_docs = existing.unionByName(new)
+    cand_ids = (
+        cand.select(F.col("new_id").alias(id_col))
+        .unionByName(cand.select(F.col("partner").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = (
+        all_docs.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingle_array(col).alias("sh"))
+        .persist()
+    )
+    sa = cand_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a"))
+    sb = cand_sh.select(F.col(id_col).alias("partner"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "partner")
+        .withColumn(
+            "jaccard",
+            F.round(common / (F.size("sh_a") + F.size("sh_b") - common), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    # best partner per new doc: existing beats within-batch, then min id
+    best = verified.groupBy("new_id").agg(
+        F.min_by(
+            F.struct("ptype", "partner", "jaccard"),
+            F.struct("ptype", "partner"),
+        ).alias("b")
+    )
+    return (
+        new.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("b.ptype") == 0, F.lit("dup_of_existing"))
+            .when(F.col("b.ptype") == 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.col("b.partner").alias("partner"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )

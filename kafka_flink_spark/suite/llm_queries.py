@@ -2125,3 +2125,84 @@ def v8_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     cents = kmeans_centroids(emb, k=8, iterations=2)
     return S.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents)
+
+
+def _incremental_dedup_oracle() -> str:
+    """Mirror of operators/dedup.incremental_dedup over the fixture
+    split (new batch = doc_id % 5 == 4): same signature recipe as
+    _minhash_oracle, cross-relation banding, existing-beats-batch
+    partner priority."""
+    perms = D.NUM_PERMS
+    rpb = perms // D.NUM_BANDS
+    band_key = " || ':' || ".join(
+        f"CAST(mh[b * {rpb} + {r + 1}] AS VARCHAR)" for r in range(rpb)
+    )
+    k_list = ", ".join(str(D.perm_constant(p)) for p in range(perms))
+    jac = "len(list_intersect(sa, sb)) * 1.0 / (len(sa) + len(sb) - len(list_intersect(sa, sb)))"
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> {_md5l("s")}) AS hs
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, doc_id % 5 = 4 AS is_new, shingles,
+           list_transform([{k_list}], k ->
+               list_min(list_transform(hs, h -> xor(h, k)))) AS mh
+    FROM hashed
+),
+banded AS (
+    SELECT doc_id, is_new, shingles,
+           unnest(range({D.NUM_BANDS})) AS band_id,
+           unnest(list_transform(range({D.NUM_BANDS}), b -> {band_key})) AS band_key
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS partner, 0 AS ptype,
+           b.shingles AS sa, a.shingles AS sb
+    FROM banded b JOIN banded a
+      ON b.band_id = a.band_id AND b.band_key = a.band_key
+     AND b.is_new AND NOT a.is_new
+    UNION
+    SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS partner, 1 AS ptype,
+           b.shingles AS sa, a.shingles AS sb
+    FROM banded b JOIN banded a
+      ON b.band_id = a.band_id AND b.band_key = a.band_key
+     AND b.is_new AND a.is_new AND a.doc_id < b.doc_id
+),
+ver AS (
+    SELECT new_id, partner, ptype, round({jac}, 6) AS jaccard
+    FROM cand WHERE {jac} >= 0.5
+),
+best AS (
+    SELECT new_id, partner, ptype, jaccard
+    FROM ver
+    QUALIFY row_number() OVER (PARTITION BY new_id ORDER BY ptype, partner) = 1
+)
+SELECT d.doc_id,
+       CASE WHEN b.ptype = 0 THEN 'dup_of_existing'
+            WHEN b.ptype = 1 THEN 'dup_within_batch'
+            ELSE 'novel' END AS status,
+       b.partner AS partner, b.jaccard AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+LEFT JOIN best b ON b.new_id = d.doc_id
+"""
+
+
+@register(
+    "d9_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental dedup of a new batch (doc_id % 5 = 4, 'today's "
+    "crawl') against the existing corpus (operators/dedup."
+    "incremental_dedup): each new doc classified dup_of_existing / "
+    "dup_within_batch / novel with its verified partner and Jaccard. "
+    "The cross-relation band join is batch-sized on the probe side — "
+    "per-day cost O(batch + matched buckets), not O(corpus); in "
+    "production the corpus side's signatures are precomputed.",
+)
+def d9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    existing = docs.filter(F.col("doc_id") % 5 != 4)
+    return D.incremental_dedup(existing, new)

@@ -696,3 +696,32 @@ def test_ivf_learned_centroids_plug_in(spark):
     # cells by much; on clustered corpora it wins outright
     assert recall_learned >= recall_plain - 0.2, (recall_learned, recall_plain)
     assert recall_learned >= 0.3, recall_learned
+
+
+def test_incremental_dedup_statuses(spark):
+    """Hand-built corpus: exact copy of an existing doc ->
+    dup_of_existing; near-dup pair inside the batch -> the larger id
+    is dup_within_batch of the smaller; unrelated -> novel. Priority:
+    an existing match beats a within-batch one."""
+    from kafka_flink_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "an unrelated corpus document about watermark semantics")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of existing 1
+            (11, "fresh novel content concerning adaptive query execution plans"),
+            (12, "shared passage alpha beta gamma delta epsilon zeta eta theta"),
+            (13, "shared passage alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(existing, new).collect()}
+    assert out[10]["status"] == "dup_of_existing" and out[10]["partner"] == 1
+    assert out[10]["jaccard"] == 1.0
+    assert out[11]["status"] == "novel" and out[11]["partner"] is None
+    assert out[12]["status"] == "novel"  # smaller id of the batch pair
+    assert out[13]["status"] == "dup_within_batch" and out[13]["partner"] == 12
