@@ -904,3 +904,203 @@ def stratified_exact_sample(
         .filter(F.col("sample_rank") <= F.ceil(F.lit(frac) * F.col("n_stratum")))
         .select(id_col, strata_col, "sample_rank", "n_stratum")
     )
+
+
+def duplicated_window_spans(
+    df: DataFrame, k: int = 8, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repeated-substring detection at token granularity: every k-token
+    window is rolling-hashed, windows whose hash occurs more than once
+    anywhere in the corpus are flagged, and per document the flagged
+    windows are merged into maximal spans to measure how many tokens sit
+    inside some corpus-repeated k-gram (the ExactSubstr dedup signal of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally).
+
+    Scale design: window hashes are a narrow per-row expression
+    (transform over sequence + md5 — no Python); the only corpus-sized
+    shuffle carries (doc_id, pos, hash64) ≈ 24 bytes per token, the
+    inherent cost of substring-level dedup (a distributed suffix array
+    shuffles the same order of data). The duplicate-hash set is built
+    with map-side partial counts and joined back semi-style; interval
+    merging is one window function over each doc's flagged positions —
+    partitioned by doc, never global.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(col), " ")
+    n_toks = F.size(toks)
+    win_hashes = F.when(
+        n_toks >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - k + 1),
+            lambda i: md5_long_gram(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    base = df.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        F.greatest(n_toks - k + 1, F.lit(0)).cast("long").alias("n_windows"),
+        win_hashes.alias("whs"),
+    )
+    wins = base.select(id_col, F.posexplode("whs").alias("pos0", "wh")).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), "wh"
+    )
+    dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("n_occ")).filter(
+        F.col("n_occ") > 1
+    )
+    flagged = wins.join(dup_hashes.select("wh"), "wh", "left_semi")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + (k - 1)
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    contrib = F.greatest(
+        end - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("pos") - 1),
+        F.lit(0),
+    )
+    per_doc = (
+        flagged.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_dup_windows"),
+            F.sum("contrib").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.drop("whs")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data ordering:
+    each document gets a pseudo-random md5 sort key, a shard assignment
+    (60-bit key mod n_shards), and a position within its shard. The
+    same rows land in the same shard at the same offset on any cluster,
+    any partitioning, any run — reproducible epoch ordering without a
+    seed exchange.
+
+    Scale design: NO global sort. The shard assignment is a narrow
+    projection, and positions are per-shard row_numbers — one hash
+    shuffle on the shard key followed by a within-partition sort of
+    corpus/n_shards rows. With n_shards sized to the cluster (e.g.
+    10k shards at 100 TB) each sort fits in an executor; a writer then
+    emits shard files in position order (io-layer concern).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("sort_key"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos_in_shard")
+    )
+
+
+def bpe_train(
+    df: DataFrame, num_merges: int = 8, col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer training: the full iterative merge
+    loop, not just one round of pair statistics (t16). One corpus-sized
+    pass builds the word-frequency table; every subsequent iteration
+    runs over the Zipf-bounded DISTINCT-word vocabulary only. Per
+    iteration: adjacent symbol-pair counts weighted by word frequency
+    (map-side partials), the argmax pair selected with a TakeOrdered
+    limit(1) (ties broken lexicographically), and the merge applied to
+    every word with a single higher-order fold (aggregate) that scans
+    each symbol array left-to-right — the canonical greedy BPE merge.
+
+    Zero driver-side collect: the winning pair stays a 1-row DataFrame,
+    broadcast-joined onto the vocabulary so the fold reads the rule
+    from columns; the returned merge table is the union of the per-
+    round winners. Lineage is cut per round with localCheckpoint on
+    the (small) vocabulary relation.
+
+    Returns one row per learned merge: merge_rank, left, right,
+    merged, pair_count.
+    """
+    from functools import reduce
+
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    vocab = (
+        df.select(F.explode(F.split(F.col(col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(chars.alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+    winners = []
+    for r in range(num_merges):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at(F.col("syms"), i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("_l"), F.col("p.r").alias("_r"))
+            .agg(F.sum("freq").cast("long").alias("_cnt"))
+            .orderBy(F.desc("_cnt"), "_l", "_r")
+            .limit(1)
+            .withColumn("_m", F.concat("_l", "_r"))
+            .localCheckpoint(eager=True)
+        )
+        winners.append(
+            top.select(
+                F.lit(r + 1).cast("long").alias("merge_rank"),
+                F.col("_l").alias("left"),
+                F.col("_r").alias("right"),
+                F.col("_m").alias("merged"),
+                F.col("_cnt").alias("pair_count"),
+            )
+        )
+        merged_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("_l"))
+                & (s == F.col("_r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("_m"))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = (
+            vocab.join(F.broadcast(top), F.lit(True), "left")
+            .select(merged_syms.alias("syms"), "freq")
+            .localCheckpoint(eager=True)
+        )
+
+    return reduce(DataFrame.unionByName, winners)

@@ -2206,3 +2206,87 @@ def d9_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 4)
     existing = docs.filter(F.col("doc_id") % 5 != 4)
     return D.incremental_dedup(existing, new)
+
+
+@register(
+    "t23_dup_substring_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, i AS pos,
+           {_md5l("array_to_string(w[i:i+7], ' ')")} AS wh
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+          FROM t WHERE len(w) >= 8)
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+fl AS (
+    SELECT doc_id, pos, pos + 7 AS e,
+           max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM wins WHERE wh IN (SELECT wh FROM dup)
+),
+agg AS (
+    SELECT doc_id, count(*) AS ndw,
+           sum(greatest(e - greatest(coalesce(prev_end, 0), pos - 1), 0)) AS dt
+    FROM fl GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(ndw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(dt, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(dt, 0) * 1.0 / greatest(len(w), 1), 6) AS dup_ratio
+FROM t LEFT JOIN agg USING (doc_id)
+""",
+    doc="Repeated-substring spans (ExactSubstr signal, Lee et al. "
+    "2021): every 8-token window rolling-hashed, corpus-repeated "
+    "windows merged into maximal per-doc spans; reports tokens covered "
+    "by some duplicated k-gram (operators/text."
+    "duplicated_window_spans). The only corpus-sized shuffle carries "
+    "(doc_id, pos, hash64) — the inherent token-scale cost of "
+    "substring-level dedup.",
+)
+def t23_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.duplicated_window_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "t24_deterministic_shuffle",
+    oracle="""
+WITH k AS (
+    SELECT doc_id,
+           md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+           CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 16 AS shard
+    FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM k
+""",
+    doc="Deterministic global corpus shuffle for training-epoch "
+    "ordering: md5 sort key -> shard (60-bit key mod 16) + per-shard "
+    "position (operators/text.deterministic_shuffle). NO global sort: "
+    "one hash shuffle on the shard key, then per-shard row_numbers; "
+    "shard count scales with the cluster so each within-shard sort "
+    "stays executor-sized.",
+)
+def t24_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.deterministic_shuffle(load_table(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "t25_bpe_train_merges",
+    oracle=None,  # iterative argmax loop — rows-only here; pytest
+    # (tests/test_text_extras.py) pins the full merge table against a
+    # pure-Python reference BPE trainer on the same fixture.
+    doc="Distributed BPE tokenizer training, full iterative merge loop "
+    "(operators/text.bpe_train): one corpus pass for word frequencies, "
+    "then 8 merge rounds over the Zipf-bounded distinct-word "
+    "vocabulary — pair counts with map-side partials, TakeOrdered "
+    "argmax, higher-order-fold merge application, zero driver "
+    "collects (the winning rule is broadcast-joined as columns).",
+)
+def t25_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_train(load_table(spark, sf_dir, "documents"), num_merges=8)

@@ -725,3 +725,115 @@ def test_incremental_dedup_statuses(spark):
     assert out[11]["status"] == "novel" and out[11]["partner"] is None
     assert out[12]["status"] == "novel"  # smaller id of the batch pair
     assert out[13]["status"] == "dup_within_batch" and out[13]["partner"] == 12
+
+
+class TestTextRound3b:
+    """t23/t24/t25 — substring spans, deterministic shuffle, BPE train."""
+
+    def test_dup_substring_spans_hand_computed(self, spark):
+        from kafka_flink_spark.operators.text import duplicated_window_spans
+
+        shared = "one two three four five six seven eight"  # 8 tokens
+        docs = spark.createDataFrame(
+            [
+                (0, shared + " tail0 tail1"),
+                (1, "head0 head1 " + shared),
+                (2, "totally different words with no repeats at all here"),
+                (3, "tiny doc"),  # shorter than k -> zero windows
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicated_window_spans(docs, k=8).collect()
+        }
+        # Docs 0 and 1 share exactly one 8-token window (the shared
+        # sentence); its span covers 8 tokens in each.
+        for d in (0, 1):
+            assert out[d]["n_dup_windows"] == 1
+            assert out[d]["dup_tokens"] == 8
+        assert out[0]["n_windows"] == 3 and out[1]["n_windows"] == 3
+        assert out[2]["n_dup_windows"] == 0 and out[2]["dup_tokens"] == 0
+        assert out[3]["n_windows"] == 0 and out[3]["dup_ratio"] == 0.0
+
+    def test_dup_substring_spans_merges_overlaps(self, spark):
+        from kafka_flink_spark.operators.text import duplicated_window_spans
+
+        # doc 0 repeated verbatim as doc 1: every window duplicated,
+        # overlapping spans must merge to cover the whole doc exactly
+        # once (dup_tokens == n_tokens, not windows * k).
+        text = " ".join(f"w{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(0, text), (1, text)], "doc_id long, text string"
+        )
+        for r in duplicated_window_spans(docs, k=8).collect():
+            assert r["n_dup_windows"] == 13  # 20 - 8 + 1
+            assert r["dup_tokens"] == 20
+            assert r["dup_ratio"] == 1.0
+
+    def test_deterministic_shuffle_partitions_exactly(self, spark):
+        from kafka_flink_spark.operators.text import deterministic_shuffle
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(1000)], "doc_id long, text string"
+        )
+        out = deterministic_shuffle(docs, n_shards=8).collect()
+        assert len(out) == 1000
+        assert len({(r["shard"], r["pos_in_shard"]) for r in out}) == 1000
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        assert set(by_shard) == set(range(8))
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+        # Determinism across independent evaluations.
+        again = deterministic_shuffle(docs, n_shards=8).collect()
+        assert {tuple(r) for r in out} == {tuple(r) for r in again}
+
+    def test_bpe_train_matches_pure_python_reference(self, spark):
+        from collections import Counter
+
+        from kafka_flink_spark.operators.text import bpe_train
+
+        from .conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_train(docs, num_merges=8).orderBy("merge_rank").collect()
+        ]
+
+        # Pure-Python reference BPE trainer on the same corpus.
+        wf = Counter(
+            w
+            for row in docs.select("text").collect()
+            for w in row["text"].split(" ")
+            if w
+        )
+        vocab = {tuple(w): f for w, f in wf.items()}
+        expected = []
+        for rank in range(1, 9):
+            pairs: Counter = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (a, b), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expected.append((rank, a, b, a + b, cnt))
+            merged_vocab = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + f
+            vocab = merged_vocab
+
+        assert got == expected
