@@ -1104,3 +1104,56 @@ def bpe_train(
         )
 
     return reduce(DataFrame.unionByName, winners)
+
+
+def curriculum_order(
+    df: DataFrame, n_shards: int = 8, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Curriculum data ordering: documents are quality-binned (quartile
+    buckets of the t2 heuristic quality score), deterministically
+    shuffled within each bin, and assigned a single global curriculum
+    rank that walks the bins from cleanest to noisiest — the
+    quality-curriculum epoch schedule, composed from the registered
+    quality-scoring and deterministic-shuffle primitives.
+
+    Scale design: NO global sort. Ranks come from per-(bin, shard)
+    row_numbers plus a prefix-sum of (bin, shard) sizes — the offsets
+    relation has 4 * n_shards rows, so its single-partition window is
+    trivially small and broadcast back onto the corpus. The only
+    corpus-sized exchange is the hash shuffle on (bin, shard).
+    """
+    from pyspark.sql.window import Window
+
+    q = quality_scores(df.select(id_col, col)).select(id_col, "quality_score")
+    key = F.md5(F.concat(F.lit("curr:"), F.col(id_col).cast("string")))
+    base = q.select(
+        F.col(id_col),
+        F.least(F.floor(F.col("quality_score") * 4), F.lit(3))
+        .cast("long")
+        .alias("quality_bin"),
+        key.alias("sort_key"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    w_pos = Window.partitionBy("quality_bin", "shard").orderBy("sort_key", id_col)
+    pos = base.withColumn("pos_in_shard", F.row_number().over(w_pos).cast("long"))
+    sizes = base.groupBy("quality_bin", "shard").agg(F.count("*").alias("n"))
+    # 4 * n_shards rows: the single-partition window here is deliberate.
+    w_off = Window.orderBy(F.desc("quality_bin"), F.asc("shard")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "quality_bin",
+        "shard",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long").alias("bin_offset"),
+    )
+    return pos.join(F.broadcast(offsets), ["quality_bin", "shard"]).select(
+        id_col,
+        "quality_bin",
+        "shard",
+        "pos_in_shard",
+        (F.col("bin_offset") + F.col("pos_in_shard")).cast("long").alias("curriculum_rank"),
+    )

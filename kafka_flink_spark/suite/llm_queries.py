@@ -2290,3 +2290,55 @@ def t24_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t25_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_train(load_table(spark, sf_dir, "documents"), num_merges=8)
+
+
+@register(
+    "pipe5_curriculum_order",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+               t -> list_contains(['a','the','of','and','to','in','is','it'], t))) AS n_stop
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           least(CAST(floor(round(
+               least(n_words / 100.0, 1.0) * 0.4
+               + (1.0 - least(n_punct * 1.0 / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+               + least(n_stop * 1.0 / greatest(n_words, 1) * 5, 1.0) * 0.3, 6) * 4)
+               AS BIGINT), 3) AS quality_bin,
+           md5('curr:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+           CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 8 AS shard
+    FROM f
+),
+pos AS (
+    SELECT doc_id, quality_bin, shard,
+           CAST(row_number() OVER (PARTITION BY quality_bin, shard
+                                   ORDER BY sort_key, doc_id) AS BIGINT) AS pos_in_shard
+    FROM q
+),
+off AS (
+    SELECT quality_bin, shard,
+           CAST(coalesce(sum(n) OVER (ORDER BY quality_bin DESC, shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS bin_offset
+    FROM (SELECT quality_bin, shard, count(*) AS n FROM q GROUP BY 1, 2)
+)
+SELECT p.doc_id, p.quality_bin, CAST(p.shard AS BIGINT) AS shard, p.pos_in_shard,
+       o.bin_offset + p.pos_in_shard AS curriculum_rank
+FROM pos p JOIN off o ON p.quality_bin = o.quality_bin AND p.shard = o.shard
+""",
+    doc="Curriculum epoch ordering (operators/text.curriculum_order): "
+    "quality-quartile bins (t2 score) walked cleanest-first, "
+    "deterministic md5 shuffle within each bin, one global "
+    "curriculum_rank built WITHOUT a global sort — per-(bin, shard) "
+    "row_numbers plus a broadcast prefix-sum over the 4*8-row size "
+    "relation.",
+)
+def pipe5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.curriculum_order(load_table(spark, sf_dir, "documents"), n_shards=8)

@@ -837,3 +837,18 @@ class TestTextRound3b:
             vocab = merged_vocab
 
         assert got == expected
+
+    def test_curriculum_rank_is_bin_major_permutation(self, spark):
+        from kafka_flink_spark.operators.text import curriculum_order
+
+        from .conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        out = curriculum_order(docs, n_shards=8).collect()
+        n = docs.count()
+        assert sorted(r["curriculum_rank"] for r in out) == list(range(1, n + 1))
+        # Walking ranks in order never moves to a HIGHER-quality bin:
+        # cleanest bins come first, bins are contiguous.
+        by_rank = sorted(out, key=lambda r: r["curriculum_rank"])
+        bins = [r["quality_bin"] for r in by_rank]
+        assert bins == sorted(bins, reverse=True)
