@@ -917,35 +917,42 @@ def duplicated_window_spans(
     Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     Better", re-expressed relationally).
 
-    Scale design: window hashes are a narrow per-row expression
-    (transform over sequence + md5 — no Python); the only corpus-sized
-    shuffle carries (doc_id, pos, hash64) ≈ 24 bytes per token, the
-    inherent cost of substring-level dedup (a distributed suffix array
-    shuffles the same order of data). The duplicate-hash set is built
-    with map-side partial counts and joined back semi-style; interval
-    merging is one window function over each doc's flagged positions —
-    partitioned by doc, never global.
+    Scale design: tokens are exploded once (a narrow generate) and the
+    k-gram under each position is assembled with k-1 ``lead``s sharing
+    ONE per-doc sort — every expression stays in whole-stage codegen.
+    (A per-row higher-order formulation — transform over sequence with
+    an md5 or fold per window — looks narrower but runs ~7× slower:
+    HigherOrderFunction lambdas are interpreted per element, 45M
+    interpreted evals at 50k docs. Measured in SCALING.md.) The
+    corpus-sized exchange carries (doc_id, pos, token) ≈ the token
+    stream itself — the inherent cost of substring-level dedup (a
+    distributed suffix array shuffles the same order of data). The
+    duplicate-hash set is built with map-side partial counts and
+    joined back semi-style; interval merging reuses the SAME per-doc
+    partitioning/sort the leads established — no further exchange.
     """
     from pyspark.sql.window import Window
 
     toks = F.split(F.col(col), " ")
     n_toks = F.size(toks)
-    win_hashes = F.when(
-        n_toks >= k,
-        F.transform(
-            F.sequence(F.lit(1), n_toks - k + 1),
-            lambda i: md5_long_gram(F.array_join(F.slice(toks, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-
     base = df.select(
         F.col(id_col),
         n_toks.cast("long").alias("n_tokens"),
         F.greatest(n_toks - k + 1, F.lit(0)).cast("long").alias("n_windows"),
-        win_hashes.alias("whs"),
     )
-    wins = base.select(id_col, F.posexplode("whs").alias("pos0", "wh")).select(
-        id_col, (F.col("pos0") + 1).alias("pos"), "wh"
+
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w_doc) for j in range(1, k)]
+    )
+    wins = (
+        tok_rows.withColumn("_last", F.lead("tok", k - 1).over(w_doc))
+        .withColumn("wh", md5_long_gram(gram))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "pos", "wh")
     )
     dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("n_occ")).filter(
         F.col("n_occ") > 1

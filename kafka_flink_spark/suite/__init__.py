@@ -108,7 +108,9 @@ def _load() -> None:
 # ``gr1_pagerank_copurchase``, ``m7_real_media_probe``, ``v7_ann_knn_graph``,
 # ``cl1_kmeans_profile``, ``t20_inverted_index``, ``t21_pmi_collocations``,
 # ``t22_stratified_exact_sample``, ``v8_ivf_learned_topk``,
-# ``j9_asof_join_forward``).
+# ``j9_asof_join_forward``, and the late-round-3 additions
+# ``t23_dup_substring_spans``, ``t24_deterministic_shuffle``,
+# ``t25_bpe_train_merges`` (rows-only), ``pipe5_curriculum_order``).
 # All of these are ALL-MATCH green under the local bare-session driver
 # simulation at sf0.01 (round 3), so rotating them in carries low risk.
 _DRIVER_PRIORITY: tuple[str, ...] = (

@@ -481,3 +481,33 @@ def test_zorder_write_skips_on_both_dims(spark, tmp_path):
     # 20-bit code => each file spans ~1/4 of each dim's range)
     assert z_x <= 0.75, z_x
     assert z_y <= 0.75, z_y
+
+
+def test_dup_substring_spans_text_never_shuffles(spark):
+    """t23: the only corpus-sized exchanges carry (doc_id, pos, hash64)
+    — the raw text column must not appear in any exchange's schema."""
+    df = spark_queries()["t23_dup_substring_spans"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_deterministic_shuffle_no_global_sort(spark):
+    """t24: one hash exchange on the shard key; NO rangepartitioning
+    (a global sort would serialize the corpus through one ordering)."""
+    df = spark_queries()["t24_deterministic_shuffle"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_curriculum_rank_no_global_sort_and_broadcast_offsets(spark):
+    """pipe5: the global curriculum rank comes from a BROADCAST of the
+    tiny (bin, shard) offsets relation — no rangepartitioning of the
+    corpus, and the corpus-side exchange count stays bounded."""
+    df = spark_queries()["pipe5_curriculum_order"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert has_broadcast_join(df)
