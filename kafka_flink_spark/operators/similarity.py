@@ -708,3 +708,46 @@ def quantized_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "q_dot", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def rp_component(j: int, i: int) -> float:
+    """Deterministic Johnson-Lindenstrauss projection component in
+    [-1, 1): md5(f"rp:{j}:{i}") — same public recipe as
+    plane_component, distinct salt so projections and LSH planes stay
+    independent."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2_000_000) / 1_000_000.0 - 1.0
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection d → out_dim: each output
+    coordinate is a sequential-order dot product against a
+    deterministic literal plane (rp_component) — the cheap
+    dimensionality-reduction preprocessing step before clustering /
+    ANN when d is large.
+
+    Scale design: a pure narrow projection — the planes are literals
+    baked into the plan, no shuffle, no join, one pass over the
+    vectors. (For very large out_dim×d a blocked-GEMM pandas UDF à la
+    embedding_near_dup_pairs would win on raw FLOPs, but the
+    sequential fold keeps the result bit-reproducible against the SQL
+    oracle, and at out_dim ≤ 32 the fold is scan-dominated anyway.)
+    """
+    v = _as_double(vec_col)
+    return emb.select(
+        F.col(id_col),
+        *[
+            F.round(
+                dot(v, F.array(*[F.lit(rp_component(j, i)) for i in range(dim)])), 6
+            ).alias(f"rp{j}")
+            for j in range(out_dim)
+        ],
+    )

@@ -1164,3 +1164,64 @@ def curriculum_order(
         "pos_in_shard",
         (F.col("bin_offset") + F.col("pos_in_shard")).cast("long").alias("curriculum_rank"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: per-source sampling rates
+    computed FROM the data — p_s ∝ n_s^alpha (alpha < 1 upweights
+    small sources, the multilingual/multi-domain rebalancing standard)
+    — then applied with the deterministic md5 gate. Returns the
+    per-source audit table (n_docs, rate_ppm, n_sampled).
+
+    Scale design: one corpus pass for per-source counts (map-side
+    partials), the rate table is |sources| rows (single-partition
+    window over it is deliberate), broadcast back onto the corpus for
+    the gate — the corpus never shuffles on anything but the final
+    per-source count.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    total = Window.partitionBy()  # |sources| rows — tiny by contract
+    w_sum = F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).over(total)
+    n_total = F.sum("n_docs").over(total)
+    quota = (
+        F.lit(target_frac)
+        * n_total
+        * F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+        / w_sum
+    )
+    rates = counts.select(
+        source_col,
+        "n_docs",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.lit(1e6) * quota / F.col("n_docs")).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    gate = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    sampled = (
+        df.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .withColumn("_in", (gate < F.col("rate_ppm")).cast("long"))
+    )
+    return (
+        sampled.groupBy(source_col, "n_docs", "rate_ppm")
+        .agg(F.sum("_in").cast("long").alias("n_sampled"))
+        .select(source_col, F.col("n_docs").cast("long").alias("n_docs"), "rate_ppm", "n_sampled")
+    )

@@ -2342,3 +2342,63 @@ FROM pos p JOIN off o ON p.quality_bin = o.quality_bin AND p.shard = o.shard
 )
 def pipe5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.curriculum_order(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _rp_plane_sql(j: int, dim: int = 64) -> str:
+    from kafka_flink_spark.operators.similarity import rp_component
+
+    return "[" + ", ".join(repr(rp_component(j, i)) for i in range(dim)) + "]"
+
+
+@register(
+    "v9_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {_rp_plane_sql(j)}), 6)"
+        f" AS rp{j}"
+        for j in range(8)
+    )
+    + " FROM embeddings",
+    doc="Johnson-Lindenstrauss random projection 64 -> 8 "
+    "(operators/similarity.random_projection): deterministic literal "
+    "planes (md5 recipe, oracle-reproducible), sequential-order dot "
+    "folds — a pure narrow pass, zero shuffle; the cheap dim-reduction "
+    "front of clustering/ANN.",
+)
+def v9_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.random_projection(load_table(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+@register(
+    "pipe6_temperature_mix",
+    oracle="""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+rates AS (
+    SELECT source, n_docs,
+           least(CAST(1000000 AS BIGINT), CAST(floor(
+               1e6 * (0.5 * (SELECT sum(n_docs) FROM counts)
+                      * pow(n_docs, 0.5)
+                      / (SELECT sum(pow(n_docs, 0.5)) FROM counts))
+               / n_docs) AS BIGINT)) AS rate_ppm
+    FROM counts
+),
+g AS (
+    SELECT d.source, r.n_docs, r.rate_ppm,
+           CASE WHEN CAST(('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 1000000 < r.rate_ppm
+                THEN 1 ELSE 0 END AS _in
+    FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, rate_ppm,
+       CAST(sum(_in) AS BIGINT) AS n_sampled
+FROM g GROUP BY source, n_docs, rate_ppm
+""",
+    doc="Temperature-based mixture sampling (operators/text."
+    "temperature_mix): per-source rates computed FROM corpus stats — "
+    "p_s ∝ n_s^0.5, the small-source-upweighting rebalance — applied "
+    "via the deterministic md5 gate; returns the per-source audit "
+    "table. One corpus pass for counts, broadcast rate join, no other "
+    "corpus shuffle.",
+)
+def pipe6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.temperature_mix(load_table(spark, sf_dir, "documents"))

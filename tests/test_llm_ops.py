@@ -852,3 +852,31 @@ class TestTextRound3b:
         by_rank = sorted(out, key=lambda r: r["curriculum_rank"])
         bins = [r["quality_bin"] for r in by_rank]
         assert bins == sorted(bins, reverse=True)
+
+    def test_random_projection_preserves_relative_distances(self, spark):
+        """JL property smoke: for vectors with very different true
+        distances, the projected distances keep the ORDER (projection
+        is deterministic, so this is a fixed check, not flaky)."""
+        import math
+
+        base = [1.0] + [0.0] * 63
+        near = [1.0, 0.05] + [0.0] * 62
+        far = [0.0] * 32 + [1.0] * 32
+        emb = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+        )
+        rows = {r["vec_id"]: [r[f"rp{j}"] for j in range(8)]
+                for r in S.random_projection(emb, out_dim=8).collect()}
+        d = lambda a, b: math.dist(rows[a], rows[b])
+        assert d(0, 1) < d(0, 2)
+
+    def test_temperature_mix_upweights_small_sources(self, spark):
+        """alpha<1 ⇒ smaller sources get HIGHER sampling rates, and
+        realized counts track rate_ppm * n_docs within binomial noise."""
+        rows = [(i, f"s{'big' if i % 10 else 'small'}") for i in range(20000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {r["source"]: r for r in X.temperature_mix(df, alpha=0.5).collect()}
+        assert out["ssmall"]["rate_ppm"] > out["sbig"]["rate_ppm"]
+        for r in out.values():
+            expect = r["n_docs"] * r["rate_ppm"] / 1e6
+            assert abs(r["n_sampled"] - expect) < 4 * (expect ** 0.5) + 5
