@@ -1049,6 +1049,14 @@ def bpe_train(
     Returns one row per learned merge: merge_rank, left, right,
     merged, pair_count.
     """
+    return _bpe_loop(df, num_merges, col)[0]
+
+
+def _bpe_loop(df: DataFrame, num_merges: int, col: str):
+    """Shared BPE training loop: returns (merge table, final vocab)
+    where vocab is (syms array<string>, freq) per distinct word after
+    all merges — bpe_train exposes the merges, bpe_encode_stats the
+    encoded vocabulary."""
     from functools import reduce
 
     chars = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
@@ -1110,7 +1118,58 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
 
-    return reduce(DataFrame.unionByName, winners)
+    return reduce(DataFrame.unionByName, winners), vocab
+
+
+def bpe_encode_stats(
+    df: DataFrame, num_merges: int = 8, col: str = "text"
+) -> DataFrame:
+    """The encode half of the tokenizer story: train ``num_merges``
+    BPE merges (t25's loop), apply them, and report corpus token
+    statistics — character-level vs BPE token counts, distinct symbol
+    inventory, and the compression ratio the merges bought.
+
+    Scale design: encoding runs over the Zipf-bounded DISTINCT-word
+    vocabulary only (each word encoded once, weighted by its corpus
+    frequency) — the corpus itself is touched exactly once, for word
+    counts. Everything downstream of that single pass is
+    vocabulary-sized.
+
+    Returns one row: n_merges, n_distinct_words, total_words,
+    char_tokens, bpe_tokens, n_symbols, compression_ratio.
+    """
+    _, vocab = _bpe_loop(df, num_merges, col)
+    per_word = vocab.select(
+        "freq",
+        F.size("syms").alias("n_syms"),
+        F.aggregate(
+            F.col("syms"), F.lit(0), lambda acc, s: acc + F.length(s)
+        ).alias("n_chars"),
+    )
+    totals = per_word.agg(
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("char_tokens"),
+        F.sum(F.col("freq") * F.col("n_syms")).cast("long").alias("bpe_tokens"),
+    )
+    symbols = (
+        vocab.select(F.explode("syms").alias("sym"))
+        .agg(F.count_distinct("sym").cast("long").alias("n_symbols"))
+    )
+    return (
+        totals.crossJoin(symbols)
+        .select(
+            F.lit(num_merges).cast("long").alias("n_merges"),
+            "n_distinct_words",
+            "total_words",
+            "char_tokens",
+            "bpe_tokens",
+            "n_symbols",
+            F.round(F.col("char_tokens") / F.col("bpe_tokens"), 6).alias(
+                "compression_ratio"
+            ),
+        )
+    )
 
 
 def curriculum_order(

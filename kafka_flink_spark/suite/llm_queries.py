@@ -2402,3 +2402,19 @@ FROM g GROUP BY source, n_docs, rate_ppm
 )
 def pipe6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t26_bpe_encode_stats",
+    oracle=None,  # depends on t25's iterative argmax loop — rows-only;
+    # pytest pins every field against the pure-Python reference
+    # trainer + encoder on the same fixture.
+    doc="BPE tokenizer ENCODE statistics (operators/text."
+    "bpe_encode_stats): the 8 trained merges applied to the corpus — "
+    "char-level vs BPE token counts, symbol inventory, compression "
+    "ratio. Encoding runs over the Zipf-bounded distinct-word "
+    "vocabulary, each word once weighted by frequency; the corpus is "
+    "scanned exactly once (word counts).",
+)
+def t26_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bpe_encode_stats(load_table(spark, sf_dir, "documents"), num_merges=8)

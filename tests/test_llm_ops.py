@@ -880,3 +880,52 @@ class TestTextRound3b:
         for r in out.values():
             expect = r["n_docs"] * r["rate_ppm"] / 1e6
             assert abs(r["n_sampled"] - expect) < 4 * (expect ** 0.5) + 5
+
+    def test_bpe_encode_stats_matches_pure_python(self, spark):
+        from collections import Counter
+
+        from kafka_flink_spark.operators.text import bpe_encode_stats
+
+        from .conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        got = bpe_encode_stats(docs, num_merges=8).collect()[0]
+
+        wf = Counter(
+            w
+            for row in docs.select("text").collect()
+            for w in row["text"].split(" ")
+            if w
+        )
+        vocab = {tuple(w): f for w, f in wf.items()}
+        for _ in range(8):
+            pairs: Counter = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            nv: dict = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + f
+            vocab = nv
+
+        assert got["n_distinct_words"] == len(vocab)
+        assert got["total_words"] == sum(vocab.values())
+        assert got["char_tokens"] == sum(
+            f * sum(len(s) for s in syms) for syms, f in vocab.items()
+        )
+        assert got["bpe_tokens"] == sum(f * len(syms) for syms, f in vocab.items())
+        assert got["n_symbols"] == len({s for syms in vocab for s in syms})
+        assert got["compression_ratio"] == round(
+            got["char_tokens"] / got["bpe_tokens"], 6
+        )
