@@ -59,6 +59,12 @@ EXTRA_OPS = (
     "v8_ivf_learned_topk",
     "j8_bloom_prune_semi_join",
     "pipe4_quality_dedup_corpus",
+    "t23_dup_substring_spans",
+    "t24_deterministic_shuffle",
+    "t25_bpe_train_merges",
+    "v9_random_projection",
+    "pipe5_curriculum_order",
+    "pipe6_temperature_mix",
 )
 
 

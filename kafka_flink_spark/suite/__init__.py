@@ -110,7 +110,9 @@ def _load() -> None:
 # ``t22_stratified_exact_sample``, ``v8_ivf_learned_topk``,
 # ``j9_asof_join_forward``, and the late-round-3 additions
 # ``t23_dup_substring_spans``, ``t24_deterministic_shuffle``,
-# ``t25_bpe_train_merges`` (rows-only), ``pipe5_curriculum_order``).
+# ``t25_bpe_train_merges`` (rows-only), ``t26_bpe_encode_stats``
+# (rows-only), ``pipe5_curriculum_order``, ``pipe6_temperature_mix``,
+# ``v9_random_projection``).
 # All of these are ALL-MATCH green under the local bare-session driver
 # simulation at sf0.01 (round 3), so rotating them in carries low risk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
