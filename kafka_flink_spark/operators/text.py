@@ -906,6 +906,32 @@ def stratified_exact_sample(
     )
 
 
+def _token_window_hashes(
+    df: DataFrame, k: int, col: str, id_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared ExactSubstr machinery: the exploded token stream
+    (id, pos, tok) and the full-window hash rows (id, pos, wh) built
+    with k-1 ``lead``s sharing one per-doc sort + a native md5 — all
+    whole-stage codegen."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(col), " ")
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w_doc) for j in range(1, k)]
+    )
+    wins = (
+        tok_rows.withColumn("_last", F.lead("tok", k - 1).over(w_doc))
+        .withColumn("wh", md5_long_gram(gram))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "pos", "wh")
+    )
+    return tok_rows, wins
+
+
 def duplicated_window_spans(
     df: DataFrame, k: int = 8, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -941,19 +967,7 @@ def duplicated_window_spans(
         F.greatest(n_toks - k + 1, F.lit(0)).cast("long").alias("n_windows"),
     )
 
-    tok_rows = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos0", "tok")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", j).over(w_doc) for j in range(1, k)]
-    )
-    wins = (
-        tok_rows.withColumn("_last", F.lead("tok", k - 1).over(w_doc))
-        .withColumn("wh", md5_long_gram(gram))
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, "pos", "wh")
-    )
+    _, wins = _token_window_hashes(df, k, col, id_col)
     dup_hashes = wins.groupBy("wh").agg(F.count("*").alias("n_occ")).filter(
         F.col("n_occ") > 1
     )
@@ -1283,4 +1297,84 @@ def temperature_mix(
         sampled.groupBy(source_col, "n_docs", "rate_ppm")
         .agg(F.sum("_in").cast("long").alias("n_sampled"))
         .select(source_col, F.col("n_docs").cast("long").alias("n_docs"), "rate_ppm", "n_sampled")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, k: int = 8, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The APPLY half of ExactSubstr dedup (t23 detects, this
+    rewrites): every corpus-duplicated k-token window keeps only its
+    FIRST occurrence (min (doc_id, pos)); all other occurrences'
+    tokens are removed and each doc reports its removal stats plus the
+    md5 of the cleaned text — the Lee et al. 2021 dedup transformation
+    with a deterministic keep-first policy.
+
+    Scale design: reuses the exploded-lead window hashing of t23 (all
+    codegen). Keeper selection is one shuffle on the window hash
+    (row_number + count share the partition). Coverage is a classic
+    sorted-merge: removable-window start events union'd with the token
+    stream, one per-doc running max over (pos, typ) — a token is
+    removed iff a removable window starting at or before it still
+    covers it. The cleaned text is assembled per doc from kept tokens
+    (sort_array over the collected (pos, tok) structs — output-sized,
+    deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    tok_rows, wins = _token_window_hashes(df, k, col, id_col)
+    w_h = Window.partitionBy("wh").orderBy(id_col, "pos")
+    occ = wins.select(
+        id_col,
+        "pos",
+        F.row_number().over(w_h).alias("rn"),
+        F.count("*").over(Window.partitionBy("wh")).alias("n_occ"),
+    )
+    removable = occ.filter((F.col("n_occ") > 1) & (F.col("rn") > 1)).select(
+        id_col, "pos", (F.col("pos") + k - 1).alias("e")
+    )
+
+    ev = removable.select(
+        id_col,
+        "pos",
+        F.lit(0).alias("typ"),
+        "e",
+        F.lit(None).cast("string").alias("tok"),
+    )
+    tk = tok_rows.select(
+        id_col, "pos", F.lit(1).alias("typ"), F.lit(None).cast("long").alias("e"), "tok"
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "typ")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cov = (
+        ev.unionByName(tk)
+        .withColumn("maxe", F.max("e").over(w_run))
+        .filter(F.col("typ") == 1)
+        .select(
+            id_col,
+            "pos",
+            "tok",
+            (F.coalesce(F.col("maxe"), F.lit(0)) < F.col("pos")).alias("kept"),
+        )
+    )
+    return cov.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
     )

@@ -2418,3 +2418,57 @@ def pipe6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t26_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode_stats(load_table(spark, sf_dir, "documents"), num_merges=8)
+
+
+@register(
+    "t27_substring_dedup_rewrite",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (
+    SELECT doc_id, i AS pos, w[i] AS tok
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           {_md5l("array_to_string(w[i:i+7], ' ')")} AS wh
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+          FROM t WHERE len(w) >= 8)
+),
+occ AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY wh) AS n_occ
+    FROM wins
+),
+rem AS (SELECT doc_id, pos, pos + 7 AS e FROM occ WHERE n_occ > 1 AND rn > 1),
+merged AS (
+    SELECT doc_id, pos, 0 AS typ, e, NULL AS tok FROM rem
+    UNION ALL
+    SELECT doc_id, pos, 1 AS typ, NULL AS e, tok FROM toks
+),
+cov AS (
+    SELECT doc_id, pos, typ, tok,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos, typ
+                        ROWS UNBOUNDED PRECEDING) AS maxe
+    FROM merged
+),
+kt AS (
+    SELECT doc_id, pos, tok, (coalesce(maxe, 0) < pos) AS kept
+    FROM cov WHERE typ = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE kept), ' '), '')) AS clean_md5
+FROM kt GROUP BY doc_id
+""",
+    doc="ExactSubstr dedup APPLY (operators/text."
+    "remove_duplicate_spans): every corpus-duplicated 8-token window "
+    "keeps only its first occurrence (min (doc_id, pos)); other "
+    "occurrences' tokens are removed. Per-doc removal stats + md5 of "
+    "the cleaned text. Keeper selection is one shuffle on the window "
+    "hash; coverage is a sorted-merge running max per doc.",
+)
+def t27_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.remove_duplicate_spans(load_table(spark, sf_dir, "documents"), k=8)

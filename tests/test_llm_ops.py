@@ -929,3 +929,29 @@ class TestTextRound3b:
         assert got["compression_ratio"] == round(
             got["char_tokens"] / got["bpe_tokens"], 6
         )
+
+    def test_remove_duplicate_spans_keep_first_policy(self, spark):
+        import hashlib
+
+        from kafka_flink_spark.operators.text import remove_duplicate_spans
+
+        shared = "one two three four five six seven eight"
+        a_text = shared + " tailA0 tailA1"
+        b_text = "headB0 headB1 " + shared
+        docs = spark.createDataFrame(
+            [(0, a_text), (1, b_text), (2, a_text), (3, "no repeats in this doc at all whatsoever today")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8).collect()}
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        # doc 0 is the first occurrence of everything it contains: untouched
+        assert out[0]["n_removed"] == 0 and out[0]["clean_md5"] == md5(a_text)
+        # doc 1 loses exactly the shared 8-token window
+        assert out[1]["n_removed"] == 8
+        assert out[1]["clean_md5"] == md5("headB0 headB1")
+        # doc 2 duplicates doc 0 verbatim: fully removed
+        assert out[2]["n_kept"] == 0 and out[2]["clean_md5"] == md5("")
+        # doc 3 untouched
+        assert out[3]["n_removed"] == 0 and out[3]["clean_md5"] == md5(
+            "no repeats in this doc at all whatsoever today"
+        )
