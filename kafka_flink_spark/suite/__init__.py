@@ -111,7 +111,8 @@ def _load() -> None:
 # ``j9_asof_join_forward``, and the late-round-3 additions
 # ``t23_dup_substring_spans``, ``t24_deterministic_shuffle``,
 # ``t25_bpe_train_merges`` (rows-only), ``t26_bpe_encode_stats``
-# (rows-only), ``pipe5_curriculum_order``, ``pipe6_temperature_mix``,
+# (rows-only), ``t27_substring_dedup_rewrite``,
+# ``pipe5_curriculum_order``, ``pipe6_temperature_mix``,
 # ``v9_random_projection``).
 # All of these are ALL-MATCH green under the local bare-session driver
 # simulation at sf0.01 (round 3), so rotating them in carries low risk.
