@@ -49,6 +49,11 @@ def pagerank(
     iterations) while keeping recompute-on-failure spans to two
     rounds. Results are identical for any cadence — integer
     arithmetic is associativity-free."""
+    # Pin the node relation once: it is re-read INSIDE every
+    # iteration's update join, and callers often pass it as a derived
+    # plan (a distinct over an edge self-join) that would otherwise
+    # recompute per materialization job — doubly so with fused rounds.
+    nodes = nodes.localCheckpoint()
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank needs at least one node")
