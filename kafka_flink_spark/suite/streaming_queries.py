@@ -805,3 +805,62 @@ def w24_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("click_ts", _FMT).alias("click_ts"),
     )
+
+
+@register(
+    "w25_stream_corpus_ingest",
+    oracle="""
+WITH d AS (
+    SELECT source,
+           md5(lower(trim(text))) AS fp,
+           len(string_split(text, ' ')) AS nw,
+           round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0
+                                / greatest(length(text), 1) * 4, 1.0)) * 0.3
+                 + least(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['a','the','of','and','to','in','is','it'], t)))
+                         * 1.0 / greatest(len(string_split(text, ' ')), 1) * 5, 1.0) * 0.3,
+                 6) AS q
+    FROM documents
+),
+g AS (
+    SELECT source, fp, min(nw) AS nw, count(*) AS n
+    FROM d WHERE q > 0.3 GROUP BY source, fp
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n) AS BIGINT) AS n_rows_seen,
+       CAST(sum(nw) AS BIGINT) AS unique_tokens
+FROM g GROUP BY source
+""",
+    doc="STREAMING corpus ingestion with online dedup: documents "
+    "replayed as a file stream, quality-gated (t2 features, narrow — "
+    "streaming-safe), deduplicated per (source, fingerprint) in ONE "
+    "stateful aggregation (state = distinct fingerprints, the online "
+    "corpus-dedup state model), then rolled up per source in batch "
+    "after replay. The LLM-pipeline ops under Structured Streaming — "
+    "what a continuous-crawl ingest job runs.",
+)
+def w25_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.text import quality_scores
+    from kafka_flink_spark.streaming.candles_stream import run_available_now
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = quality_scores(docs).filter(F.col("quality_score") > 0.3)
+    per_fp = (
+        gated.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("source", "fp")
+        .agg(F.min("n_words").alias("nw"), F.count("*").alias("n"))
+    )
+    out = run_available_now(per_fp, "complete")
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_unique_docs"),
+        F.sum("n").cast("long").alias("n_rows_seen"),
+        F.sum("nw").cast("long").alias("unique_tokens"),
+    )
