@@ -25,9 +25,16 @@ def main() -> None:
         duplicated_window_spans,
     )
 
+    from kafka_flink_spark.operators.text import remove_duplicate_spans
+
     print("== duplicated_window_spans (k=8) ==", flush=True)
     for n in (5_000, 50_000):
         w = t(duplicated_window_spans(synth_docs(spark, n)))
+        print(f"docs={n:>8,} wall={w:5.1f}s", flush=True)
+
+    print("== remove_duplicate_spans (k=8) ==", flush=True)
+    for n in (5_000, 50_000):
+        w = t(remove_duplicate_spans(synth_docs(spark, n)))
         print(f"docs={n:>8,} wall={w:5.1f}s", flush=True)
 
     print("== deterministic_shuffle (1k shards) ==", flush=True)
