@@ -2041,3 +2041,30 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(strong)
+
+
+@register(
+    "j10_range_join_binned",
+    oracle="""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       CAST(b.us - a.us AS BIGINT) AS dt_us
+FROM e a JOIN e b
+  ON a.event_id < b.event_id AND abs(a.us - b.us) <= 60 * 1000000
+""",
+    doc="Big×big range join via bucket binning (operators/rangejoin."
+    "temporal_proximity_pairs): all event pairs within 60 s of each "
+    "other. Spark plans a bare |Δt|<=r predicate as a broadcast-"
+    "nested-loop; the rewrite bins both sides at the radius, explodes "
+    "the left to bin±1 and equi-joins on the RIGHT row's own bin — a "
+    "partition-parallel shuffled hash join emitting each qualifying "
+    "pair exactly once, fan-in per bin bounded by event density × "
+    "radius (salt hot bins with operators/skew.py under spikes).",
+)
+def j10_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.rangejoin import temporal_proximity_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal_proximity_pairs(ev, radius_seconds=60).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), F.col("dt_us").cast("long")
+    )

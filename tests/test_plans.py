@@ -511,3 +511,13 @@ def test_curriculum_rank_no_global_sort_and_broadcast_offsets(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert has_broadcast_join(df)
+
+
+def test_range_join_binned_is_hash_join_not_nested_loop(spark):
+    """j10: the binning rewrite must plan as a shuffled/broadcast HASH
+    join on the bin key — never BroadcastNestedLoopJoin/Cartesian,
+    which is what a bare |Δt| <= r predicate degenerates to."""
+    df = spark_queries()["j10_range_join_binned"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+    assert "HashJoin" in plan, plan[:1500]
