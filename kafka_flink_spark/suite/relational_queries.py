@@ -2068,3 +2068,31 @@ def j10_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_proximity_pairs(ev, radius_seconds=60).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), F.col("dt_us").cast("long")
     )
+
+
+@register(
+    "g18_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (linear/type-7, the "
+    "definition Spark's percentile and DuckDB's quantile_cont share). "
+    "The exact-answer twin of the GK sketch (g13): exact needs a "
+    "per-group sort — at 100 TB reach for g13 unless the group "
+    "cardinality bounds the sort; both live in the registry so the "
+    "trade-off is a one-line swap.",
+)
+def g18_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.count("*").cast("long").alias("n"),
+    )
