@@ -476,3 +476,61 @@ def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("prev_type"), "next_type")
         .agg(F.count("*").cast("long").alias("n_transitions"))
     )
+
+
+@register(
+    "e10_daily_anomalies",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           quantile_cont(n, 0.5) AS med
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT d.event_type, d.day, d.n, s.med,
+           abs(d.n - s.med) AS adev
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT v.event_type, strftime(v.day, '%Y-%m-%d') AS day,
+       CAST(v.n AS BIGINT) AS n,
+       round(v.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       CAST(v.adev > 3 * 1.4826 * m.mad AS BOOLEAN) AS is_anomaly
+FROM dev v JOIN mad m ON v.event_type = m.event_type
+""",
+    doc="Data-quality anomaly detection: per-type daily event counts "
+    "flagged by the robust MAD rule (|n - median| > 3 * 1.4826 * MAD). "
+    "The corpus-sized pass is ONE map-side-partial count; both "
+    "medians run over the days-by-types relation (tiny by contract), "
+    "so 'exact median' costs nothing — the monitoring query every "
+    "ingest pipeline runs at 100 TB.",
+)
+def e10_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+    )
