@@ -115,7 +115,7 @@ def _load() -> None:
 # ``pipe5_curriculum_order``, ``pipe6_temperature_mix``,
 # ``v9_random_projection``, ``w25_stream_corpus_ingest``,
 # ``j10_range_join_binned``, ``g18_exact_percentiles``,
-# ``e10_daily_anomalies``).
+# ``e10_daily_anomalies``, ``j11_fuzzy_name_match``).
 # All of these are ALL-MATCH green under the local bare-session driver
 # simulation at sf0.01 (round 3), so rotating them in carries low risk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
