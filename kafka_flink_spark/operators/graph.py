@@ -53,6 +53,8 @@ def pagerank(
     # iteration's update join, and callers often pass it as a derived
     # plan (a distinct over an edge self-join) that would otherwise
     # recompute per materialization job — doubly so with fused rounds.
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     nodes = nodes.localCheckpoint()
     n = nodes.count()
     if n == 0:

@@ -34,8 +34,17 @@ def temporal_proximity_pairs(
     """
     us = F.unix_micros(F.col(ts_col))
     radius_us = radius_seconds * 1_000_000
-    binned = df.select(
-        F.col(id_col).alias("_id"), us.alias("_us"), (us / radius_us).cast("long").alias("_bin")
+    # Exact integer floor-division for the bin: long `/` goes through
+    # double, so a timestamp within ~1 ulp of a bin boundary could
+    # round across it and silently miss a pair. pmod + `div` stays in
+    # bigint arithmetic end-to-end (pmod makes it floor semantics for
+    # negative epochs too).
+    binned = df.select(F.col(id_col).alias("_id"), us.alias("_us")).withColumn(
+        "_bin",
+        F.expr(
+            f"(_us - pmod(_us, CAST({radius_us} AS BIGINT)))"
+            f" div CAST({radius_us} AS BIGINT)"
+        ),
     )
     left = binned.select(
         "_id",

@@ -603,47 +603,48 @@ def cdc_chunk_dedup(
     find shared passages across near-identical documents (the rsync /
     backup-dedup trick, applied to training corpora).
 
-    Plan shape: boundary detection, chunk start positions, and chunk
-    assembly are all per-row higher-order expressions over the token
-    array — narrow, no token ever shuffles; the exchange is the final
-    groupBy on 32-char chunk fingerprints (expected chunk length =
-    ``boundary_mod`` words, so the shuffle carries ~1/mod of a digest
-    per word). Deterministic: boundaries come from md5, not RNG. The
-    per-token chunk assembly is the heaviest CPU in the text family,
-    so an under-partitioned input re-splits first (fan_out_narrow;
-    no-op on a parallel scan).
+    Plan shape (the t23 lesson, SCALING.md "negative result": Spark
+    evaluates higher-order-function lambdas INTERPRETED per element,
+    so per-token HOF chunk assembly was the heaviest CPU in the text
+    family — 10.6 s at 50k docs). Rewritten fully codegen: posexplode
+    tokens, md5 boundary flag as a plain builtin expression, chunk id
+    as a running boundary count (``sum() OVER (PARTITION BY doc ORDER
+    BY pos)``), and chunk text reassembled by a hash aggregate on
+    (doc, chunk) via sort_array(collect_list(struct(pos, tok))) with a
+    native GetArrayStructFields field pull — zero lambdas anywhere.
+    Costs one token-volume exchange (the window's hash-by-doc) that
+    the HOF version avoided; the (doc, chunk) aggregate reuses that
+    partitioning (hash-by-doc satisfies the clustered distribution —
+    plan-gated, exactly 3 exchanges total), and the final fingerprint
+    groupBy again carries only 32-char digests. Deterministic:
+    boundaries come from md5, not RNG. An under-partitioned input
+    re-splits first (fan_out_narrow; no-op on a parallel scan).
     """
+    from pyspark.sql import Window
+
     from kafka_flink_spark.operators.partitioning import fan_out_narrow
 
     df = fan_out_narrow(df)
 
-    def md5l(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-    toks = F.split(F.col(col), " ")
-    starts = F.concat(
-        F.array(F.lit(1)),
-        F.filter(
-            F.sequence(F.lit(2), F.size(toks)),
-            lambda i: md5l(F.element_at(toks, i)) % boundary_mod == 0,
-        ),
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), " ")).alias("_pos", "_tok"),
     )
-    with_starts = df.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
-    n_starts = F.size("_starts")
-    chunk_len = lambda k: (
-        F.when(
-            k < n_starts,
-            F.element_at("_starts", k + F.lit(1)) - F.element_at("_starts", k),
-        ).otherwise(F.size("_toks") - F.element_at("_starts", k) + 1)
+    md5l = F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    is_boundary = (F.col("_pos") >= 1) & (md5l % boundary_mod == 0)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    chunks = F.transform(
-        F.sequence(F.lit(1), n_starts),
-        lambda k: F.array_join(
-            F.slice("_toks", F.element_at("_starts", k), chunk_len(k)), " "
-        ),
+    with_chunk = tok.withColumn(
+        "_chunk", F.sum(is_boundary.cast("int")).over(w)
     )
-    exploded = with_starts.select(
-        F.col(id_col), F.explode(chunks).alias("chunk_text")
+    exploded = with_chunk.groupBy(id_col, "_chunk").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("_pos", "_tok"))).getField("_tok"),
+            " ",
+        ).alias("chunk_text")
     )
     return (
         exploded.select(
@@ -993,8 +994,7 @@ def duplicated_window_spans(
         )
     )
     return (
-        base.drop("whs")
-        .join(per_doc, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             id_col,
             "n_tokens",

@@ -510,7 +510,12 @@ FROM dev v JOIN mad m ON v.event_type = m.event_type
     "The corpus-sized pass is ONE map-side-partial count; both "
     "medians run over the days-by-types relation (tiny by contract), "
     "so 'exact median' costs nothing — the monitoring query every "
-    "ingest pipeline runs at 100 TB.",
+    "ingest pipeline runs at 100 TB. Known semantic edge (kept "
+    "deliberately, matched by the oracle): when a type's daily counts "
+    "are majority-constant, MAD = 0 and ANY nonzero deviation flags "
+    "as an anomaly — noisy for low-variance types; production callers "
+    "wanting a floor should use "
+    "adev > greatest(3 * 1.4826 * mad, floor) on both sides.",
 )
 def e10_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

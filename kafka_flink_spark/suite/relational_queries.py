@@ -1489,14 +1489,19 @@ def s2_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(approx_percentile, accuracy 10000): mergeable, single-pass, "
     "bounded-memory — the 100 TB path where exact percentile "
     "(g6) would sort each group. Estimate accuracy is pinned "
-    "against exact percentiles in tests/test_llm_ops.py.",
+    "against exact percentiles in tests/test_llm_ops.py. The three "
+    "quantiles are emitted as scalar double columns (p50/p95/p99), "
+    "not a raw array<double> — the driver canonicalizer pandas-sorts "
+    "every column and numpy arrays are unhashable there (suite "
+    "docstring convention).",
 )
 def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_pcts"
-        ),
+        pcts.getItem(0).alias("p50"),
+        pcts.getItem(1).alias("p95"),
+        pcts.getItem(2).alias("p99"),
         F.count("*").cast("long").alias("n_rows"),
     )
 

@@ -51,6 +51,26 @@ def dtype_kinds_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list
     return bad
 
 
+def driver_canon_probe(pdf: pd.DataFrame) -> list[str]:
+    """Emulate the external driver's canonicalizer on raw values.
+
+    The driver pandas-sorts and hashes every column BEFORE any
+    stringification — a raw array/map/struct column surfaces there as
+    ``TypeError: unhashable type: 'numpy.ndarray'`` (the r2 t15 and r3
+    g13 failure class) even on a rows-only check. ``canon_rows``
+    stringifies first, so it cannot catch that; this probe can.
+    """
+    bad = []
+    for c in pdf.columns:
+        try:
+            col = pdf[c]
+            col.sort_values().reset_index(drop=True)
+            pd.util.hash_pandas_object(col, index=False)
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{c}: {type(exc).__name__}: {exc}")
+    return bad
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -79,7 +99,11 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             spark_pdf = q.spark_fn(spark, sf_dir).toPandas()
-            if q.oracle is None:
+            canon_probs = driver_canon_probe(spark_pdf)
+            if canon_probs:
+                status = "FAIL driver-canon " + "; ".join(canon_probs)
+                n_fail += 1
+            elif q.oracle is None:
                 status = f"PASS rows-only ({len(spark_pdf)} rows)"
                 n_pass += 1
             else:

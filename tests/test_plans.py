@@ -494,6 +494,19 @@ def test_dup_substring_spans_text_never_shuffles(spark):
         assert "text#" not in m.group(0), m.group(0)
 
 
+def test_cdc_chunk_dedup_codegen_three_exchanges(spark):
+    """t17 (round-4 rewrite): chunking must be lambda-free codegen —
+    no interpreted HigherOrderFunction in the plan — and the (doc,
+    chunk) reassembly aggregate must REUSE the window's hash-by-doc
+    partitioning (subset rule), so the whole op is exactly 3
+    exchanges: tokens->doc window, chunk fingerprints, final agg."""
+    df = spark_queries()["t17_cdc_chunk_dedup"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for hof in ("lambdafunction", "transform(", "filter(lambda", "aggregate(lambda"):
+        assert hof not in plan.lower(), hof
+    assert count_exchanges(df) == 3, count_exchanges(df)
+
+
 def test_deterministic_shuffle_no_global_sort(spark):
     """t24: one hash exchange on the shard key; NO rangepartitioning
     (a global sort would serialize the corpus through one ordering)."""
