@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     num_perms: int = NUM_PERMS,
     num_bands: int = NUM_BANDS,
     min_jaccard: float = 0.5,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection.
 
@@ -181,6 +182,23 @@ def minhash_lsh_pairs(
     shingle arrays directly with array_intersect — the exact same
     Jaccard as an exploded common-shingle count, without ever
     materializing a corpus-sized exploded relation.
+
+    ``bucket_cap`` guards the one remaining quadratic: a boilerplate
+    family with near-identical-but-DISTINCT signatures (the identical
+    case collapses below) still lands one (band_id, band_key) bucket,
+    and all-pairs over m distinct signatures is m²/2 × num_bands join
+    rows. Buckets with ≤ ``bucket_cap`` distinct signatures keep exact
+    all-pairs; an oversized bucket routes to a hub STAR — each member
+    pairs with the bucket's minimum-rep signature only (m−1 linear
+    rows), and every emitted pair still passes exact-Jaccard
+    verification. Documented recall tradeoff, deliberate: a pair in an
+    oversized bucket is emitted only if it co-occurs in some small
+    bucket elsewhere or one side is (near) the hub — the bounded-work
+    contract that survives a 10M-doc boilerplate family at 100 TB.
+    ``bucket_cap=None`` disables the cap (exact semantics at any
+    skew). The bucket count and hub ride ONE window over the banding
+    relation, pre-partitioned exactly as the self-join needs, so the
+    guard adds no corpus-sized exchange.
     """
     rows_per_band = num_perms // num_bands
     sig_cols = [f"mh{p}" for p in range(num_perms)]
@@ -245,19 +263,42 @@ def minhash_lsh_pairs(
     banded = reps.select(
         "_gfp", F.col("_rep"), F.posexplode(band_arr).alias("band_id", "band_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # group-level candidate pairs (distinct signatures sharing a band)
-    grp_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._rep") < F.col("b._rep")),
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band_id", "band_key")
+        # ONE window computes both the bucket size and the hub (min by
+        # (_rep, _gfp) via struct ordering); its hash-by-bucket
+        # partitioning is exactly what the self-join requires, so no
+        # additional corpus-sized exchange appears.
+        banded = banded.select(
+            "*",
+            F.count("*").over(wspec).alias("_bn"),
+            F.min(F.struct("_rep", "_gfp")).over(wspec).alias("_hub"),
         )
-        .select(F.col("a._gfp").alias("_gfp_a"), F.col("b._gfp").alias("_gfp_b"))
-        .dropDuplicates(["_gfp_a", "_gfp_b"])
-    )
+        small = banded.filter(F.col("_bn") <= bucket_cap)
+        big = banded.filter(F.col("_bn") > bucket_cap)
+        star_pairs = big.filter(F.col("_gfp") != F.col("_hub._gfp")).select(
+            F.col("_hub._gfp").alias("_gfp_a"), F.col("_gfp").alias("_gfp_b")
+        )
+    else:
+        small = banded
+        star_pairs = None
+    a = small.alias("a")
+    b = small.alias("b")
+    # group-level candidate pairs (distinct signatures sharing a band);
+    # pair order is canonical on the groups' reps (_rep is a global
+    # per-signature property), so small-bucket and star pairs dedupe
+    # cleanly in one pass.
+    grp_pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a._rep") < F.col("b._rep")),
+    ).select(F.col("a._gfp").alias("_gfp_a"), F.col("b._gfp").alias("_gfp_b"))
+    if star_pairs is not None:
+        grp_pairs = grp_pairs.unionByName(star_pairs)
+    grp_pairs = grp_pairs.dropDuplicates(["_gfp_a", "_gfp_b"])
     # cross-group doc pairs: candidate-group pairs are rare, so both
     # expansion joins are candidate-sized (grp_pairs broadcastable)
     ma = members.select(F.col(id_col).alias("_ida"), F.col("_gfp").alias("_gfp_a"))
@@ -425,6 +466,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     num_chunks: int | None = None,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """SimHash near-dup pairs via chunk banding (the pigeonhole trick):
     split the 60-bit signature into ``num_chunks`` disjoint bit ranges;
@@ -438,6 +480,20 @@ def simhash_near_pairs(
     that preserves the guarantee); passing fewer raises, since it would
     silently miss pairs between hamming num_chunks and max_hamming.
     Chunk widths differ by at most one bit when 60 % num_chunks != 0.
+
+    ``bucket_cap`` (same rationale as minhash_lsh_pairs): a chunk
+    bucket holding > cap DISTINCT signatures — a boilerplate family
+    with near-identical-but-distinct simhashes — routes to a hub STAR
+    (members pair with the bucket's min-rep signature, m−1 linear join
+    rows) instead of all-pairs. Exactly-once emission needs no dedup
+    shuffle: a matching pair's bucket at its FIRST matching chunk is
+    either small (all-pairs path emits there, star's big-filter
+    excludes) or big (star emits iff one side is that bucket's hub) —
+    both paths keep only first-match rows, so the union is disjoint.
+    Recall tradeoff documented: in an oversized bucket only hub-
+    incident pairs survive (cluster connectivity through the hub is
+    preserved; non-hub member pairs are dropped unless they first-
+    match in a small bucket). ``bucket_cap=None`` disables the cap.
     """
     if num_chunks is None:
         num_chunks = max_hamming + 1
@@ -476,36 +532,66 @@ def simhash_near_pairs(
     banded = reps.select(
         "_rep", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.chunk_id") == F.col("b.chunk_id"))
-        & (F.col("a.chunk_key") == F.col("b.chunk_key"))
-        & (F.col("a._rep") < F.col("b._rep")),
-    )
     # A pair sharing several identical chunks matches once per chunk;
     # instead of shuffling the (potentially large) candidate relation
     # through dropDuplicates, keep only the row whose chunk_id is the
     # pair's FIRST matching chunk — computable per-row from the two
     # signatures' xor (chunk c matches iff xor has no set bit in c's
     # range), so the dedup is a codegen'd filter with zero exchange.
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    first_match = F.lit(None).cast("int")
     starts = []
     s = 0
     for c in range(num_chunks):
         width = base + (1 if c < extra else 0)
         starts.append((c, s, (1 << width) - 1))
         s += width
-    for c, s, mask in reversed(starts):
-        first_match = F.when(
-            F.shiftright(xor, s).bitwiseAND(F.lit(mask)) == 0, F.lit(c)
-        ).otherwise(first_match)
+
+    def first_match(xor_col: Column) -> Column:
+        fm = F.lit(None).cast("int")
+        for c, s, mask in reversed(starts):
+            fm = F.when(
+                F.shiftright(xor_col, s).bitwiseAND(F.lit(mask)) == 0, F.lit(c)
+            ).otherwise(fm)
+        return fm
+
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("chunk_id", "chunk_key")
+        banded = banded.select(
+            "*",
+            F.count("*").over(wspec).alias("_bn"),
+            F.min(F.struct("_rep", "simhash")).over(wspec).alias("_hub"),
+        )
+        small = banded.filter(F.col("_bn") <= bucket_cap)
+        star_xor = F.col("simhash").bitwiseXOR(F.col("_hub.simhash"))
+        star_pairs = (
+            banded.filter(F.col("_bn") > bucket_cap)
+            .filter(F.col("simhash") != F.col("_hub.simhash"))
+            .filter(F.col("chunk_id") == first_match(star_xor))
+            .select(
+                F.col("_hub.simhash").alias("_sig_a"),
+                F.col("simhash").alias("_sig_b"),
+                F.bit_count(star_xor).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    else:
+        small = banded
+        star_pairs = None
+    a, b = small.alias("a"), small.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+        & (F.col("a._rep") < F.col("b._rep")),
+    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # group-level near pairs (distinct signatures within max_hamming);
     # signatures differ between groups, so hamming ≥ 1 here and the
-    # group-pair relation is canonical on (_rep_a < _rep_b).
+    # group-pair relation is canonical on (_rep_a < _rep_b) — the star
+    # hub is its bucket's rep-minimum, so star pairs share that order.
     grp_pairs = (
-        joined.filter(F.col("a.chunk_id") == first_match)
+        joined.filter(F.col("a.chunk_id") == first_match(xor))
         .select(
             F.col("a.simhash").alias("_sig_a"),
             F.col("b.simhash").alias("_sig_b"),
@@ -513,6 +599,8 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if star_pairs is not None:
+        grp_pairs = grp_pairs.unionByName(star_pairs)
     # expand to doc pairs: cross-group via the two member joins
     # (candidate-sized — grp_pairs is broadcastable), within-group
     # pairs (hamming 0) enumerated directly from the member mapping.

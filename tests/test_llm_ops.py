@@ -87,6 +87,91 @@ def test_lsh_mega_cluster_bucket_bounded(spark):
     assert sgot.n == n * (n - 1) // 2 and sgot.hmax == 0
 
 
+def test_lsh_distinct_sig_hot_bucket_capped(spark):
+    """Round-4 guard: a boilerplate family whose signatures are
+    near-identical but DISTINCT (the case signature-collapse cannot
+    touch) must not go quadratic in the banding join. With bucket_cap
+    set, oversized (band_id, band_key) buckets route to a hub star —
+    join rows linear in bucket size — so a 10k-doc family yields a
+    linear (not ~5e7) pair set, every emitted pair is exact-verified,
+    and the family stays connected through the hubs."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    # 50 boilerplate + 12 doc-specific words: pairwise jaccard ~0.67
+    # (well above threshold) yet ~98% of signatures DISTINCT, with
+    # single band buckets holding up to ~9.4k distinct signatures —
+    # the exact shape the identical-signature collapse cannot touch
+    boiler = " ".join(f"w{j}" for j in range(50))
+    uniq = F.concat_ws(
+        " ",
+        F.array(
+            *[
+                F.concat(
+                    F.lit(f"u{k}_"),
+                    F.pmod(F.xxhash64(F.col("id") * 31 + k), F.lit(10**9)).cast(
+                        "string"
+                    ),
+                )
+                for k in range(12)
+            ]
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit(boiler + " "), uniq).alias("text")
+    )
+
+    # precondition: the family really is signature-DISTINCT (collapse
+    # guard alone would not help) — sample suffices
+    sample = docs.filter("doc_id < 500")
+    n_sigs = (
+        D.minhash_signatures(sample)
+        .select(*[f"mh{p}" for p in range(D.NUM_PERMS)])
+        .distinct()
+        .count()
+    )
+    assert n_sigs > 400, n_sigs
+
+    pairs = D.minhash_lsh_pairs(docs, min_jaccard=0.5, bucket_cap=32).persist()
+    n_pairs = pairs.count()
+    # linear, not quadratic: C(10k,2) ~ 5e7; star bound is
+    # O(n * num_bands) plus small-bucket extras
+    assert 0 < n_pairs <= 6 * n, n_pairs
+    assert pairs.agg(F.min("jaccard")).collect()[0][0] >= 0.5
+    # connectivity: nearly every doc is incident to some emitted pair
+    touched = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert touched >= n * 0.95, touched
+
+
+def test_simhash_distinct_sig_hot_bucket_capped(spark):
+    """Same guard on the simhash chunk-banding path: distinct-but-close
+    signatures over the cap route to the hub star with exactly-once
+    emission (first-match filter on both paths — no duplicate pairs)."""
+    from pyspark.sql import functions as F
+
+    n = 2_000
+    # heavy boilerplate weight => tiny hamming distances, mostly
+    # distinct signatures (one swapped token out of ~180)
+    boiler = " ".join(f"w{j % 60}" for j in range(180))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " u"), F.pmod("id", F.lit(997)).cast("string")).alias(
+            "text"
+        ),
+    )
+    pairs = D.simhash_near_pairs(docs, max_hamming=6, bucket_cap=16).persist()
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < n * n // 4, n_pairs
+    # exactly-once: no duplicate unordered pairs
+    assert pairs.select("doc_a", "doc_b").distinct().count() == n_pairs
+    assert pairs.agg(F.max("hamming")).collect()[0][0] <= 6
+
+
 def test_cosine_topk_identical_vector_first(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
     rows.append((3, [1.0, 0.1, 0.0, 0.0]))  # near vec 0
