@@ -105,8 +105,16 @@ def _fit(
         .select("cid", F.col("v").alias("c"))
     )
     assigned = _assign(base, cents, id_col)
-    for _ in range(iterations):
+    for it in range(iterations):
         cents = _update(assigned)
+        # Lineage control for deep runs: each round nests the previous
+        # round's centroid aggregation inside the next assignment plan,
+        # so beyond a few iterations analysis/codegen cost compounds.
+        # The centroid relation is k rows — checkpointing it every 4
+        # rounds is ~free and keeps the plan depth bounded; the default
+        # iterations=2 never pays it.
+        if (it + 1) % 4 == 0 and it != iterations - 1:
+            cents = cents.localCheckpoint()
         assigned = _assign(base, cents, id_col)
     return cents, assigned
 

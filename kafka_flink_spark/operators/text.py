@@ -1187,7 +1187,10 @@ def bpe_encode_stats(
 
 
 def curriculum_order(
-    df: DataFrame, n_shards: int = 8, id_col: str = "doc_id", col: str = "text"
+    df: DataFrame,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    col: str = "text",
 ) -> DataFrame:
     """Curriculum data ordering: documents are quality-binned (quartile
     buckets of the t2 heuristic quality score), deterministically
@@ -1201,8 +1204,18 @@ def curriculum_order(
     relation has 4 * n_shards rows, so its single-partition window is
     trivially small and broadcast back onto the corpus. The only
     corpus-sized exchange is the hash shuffle on (bin, shard).
+
+    ``n_shards`` defaults to the session's default parallelism (floor
+    8) so the per-shard row_number windows — the op's parallelism
+    ceiling at bins × shards partitions — scale with the cluster
+    instead of pinning at 32 tasks. Ranks are deterministic for a
+    FIXED n_shards; pass it explicitly when reproducibility across
+    differently-sized clusters matters.
     """
     from pyspark.sql.window import Window
+
+    if n_shards is None:
+        n_shards = max(8, df.sparkSession.sparkContext.defaultParallelism)
 
     q = quality_scores(df.select(id_col, col)).select(id_col, "quality_score")
     key = F.md5(F.concat(F.lit("curr:"), F.col(id_col).cast("string")))

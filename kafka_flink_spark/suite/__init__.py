@@ -90,98 +90,82 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1–2 covered
-# the candles, LLM, and early-relational blocks (91 unique names, see
-# CORRECTNESS_r01/r02.json). Round 3 leads with the blocks that have
-# never received a driver row — streaming, events, io, UDF/source, and
-# the round-2 relational additions — plus the three fix-verification
-# reruns (g7 rows-only, t9 oracle cast, t15 array rendering). Names
-# listed here float to the front of ``all_queries()`` in this order;
-# everything else follows in registration order. Round 4 should rotate
-# again: the names that still overflow this round's budget are the
-# relational tail starting at ``s2_sort_null_ordering`` below the
-# 50-line mark, plus the round-3 additions (``j8_bloom_prune_semi_join``,
-# ``t16_bpe_pair_counts``, ``t17_cdc_chunk_dedup``, ``t18_bigram_lm_score``,
-# ``w21_stream_outer_interval_join``, ``w22_stream_dedup_within_watermark``,
-# ``io8_xml_roundtrip``, ``io9_zorder_layout``, ``io10_schema_evolution_merge``,
-# ``sc10_variant_functions``, ``sc11_collation_group``, ``g17_approx_top_k``,
-# ``gr1_pagerank_copurchase``, ``m7_real_media_probe``, ``v7_ann_knn_graph``,
-# ``cl1_kmeans_profile``, ``t20_inverted_index``, ``t21_pmi_collocations``,
-# ``t22_stratified_exact_sample``, ``v8_ivf_learned_topk``,
-# ``j9_asof_join_forward``, and the late-round-3 additions
-# ``t23_dup_substring_spans``, ``t24_deterministic_shuffle``,
-# ``t25_bpe_train_merges`` (rows-only), ``t26_bpe_encode_stats``
-# (rows-only), ``t27_substring_dedup_rewrite``,
-# ``pipe5_curriculum_order``, ``pipe6_temperature_mix``,
-# ``v9_random_projection``, ``w25_stream_corpus_ingest``,
-# ``j10_range_join_binned``, ``g18_exact_percentiles``,
-# ``e10_daily_anomalies``, ``j11_fuzzy_name_match``).
-# All of these are ALL-MATCH green under the local bare-session driver
-# simulation at sf0.01 (round 3), so rotating them in carries low risk.
+# FIRST 50 queries in iteration order each round; rounds 1–3 covered
+# 138 unique names (135 green — see CORRECTNESS_r01/r02/r03.json and
+# VERDICT round 3). Round 4 leads with the 57 queries that have never
+# received a driver row: the g13 fix-verification rerun first (round-3
+# driver ERROR — raw array<double> output, now three scalar columns),
+# then the streaming late-data/interval-join block (the only
+# oracle-checkable surrogates for reference semantics W4/W6/W10), then
+# every round-3 operator addition grouped by family, then 6 of the 14
+# remaining TPC-H shapes to fill the budget. The last 8 TPC-H shapes
+# (``q_small_qty_revenue`` through ``q_waiting_suppliers`` below the
+# 50-line) spill to round 5 — they are the lowest-risk conventional
+# shapes in the registry. All 50 are ALL-MATCH green under the local
+# bare-session driver simulation at sf0.01 (scripts/driver_sim.py,
+# round 4 — now with the strict raw-value canonicalizer probe that
+# catches the g13 failure class even on rows-only checks).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # streaming block (reference core semantics W3/W5/W7/W8/W11/W12/W14)
-    "w11_stream_ohlcv_update",
-    "w12_stream_ohlcv_append",
-    "w8_stateful_running_candles",
-    "w9_stateful_stream_candles",
-    "w14_session_windows",
-    "w14_sliding_windows",
-    "w15_stream_stream_interval_join",
-    "w16_stream_distinct_keys",
-    "w17_stream_complete_mode",
-    "w18_stream_static_join",
-    "w19_stream_cascade_chained",
-    "w20_stream_rollup_merge",
-    # events analytics
-    "e1_sessionization",
-    "e2_funnel",
-    "e3_retention_cohorts",
-    "e4_gapfill_hourly",
-    "e5_rolling_zscore",
-    "e6_trailing_range_window",
-    "e7_session_window_native",
-    "e8_mau_wau_stickiness",
-    # fix-verification reruns (r1 fail → rows-only; r2 harness bugs)
-    "g7_approx_distinct_sketch",
-    "t9_pack_documents",
-    "t15_vocab_encode",
-    # io block
-    "k1_json_envelope_roundtrip",
-    "io2_csv_roundtrip",
-    "io3_json_roundtrip",
-    "io4_orc_roundtrip",
-    "io5_partitioned_pruned_read",
-    "io6_merge_upsert",
-    "io7_small_file_compaction",
-    # UDF / source surface
-    "s6_rich_schema_ingest",
-    "s10_python_datasource_gen",
-    "u2_pandas_udf_vectorized",
-    "u3_registered_sql_udf",
-    "u6_python_udtf",
-    "u7_pandas_grouped_agg_udaf",
-    "u8_table_arg_udtf",
-    # round-2 relational additions
-    "g10_statistical_aggs",
-    "w4_window_frames",
-    "g11_grouping_sets",
-    "g12_histogram",
+    # fix-verification rerun (r3 driver ERROR: raw array output)
     "g13_approx_percentile_sketch",
-    "g14_boolean_aggs",
-    "g15_count_min_freq",
-    "g16_hll_sketch_union",
-    "sc5_conditional_math_functions",
-    "sc6_regex_functions",
-    "sc7_map_functions",
-    "sc8_bitwise_aggs",
-    "sc9_url_functions",
-    # ---- 50-query budget line (round 3) ----
+    # streaming late-data / interval-join semantics (W4/W6/W10)
+    "w21_stream_outer_interval_join",
+    "w22_stream_dedup_within_watermark",
+    "w23_stream_full_outer_interval_join",
+    "w24_stream_semi_join",
+    "w25_stream_corpus_ingest",
+    # LLM text ops (round-3 additions)
+    "t16_bpe_pair_counts",
+    "t17_cdc_chunk_dedup",
+    "t18_bigram_lm_score",
+    "t19_ngram_novelty",
+    "t20_inverted_index",
+    "t21_pmi_collocations",
+    "t22_stratified_exact_sample",
+    "t23_dup_substring_spans",
+    "t24_deterministic_shuffle",
+    "t25_bpe_train_merges",
+    "t26_bpe_encode_stats",
+    "t27_substring_dedup_rewrite",
+    # dedup / similarity / clustering / graph
+    "d9_incremental_dedup",
+    "v7_ann_knn_graph",
+    "v8_ivf_learned_topk",
+    "v9_random_projection",
+    "cl1_kmeans_profile",
+    "gr1_pagerank_copurchase",
+    "gr2_triangle_count",
+    # pipelines
+    "pipe4_quality_dedup_corpus",
+    "pipe5_curriculum_order",
+    "pipe6_temperature_mix",
+    # joins
+    "j8_bloom_prune_semi_join",
+    "j9_asof_join_forward",
+    "j10_range_join_binned",
+    "j11_fuzzy_name_match",
+    # events / relational / scalar additions
+    "e9_event_transitions",
+    "e10_daily_anomalies",
+    "g17_approx_top_k",
+    "g18_exact_percentiles",
+    "sc10_variant_functions",
+    "sc11_collation_group",
+    # io / UDF / multimodal
+    "io8_xml_roundtrip",
+    "io9_zorder_layout",
+    "io10_schema_evolution_merge",
+    "io11_dynamic_partition_overwrite",
+    "u9_arrow_python_udf",
+    "m7_real_media_probe",
+    # TPC-H relational tail (first 6 of the remaining 14)
     "s2_sort_null_ordering",
     "sub3_lateral_topn",
     "r1_recursive_month_spine",
     "q_yoy_growth",
     "q_top_supplier",
     "q_market_share",
+    # ---- 50-query budget line (round 4) ----
     "q_small_qty_revenue",
     "q_min_price_supplier",
     "q_product_profit",
