@@ -271,11 +271,15 @@ def minhash_lsh_pairs(
         # (_rep, _gfp) via struct ordering); its hash-by-bucket
         # partitioning is exactly what the self-join requires, so no
         # additional corpus-sized exchange appears.
+        # The windowed relation feeds three consumers (both self-join
+        # sides + the star path); persist so the window subplan runs
+        # once, not thrice. num_bands rows of a few longs per distinct
+        # signature — bounded, evictable.
         banded = banded.select(
             "*",
             F.count("*").over(wspec).alias("_bn"),
             F.min(F.struct("_rep", "_gfp")).over(wspec).alias("_hub"),
-        )
+        ).persist()
         small = banded.filter(F.col("_bn") <= bucket_cap)
         big = banded.filter(F.col("_bn") > bucket_cap)
         star_pairs = big.filter(F.col("_gfp") != F.col("_hub._gfp")).select(
@@ -557,11 +561,14 @@ def simhash_near_pairs(
         from pyspark.sql import Window
 
         wspec = Window.partitionBy("chunk_id", "chunk_key")
+        # Three consumers (both self-join sides + star) — persist so
+        # the window subplan runs once; num_chunks rows of three longs
+        # per distinct signature.
         banded = banded.select(
             "*",
             F.count("*").over(wspec).alias("_bn"),
             F.min(F.struct("_rep", "simhash")).over(wspec).alias("_hub"),
-        )
+        ).persist()
         small = banded.filter(F.col("_bn") <= bucket_cap)
         star_xor = F.col("simhash").bitwiseXOR(F.col("_hub.simhash"))
         star_pairs = (
