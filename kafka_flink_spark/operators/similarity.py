@@ -751,3 +751,50 @@ def random_projection(
             for j in range(out_dim)
         ],
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Recall@k evaluation of the LSH ANN index against the exact
+    brute-force ranking — the measurement every ANN deployment runs
+    before trusting an index (and re-runs as the corpus drifts).
+
+    Per query: n_exact (ground-truth neighbors returned, ≤ k),
+    n_hits (ANN results that appear in the ground truth), and
+    recall = n_hits / n_exact.
+
+    Scale design: the expensive side (exact top-k) is the v1
+    broadcast-query shape — one corpus pass; the ANN side touches one
+    bucket per query. Both result relations are queries × k rows, so
+    the semi-join and the per-query aggregate are driver-trivial but
+    fully distributed. For corpora where exact ground truth is too
+    expensive, run it on a fixed held-out sample of queries — the
+    operator is agnostic to how ``queries`` was drawn.
+    """
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_ann_topk(corpus, queries, k, id_col, vec_col, num_planes).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    n_hits = hits.groupBy("query_id").agg(F.count("*").cast("long").alias("n_hits"))
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits") / F.greatest(F.col("n_exact"), F.lit(1)), 6),
+        )
+    )

@@ -1010,6 +1010,96 @@ def duplicated_window_spans(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and select each
+    window's RIGHTMOST minimal hash. The selected (position, hash)
+    set is the fingerprint — guaranteed to share a hash with any
+    other document that shares a substring of at least w+k-1 words,
+    while storing only ~2/(w+1) of the gram hashes.
+
+    Per doc: n_fingerprints (selected positions), n_distinct_fp
+    (distinct selected hashes), min_fp. Docs with fewer than w
+    full-size gram windows (shorter than w+k-1 words) emit nothing —
+    below the guarantee threshold, matching the oracle.
+
+    Plan shape (the t23 recipe): exploded tokens, k-1 ``lead``s for
+    the gram, md5 in codegen, then the rightmost-minimal selection is
+    ONE more window aggregate — ``min(struct(hash, -pos))`` over a
+    w-row trailing frame; struct ordering makes the rightmost tie
+    free. Every window shares the single per-doc sort, so the whole
+    op is one token-volume exchange plus the final per-doc aggregate.
+    """
+    _, wins = _token_window_hashes(df, k, col, id_col)
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    frame = w_doc.rowsBetween(-(w - 1), 0)
+    sel = (
+        wins.withColumn("_i", F.row_number().over(w_doc))
+        .withColumn(
+            "_sel", F.min(F.struct(F.col("wh"), (-F.col("pos")).alias("np"))).over(frame)
+        )
+        # full windows only: the first w-1 trailing frames are partial
+        .filter(F.col("_i") >= w)
+        .select(F.col(id_col), F.col("_sel.np").alias("np"), F.col("_sel.wh").alias("fp"))
+        .distinct()
+    )
+    return sel.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+        F.min("fp").cast("long").alias("min_fp"),
+    )
+
+
+def gopher_quality_rules(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    — the rule family, thresholds adapted to the fixture corpus):
+    word-count bounds, mean-word-length bounds, minimum stop-word
+    evidence, and an alphabetic-word-ratio floor, plus the composite
+    keep flag. The rule battery every web-scale ingest applies before
+    any model-based filtering.
+
+    All four signals are per-row narrow expressions over one token
+    split — no shuffle at all until a caller aggregates; at 100 TB
+    this is a pure map stage fused into the scan.
+    """
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    mean_wlen = (F.length(F.col(col)) - (n_words - 1)) / n_words
+    stop_hits = _stopword_hits("en", col).cast("long")
+    non_alpha = F.size(F.filter(toks, lambda t: t.rlike("[^A-Za-z]"))).cast("long")
+    alpha_ratio = (n_words - non_alpha) / F.greatest(n_words, F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+    )
+    rule_words = (F.col("n_words") >= 40) & (F.col("n_words") <= 100_000)
+    rule_wlen = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    rule_stop = F.col("stop_hits") >= 2
+    rule_alpha = F.col("alpha_ratio") >= 0.8
+    return out.select(
+        "*",
+        rule_words.alias("pass_word_count"),
+        rule_wlen.alias("pass_word_len"),
+        rule_stop.alias("pass_stopwords"),
+        rule_alpha.alias("pass_alpha"),
+        (rule_words & rule_wlen & rule_stop & rule_alpha).alias("keep"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -97,11 +97,12 @@ def _load() -> None:
 # driver ERROR — raw array<double> output, now three scalar columns),
 # then the streaming late-data/interval-join block (the only
 # oracle-checkable surrogates for reference semantics W4/W6/W10), then
-# every round-3 operator addition grouped by family, then 6 of the 14
-# remaining TPC-H shapes to fill the budget. The last 8 TPC-H shapes
-# (``q_small_qty_revenue`` through ``q_waiting_suppliers`` below the
-# 50-line) spill to round 5 — they are the lowest-risk conventional
-# shapes in the registry. All 50 are ALL-MATCH green under the local
+# every round-3 operator addition grouped by family, then the six
+# round-4 operator additions (t28-t30, v10, w5, w26). The 14 TPC-H
+# relational shapes (``s2_sort_null_ordering`` through
+# ``q_waiting_suppliers`` below the 50-line) spill to round 5 — they
+# are the lowest-risk conventional shapes in the registry, exactly the
+# trade VERDICT r3 prescribed. All 50 are ALL-MATCH green under the local
 # bare-session driver simulation at sf0.01 (scripts/driver_sim.py,
 # round 4 — now with the strict raw-value canonicalizer probe that
 # catches the g13 failure class even on rows-only checks).
@@ -158,14 +159,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "io11_dynamic_partition_overwrite",
     "u9_arrow_python_udf",
     "m7_real_media_probe",
-    # TPC-H relational tail (first 6 of the remaining 14)
+    # round-4 operator additions (registered + sim-verified this round)
+    "t28_url_dedup",
+    "t29_gopher_quality_rules",
+    "t30_winnowing_fingerprints",
+    "v10_ann_recall_eval",
+    "w5_distribution_ranks",
+    "w26_stream_topk_complete",
+    # ---- 50-query budget line (round 4) ----
+    # TPC-H relational tail (14 conventional shapes; lowest-risk in
+    # the registry — spill to round 5)
     "s2_sort_null_ordering",
     "sub3_lateral_topn",
     "r1_recursive_month_spine",
     "q_yoy_growth",
     "q_top_supplier",
     "q_market_share",
-    # ---- 50-query budget line (round 4) ----
     "q_small_qty_revenue",
     "q_min_price_supplier",
     "q_product_profit",

@@ -2474,3 +2474,220 @@ FROM kt GROUP BY doc_id
 )
 def t27_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.remove_duplicate_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
+# --- round-4 additions: URL dedup, quality rules, winnowing, ANN eval --------
+
+_URL_SYNTH_SQL = """
+urls AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+           || '://'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+           || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+           || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+           || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+           || (CASE doc_id % 4
+                 WHEN 0 THEN '?utm_source=mail&id=' || CAST(doc_id % 20 AS VARCHAR)
+                 WHEN 1 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x'
+                 WHEN 2 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR)
+                 ELSE '' END)
+           || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+    FROM documents
+)
+"""
+
+
+def _url_synth_col() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.COM"),
+        F.lit("/p/"), (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=mail&id="), (d % 20).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), (d % 20).cast("string"), F.lit("&utm_campaign=x")))
+        .when(d % 4 == 2, F.concat(F.lit("?id="), (d % 20).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+
+
+def _t28_oracle() -> str:
+    from kafka_flink_spark.operators.urls import duckdb_canonical_url
+
+    return f"""
+WITH {_URL_SYNTH_SQL.strip().rstrip()},
+canon AS (SELECT doc_id, {duckdb_canonical_url('url')} AS canon_url FROM urls)
+SELECT canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canon_url
+"""
+
+
+@register(
+    "t28_url_dedup",
+    oracle=_t28_oracle(),
+    doc="URL canonicalization + URL-level dedup (operators/urls.py) - "
+    "the first dedup pass of every web-corpus pipeline: per-doc URLs "
+    "(synthesized deterministically with scheme-case / www / trailing "
+    "-slash / tracking-param / fragment / param-order noise) are "
+    "canonicalized by pure codegen regexp+array rewrites and "
+    "collapsed to one representative per canonical form. One "
+    "exchange, keyed on the canonical string; the rewrite itself is "
+    "a map stage fused into the scan.",
+)
+def t28_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.urls import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    return url_dedup(docs)
+
+
+_GOPHER_STOPS = "'a','the','of','and','to','in','is','it'"
+
+
+@register(
+    "t29_gopher_quality_rules",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                 / len(string_split(text, ' ')), 6) AS mean_word_len,
+           len(list_filter(string_split(text, ' '),
+               t -> list_contains([{_GOPHER_STOPS}], t))) AS stop_hits,
+           round((len(string_split(text, ' '))
+                  - len(list_filter(string_split(text, ' '),
+                        t -> regexp_matches(t, '[^A-Za-z]')))) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 6) AS alpha_ratio
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       alpha_ratio,
+       (n_words >= 40 AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+       (stop_hits >= 2) AS pass_stopwords,
+       (alpha_ratio >= 0.8) AS pass_alpha,
+       ((n_words >= 40 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (stop_hits >= 2) AND (alpha_ratio >= 0.8)) AS keep
+FROM f
+""",
+    doc="Gopher-style quality rule battery (operators/text."
+    "gopher_quality_rules; Rae et al. 2021 rule family): word-count "
+    "bounds, mean-word-length bounds, stop-word evidence floor, "
+    "alphabetic-word-ratio floor, and the composite keep flag - four "
+    "narrow per-row signals over one token split, a pure map stage "
+    "fused into the scan at any corpus size.",
+)
+def t29_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.gopher_quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t30_winnowing_fingerprints",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, i AS pos,
+           {_md5l("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS wh
+    FROM t, unnest(range(1, len(w) - 2)) AS u(i)
+),
+wsel AS (
+    SELECT doc_id,
+           min({{'h': wh, 'np': -pos}}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+    FROM g
+),
+selected AS (
+    SELECT DISTINCT doc_id, -sel.np AS pos, sel.h AS fp FROM wsel WHERE i >= 5
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       CAST(min(fp) AS BIGINT) AS min_fp
+FROM selected GROUP BY doc_id
+""",
+    doc="Winnowing document fingerprints (operators/text."
+    "winnowing_fingerprints; Schleimer/Wilkerson/Aiken SIGMOD 2003, "
+    "the MOSS algorithm): word-4-gram hashes, rightmost-minimal "
+    "selection per 5-hash window via ONE min(struct(hash,-pos)) "
+    "window aggregate - guaranteed shared fingerprint for any shared "
+    "substring of >= 8 words at ~1/3 the storage. All windows share "
+    "a single per-doc sort; one token-volume exchange total.",
+)
+def t30_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnowing_fingerprints(load_table(spark, sf_dir, "documents"), k=4, w=5)
+
+
+def _v10_oracle() -> str:
+    plane_hash = _md5l("'plane:' || p || ':' || i")
+    plane = (
+        f"list_transform(range({S.EMBED_DIM}), i -> "
+        f"({plane_hash} % 2000000) / 1000000.0 - 1.0)"
+    )
+    bucket = (
+        f"list_sum(list_transform(range({_ANN_PLANES}), p -> "
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN {_QUERY_IDS}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({_duck_cosine("q.qv", "e.v")}, 6) DESC, e.vec_id) AS rn
+        FROM e, q WHERE e.vec_id <> q.query_id)
+    WHERE rn <= 10
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({_duck_cosine("q.qv", "c.v")}, 6) DESC, c.vec_id) AS rn
+        FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+    WHERE rn <= 10
+),
+hits AS (
+    SELECT a.query_id, count(*) AS n_hits
+    FROM approx a JOIN exact x
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY a.query_id
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS n_hits,
+       round(coalesce(any_value(h.n_hits), 0) * 1.0 / greatest(count(*), 1), 6) AS recall
+FROM exact x LEFT JOIN hits h ON x.query_id = h.query_id
+GROUP BY x.query_id
+"""
+
+
+@register(
+    "v10_ann_recall_eval",
+    oracle=_v10_oracle(),
+    doc="Recall@10 evaluation of the LSH ANN index against exact "
+    "brute-force ground truth (operators/similarity.ann_recall) - "
+    "the measurement every ANN deployment runs before trusting an "
+    "index. Exact side is the v1 broadcast-query corpus pass; ANN "
+    "side probes one bucket per query; the comparison relations are "
+    "queries x k rows, so everything downstream is tiny but still "
+    "distributed.",
+)
+def v10_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.ann_recall(emb, queries, k=10, num_planes=_ANN_PLANES)

@@ -2138,3 +2138,35 @@ def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "w5_distribution_ranks",
+    oracle="""
+SELECT s_suppkey,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+    doc="Distribution-rank window surface (percent_rank / cume_dist / "
+    "ntile quartiles) over supplier balances per nation — the "
+    "percentile-position analytics w3's rank family doesn't cover. "
+    "Fully-qualified ordering (balance, suppkey) makes every value "
+    "deterministic. One hash exchange on the partition key; all three "
+    "functions share the single per-nation sort.",
+)
+def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

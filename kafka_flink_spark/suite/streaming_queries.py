@@ -864,3 +864,38 @@ def w25_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows_seen"),
         F.sum("nw").cast("long").alias("unique_tokens"),
     )
+
+
+@register(
+    "w26_stream_topk_complete",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+SELECT product,
+       CAST(sum(qty) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY product
+ORDER BY volume DESC, product
+LIMIT 5
+""",
+    doc="Streaming top-k leaderboard: global sort + LIMIT over a "
+    "streaming aggregate — legal only in complete output mode (Spark "
+    "re-emits the full result table per trigger, so the sort sees "
+    "complete state; update/append would reject the orderBy). After "
+    "an availableNow replay the sink equals the batch top-5 exactly; "
+    "tie-break on product keeps the cut deterministic. State is one "
+    "row per key; the per-trigger sort is |keys| log |keys|, "
+    "independent of stream volume.",
+)
+def w26_stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades = stream_trades_from_fixture(spark, sf_dir)
+    top = (
+        trades.groupBy("product")
+        .agg(
+            F.sum("qty").cast("long").alias("volume"),
+            F.count("*").cast("long").alias("n_trades"),
+        )
+        .orderBy(F.desc("volume"), "product")
+        .limit(5)
+    )
+    return run_available_now(top, "complete")

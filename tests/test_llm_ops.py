@@ -1040,3 +1040,100 @@ class TestTextRound3b:
         assert out[3]["n_removed"] == 0 and out[3]["clean_md5"] == md5(
             "no repeats in this doc at all whatsoever today"
         )
+
+
+class TestRound4Ops:
+    def test_winnowing_guarantee_shared_substring(self, spark):
+        """Two docs sharing a >= w+k-1 = 8 word substring must share at
+        least one fingerprint hash (the winnowing guarantee); the
+        selection itself is rightmost-minimal per window."""
+        from kafka_flink_spark.operators.text import winnowing_fingerprints
+        from kafka_flink_spark.operators.text import _token_window_hashes
+        from pyspark.sql import functions as F
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        rows = [
+            (1, "one two three " + shared + " four five six seven eight nine"),
+            (2, "nine eight seven six " + shared + " ten eleven twelve thirteen"),
+            (3, "totally unrelated words that go on and on and never repeat much here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # recompute the selected fingerprint sets directly
+        _, wins = _token_window_hashes(docs, 4, "text", "doc_id")
+        from pyspark.sql.window import Window
+
+        w_doc = Window.partitionBy("doc_id").orderBy("pos")
+        sel = (
+            wins.withColumn("_i", F.row_number().over(w_doc))
+            .withColumn(
+                "_sel",
+                F.min(F.struct(F.col("wh"), (-F.col("pos")).alias("np"))).over(
+                    w_doc.rowsBetween(-4, 0)
+                ),
+            )
+            .filter(F.col("_i") >= 5)
+            .select("doc_id", F.col("_sel.wh").alias("fp"))
+            .distinct()
+            .collect()
+        )
+        fps = {}
+        for r in sel:
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+        assert fps[1] & fps[2], "shared 8-word substring must share a fingerprint"
+        assert not (fps[1] & fps[3])
+        # per-doc stats agree with the operator
+        out = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
+        assert out[1].n_fingerprints == len(fps[1])
+
+    def test_url_canonicalize_folds_variants(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka_flink_spark.operators.urls import canonical_url, url_dedup
+
+        variants = [
+            (1, "HTTP://WWW.Example.COM/a/b/?utm_source=x&id=7#frag"),
+            (2, "http://example.com/a/b?id=7"),
+            (3, "http://example.com:80/a/b?id=7"),  # port dropped with authority parse
+            (4, "http://example.com/a/b?id=7&utm_campaign=y"),
+            (5, "https://example.com/a/b?id=7"),  # different scheme -> different page
+            (6, "http://example.com/a/b?id=8"),  # different id -> different page
+        ]
+        df = spark.createDataFrame(variants, "doc_id long, url string")
+        canon = {r.doc_id: r.c for r in df.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+        assert canon[1] == canon[2] == canon[3] == canon[4] == "http://example.com/a/b?id=7"
+        assert canon[5] == "https://example.com/a/b?id=7"
+        assert canon[6] == "http://example.com/a/b?id=8"
+        out = {r.canon_url: r for r in url_dedup(df).collect()}
+        assert out["http://example.com/a/b?id=7"].n_variants == 4
+        assert out["http://example.com/a/b?id=7"].keep_id == 1
+
+    def test_gopher_rules_flags(self, spark):
+        from kafka_flink_spark.operators.text import gopher_quality_rules
+
+        long_good = "the " + " ".join("word" + "x" * (i % 7) for i in range(60)) + " of it"
+        short_doc = "the tiny a doc"
+        no_stops = " ".join(f"w{i}" for i in range(60))
+        rows = [(1, long_good), (2, short_doc), (3, no_stops)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+        assert out[1].keep
+        assert not out[2].pass_word_count and not out[2].keep
+        assert not out[3].pass_stopwords and not out[3].keep
+        # "w12"-style tokens contain digits -> fail the alpha ratio
+        assert not out[3].pass_alpha
+
+    def test_ann_recall_perfect_with_zero_planes(self, spark):
+        """num_planes=0 puts every vector in bucket 0 -> ANN == exact
+        -> recall exactly 1.0 for every query."""
+        from kafka_flink_spark.operators.similarity import ann_recall
+
+        import math
+
+        rows = [
+            (i, [math.cos(0.1 * i * d) for d in range(8)]) for i in range(40)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter("vec_id < 3")
+        out = ann_recall(emb, q, k=5, num_planes=0).collect()
+        assert len(out) == 3
+        assert all(r.recall == 1.0 and r.n_exact == 5 for r in out)

@@ -534,3 +534,26 @@ def test_range_join_binned_is_hash_join_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
     assert "HashJoin" in plan, plan[:1500]
+
+
+def test_winnowing_single_exchange_no_lambdas(spark):
+    """t30: gram hashing, windowing, rightmost-min selection, distinct,
+    and the per-doc aggregate all reuse ONE hash-by-doc exchange, and
+    nothing in the plan is an interpreted HigherOrderFunction."""
+    df = spark_queries()["t30_winnowing_fingerprints"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower()
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_url_dedup_single_exchange(spark):
+    """t28: canonicalization is a map stage fused into the scan; the
+    only exchange carries the canonical string (dedup groupBy)."""
+    df = spark_queries()["t28_url_dedup"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+
+
+def test_gopher_rules_no_shuffle(spark):
+    """t29: a pure narrow projection — zero exchanges."""
+    df = spark_queries()["t29_gopher_quality_rules"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0, count_exchanges(df)
