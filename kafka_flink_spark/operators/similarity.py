@@ -798,3 +798,96 @@ def ann_recall(
             F.round(F.col("n_hits") / F.greatest(F.col("n_exact"), F.lit(1)), 6),
         )
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Product-quantization ANN top-k with asymmetric distance
+    computation (ADC; Jégou et al. 2011 — the FAISS `PQ` index):
+    vectors are split into ``n_subspaces`` sub-vectors, each encoded
+    as its nearest of ``n_codes`` codewords (1 byte/subspace — an 8x64
+    float vector compresses to 8 bytes), and queries score candidates
+    by summing per-subspace distances to the CODEWORDS, never touching
+    the original vectors.
+
+    Codebook: sub-vectors of the ``n_codes`` lowest-id corpus vectors
+    — assignment-only and deterministic (the v3/ivf recipe), so the
+    DuckDB oracle reproduces the index bit-for-bit; swap in k-means
+    sub-codebooks for a learned variant with the same dataflow.
+
+    Exactness discipline: sub-distances are squared-L2 via the proven
+    diff→dot fold (bit-identical across engines), scaled to integer
+    1e-9 units BEFORE the cross-subspace sum, so the ADC total is an
+    order-independent LONG sum under any partitioning.
+
+    Scale shape: the codebook (n_codes × dim) broadcasts; encoding is
+    one broadcast join + min_by aggregate (corpus × n_codes rows,
+    combined map-side); the code table that shuffles is n_subspaces
+    LONGS per vector — the 8-byte compression is literally the
+    exchange payload; the ADC join probes the (tiny) query distance
+    tables broadcast against the codes.
+    """
+    sub = dim // n_subspaces
+
+    def subspaces(vec: Column) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(vec, s * sub + 1, sub).alias("v"),
+                    )
+                    for s in range(n_subspaces)
+                ]
+            )
+        )
+
+    def d2_scaled(a: Column, b: Column) -> Column:
+        diff = F.zip_with(a, b, lambda x, y: x - y)
+        return F.round(dot(diff, diff) * 1e9, 0).cast("long")
+
+    cb = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("code_id"), _as_double(vec_col).alias("cwv"))
+    )
+    cb_sub = cb.select("code_id", subspaces(F.col("cwv")).alias("p")).select(
+        F.col("code_id").cast("long").alias("code_id"), "p.s", F.col("p.v").alias("cw")
+    )
+    c_sub = corpus.select(
+        F.col(id_col).alias("neighbor_id"), subspaces(_as_double(vec_col)).alias("p")
+    ).select("neighbor_id", "p.s", F.col("p.v").alias("vs"))
+    codes = (
+        c_sub.join(F.broadcast(cb_sub), "s")
+        .withColumn("d2s", d2_scaled(F.col("vs"), F.col("cw")))
+        .groupBy("neighbor_id", "s")
+        .agg(F.min_by("code_id", F.struct("d2s", "code_id")).alias("code_id"))
+    )
+    qtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"), subspaces(_as_double(vec_col)).alias("p")
+        )
+        .select("query_id", "p.s", F.col("p.v").alias("qs"))
+        .join(F.broadcast(cb_sub), "s")
+        .select("query_id", "s", "code_id", d2_scaled(F.col("qs"), F.col("cw")).alias("dq"))
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )

@@ -1481,3 +1481,69 @@ def remove_duplicate_spans(
             )
         ).alias("clean_md5"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...] = ("table", "spark", "window", "stream"),
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance scores for a literal query-term set — the
+    classic lexical ranking function (k1 = 1.2, b = 0.75, Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf), one row per
+    (matching doc, term).
+
+    Engine-reproducibility (the t21 recipe): the tf saturation term
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) is computed as ONE
+    division of two exactly-representable integers — with avgdl =
+    totalW/N, numerator 22·totalW·tf and denominator 10·totalW·tf +
+    3·totalW + 9·dl·N (k1/b baked into the scaling) — so its bits are
+    identical in any engine; idf's ln is rounded to 6 and the final
+    product re-rounded. Per-term rows avoid a cross-term double sum
+    whose addition order could differ.
+
+    Plan: tokens explode once; tf is one (doc, term) aggregation over
+    the filtered (tiny) term stream; df derives from tf; the corpus
+    stats (N, totalW) are a one-row aggregate broadcast onto the
+    matches. Nothing corpus-sized shuffles except doc lengths'
+    map-side-combined count.
+    """
+    toks = F.split(F.col(col), " ")
+    dl_rel = df.select(F.col(id_col), F.size(toks).cast("long").alias("dl"))
+    term_rows = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = term_rows.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = dl_rel.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_w"),
+    )
+    joined = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl_rel, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    tfpart = F.round(
+        (22 * F.col("total_w") * F.col("tf"))
+        / (
+            10 * F.col("total_w") * F.col("tf")
+            + 3 * F.col("total_w")
+            + 9 * F.col("dl") * F.col("n_docs")
+        ),
+        6,
+    )
+    return joined.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "dl",
+        "df",
+        idf.alias("idf"),
+        tfpart.alias("tf_part"),
+        F.round(idf * tfpart, 6).alias("bm25"),
+    )

@@ -2691,3 +2691,101 @@ def v10_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.ann_recall(emb, queries, k=10, num_planes=_ANN_PLANES)
+
+
+_BM25_TERMS = "('table', 'spark', 'window', 'stream')"
+
+
+@register(
+    "t31_bm25_scores",
+    oracle=f"""
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_w FROM dl),
+tr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tr WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+parts AS (
+    SELECT t.doc_id, t.term, t.tf, CAST(d.dl AS BIGINT) AS dl, f.df,
+           round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6) AS idf,
+           round((22 * s.total_w * t.tf) * 1.0
+                 / (10 * s.total_w * t.tf + 3 * s.total_w + 9 * d.dl * s.n_docs),
+                 6) AS tf_part
+    FROM tf t JOIN dft f ON t.term = f.term
+              JOIN dl d ON t.doc_id = d.doc_id, stats s
+)
+SELECT doc_id, term, tf, dl, df, idf, tf_part,
+       round(idf * tf_part, 6) AS bm25
+FROM parts
+""",
+    doc="Okapi BM25 relevance scoring (operators/text.bm25_scores; "
+    "k1=1.2, b=0.75, Lucene idf) for a literal query-term set, one "
+    "row per matching (doc, term). The tf saturation term is ONE "
+    "division of exactly-representable integers (the t21 "
+    "exactness recipe: k1/b baked into integer scaling constants), "
+    "idf's ln rounded to 6; per-term rows avoid an order-dependent "
+    "cross-term double sum. Corpus stats broadcast; only doc lengths' "
+    "map-side-combined count touches corpus volume.",
+)
+def t31_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _v11_oracle() -> str:
+    d2 = (
+        "CAST(round(list_dot_product("
+        "list_transform(range(8), i -> {a}[i+1] - {b}[i+1]), "
+        "list_transform(range(8), i -> {a}[i+1] - {b}[i+1])) * 1e9) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS code_id, v AS cwv FROM e ORDER BY vec_id LIMIT 16),
+cbs AS (SELECT code_id, s, cwv[s*8+1 : s*8+8] AS cw
+        FROM cb, unnest(range(8)) u(s)),
+cs AS (SELECT vec_id AS neighbor_id, s, v[s*8+1 : s*8+8] AS vs
+       FROM e, unnest(range(8)) u(s)),
+enc AS (
+    SELECT neighbor_id, s,
+           (min({{'d': {d2.format(a="vs", b="cw")}, 'c': code_id}})).c AS code_id
+    FROM cs JOIN cbs USING (s)
+    GROUP BY neighbor_id, s
+),
+q AS (SELECT vec_id AS query_id, s, v[s*8+1 : s*8+8] AS qs
+      FROM e, unnest(range(8)) u(s) WHERE vec_id IN {_QUERY_IDS}),
+qt AS (
+    SELECT query_id, s, code_id, {d2.format(a="qs", b="cw")} AS dq
+    FROM q JOIN cbs USING (s)
+),
+adc AS (
+    SELECT query_id, neighbor_id, CAST(sum(dq) AS BIGINT) AS adc_d2
+    FROM enc JOIN qt USING (s, code_id)
+    WHERE neighbor_id <> query_id
+    GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v11_pq_adc_topk",
+    oracle=_v11_oracle(),
+    doc="Product-quantization ANN top-10 with asymmetric distance "
+    "computation (operators/similarity.pq_adc_topk; Jegou et al. "
+    "2011, the FAISS PQ index): 64-dim vectors encoded as 8 one-byte "
+    "codewords (8x compression is literally the exchange payload); "
+    "queries sum per-subspace distances to codewords, never touching "
+    "original vectors. Sub-distances integer-scaled BEFORE the "
+    "cross-subspace sum, so the ADC total is an order-independent "
+    "LONG sum; deterministic lowest-id codebook makes the oracle "
+    "reproduce the index bit-for-bit.",
+)
+def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.pq_adc_topk(emb, queries, k=10)

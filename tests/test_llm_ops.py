@@ -1137,3 +1137,51 @@ class TestRound4Ops:
         out = ann_recall(emb, q, k=5, num_planes=0).collect()
         assert len(out) == 3
         assert all(r.recall == 1.0 and r.n_exact == 5 for r in out)
+
+
+class TestRound4b:
+    def test_bm25_semantics(self, spark):
+        """Rarer terms get higher idf; longer docs get lower tf_part at
+        equal tf (length normalization); scores positive."""
+        from kafka_flink_spark.operators.text import bm25_scores
+
+        rows = [
+            (1, "spark table " + "pad " * 10),
+            (2, "spark table " + "pad " * 40),   # same tf, longer doc
+            (3, "table only here " + "pad " * 10),
+            (4, "table again " + "pad " * 10),
+        ]
+        docs = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+        out = {(r.doc_id, r.term): r for r in bm25_scores(docs, terms=("spark", "table")).collect()}
+        # spark appears in 2 docs, table in 4 -> idf(spark) > idf(table)
+        assert out[(1, "spark")].idf > out[(1, "table")].idf
+        # doc 2 is longer with same tf -> smaller tf_part and bm25
+        assert out[(1, "spark")].tf_part > out[(2, "spark")].tf_part
+        assert out[(1, "spark")].bm25 > out[(2, "spark")].bm25
+        assert all(r.bm25 > 0 for r in out.values())
+
+    def test_pq_lossless_when_codebook_is_corpus(self, spark):
+        """n_codes >= |corpus| makes every vector its own codeword, so
+        ADC distance equals exact squared L2 and the PQ ranking equals
+        the exact ranking — the degenerate-exactness property that pins
+        the whole encode/ADC dataflow."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from kafka_flink_spark.operators.similarity import pq_adc_topk
+
+        n = 24
+        rows = [(i, [math.sin(0.3 * i + 0.7 * d) for d in range(16)]) for i in range(n)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter("vec_id = 0")
+        got = pq_adc_topk(emb, q, k=5, n_subspaces=4, n_codes=n, dim=16).collect()
+        # exact squared-L2 ranking computed in python
+        import numpy as np
+
+        vecs = {i: np.array(v) for i, v in rows}
+        d2 = sorted(
+            ((float(((vecs[0] - vecs[i]) ** 2).sum()), i) for i in range(1, n)),
+        )
+        expect = [i for _, i in d2[:5]]
+        assert [r.neighbor_id for r in got] == expect
