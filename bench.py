@@ -68,6 +68,20 @@ EXTRA_OPS = (
 )
 
 
+# Round-4 additions (plus the rewritten t17, whose round-3 number was
+# the interpreted-HOF implementation), timed as a fourth section.
+R4_OPS = (
+    "t17_cdc_chunk_dedup",
+    "t28_url_dedup",
+    "t29_gopher_quality_rules",
+    "t30_winnowing_fingerprints",
+    "t31_bm25_scores",
+    "v10_ann_recall_eval",
+    "v11_pq_adc_topk",
+    "w5_distribution_ranks",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -118,6 +132,13 @@ def main() -> None:
         qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra_timings[name] = round(time.perf_counter() - t0, 3)
 
+    r4_timings: dict[str, float] = {}
+    for name in [n for n in R4_OPS if n in qs]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        r4_timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -131,6 +152,8 @@ def main() -> None:
                 "llm_total": round(sum(llm_timings.values()), 3),
                 "extra_queries": extra_timings,
                 "extra_total": round(sum(extra_timings.values()), 3),
+                "r4_queries": r4_timings,
+                "r4_total": round(sum(r4_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": _streaming_rate(spark),
             }
         )

@@ -488,3 +488,51 @@ def io11_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("price_cents").cast("long").alias("total_cents"),
         )
     )
+
+
+@register(
+    "io12_exactly_once_sink",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+""",
+    doc="Exactly-once streaming file sink (streaming/exactly_once.py): "
+    "foreachBatch + idempotent per-batch-id parquet OVERWRITE - the "
+    "standard recipe for transactional semantics on sinks without a "
+    "native streaming writer (foreachBatch is at-least-once; replayed "
+    "batches rewrite identical bytes). The query drains the events "
+    "stream through the sink, RESTARTS from the same checkpoint (the "
+    "second run processes nothing - WAL/commit log resume), reads the "
+    "batch_id-partitioned layout back, and must equal the batch "
+    "aggregate exactly - no duplicated, no lost rows. Values are "
+    "compared in integer cents so the check is order-independent.",
+)
+def io12_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir, stream_events_raw
+    from kafka_flink_spark.streaming.exactly_once import run_idempotent_parquet_sink
+
+    tmp = scratch_dir("eos_")
+    out, ckpt = tmp + "/out", tmp + "/ckpt"
+
+    def pipeline() -> DataFrame:
+        return stream_events_raw(spark, sf_dir).select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+
+    run_idempotent_parquet_sink(pipeline(), out, ckpt)
+    # restart from the SAME checkpoint: the source has nothing new, so
+    # the second run emits no batches; any replayed in-flight batch
+    # would overwrite identical bytes (idempotence)
+    run_idempotent_parquet_sink(pipeline(), out, ckpt)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
