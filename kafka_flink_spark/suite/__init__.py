@@ -167,6 +167,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "w5_distribution_ranks",
     "w26_stream_topk_complete",
     # ---- 50-query budget line (round 4) ----
+    # late-round-4 additions (sim-verified; lead round 5's rotation)
+    "t31_bm25_scores",
+    "v11_pq_adc_topk",
+    "io12_exactly_once_sink",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

@@ -78,9 +78,26 @@ SHOWCASE = (
     ),
     (
         "t17_cdc_chunk_dedup",
-        "Content-defined chunking: boundary detection and chunk assembly are "
-        "per-row higher-order expressions (zero shuffle); the single "
-        "exchange carries 32-char chunk fingerprints for the dedup groupBy.",
+        "Content-defined chunking, round-4 codegen rewrite: exploded tokens, "
+        "md5 boundary flag, running boundary-count window as the chunk key, "
+        "hash-aggregate reassembly — zero interpreted lambdas. Exactly 3 "
+        "exchanges: tokens hash-by-doc (window), whose partitioning the "
+        "(doc, chunk) aggregate REUSES, then chunk fingerprints, final agg.",
+    ),
+    (
+        "t30_winnowing_fingerprints",
+        "Winnowing (MOSS): gram hashing via leads, rightmost-minimal "
+        "selection via min(struct(hash,-pos)) over a 5-row frame, distinct, "
+        "and the per-doc aggregate ALL reuse one hash-by-doc exchange — "
+        "count_exchanges == 1 for the entire fingerprinting pipeline.",
+    ),
+    (
+        "v11_pq_adc_topk",
+        "Product quantization + ADC: the codebook broadcasts twice (encode "
+        "+ query tables); the only corpus-sized exchange carries the 8-long "
+        "code rows — the 8-byte compression is literally the shuffle "
+        "payload. ADC totals are LONG sums of pre-scaled sub-distances, so "
+        "the aggregate is partial-combinable and order-independent.",
     ),
     (
         "t23_dup_substring_spans",
