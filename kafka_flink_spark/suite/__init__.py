@@ -171,6 +171,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t31_bm25_scores",
     "v11_pq_adc_topk",
     "io12_exactly_once_sink",
+    "pipe7_web_corpus_pipeline",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

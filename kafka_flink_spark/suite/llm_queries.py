@@ -2789,3 +2789,84 @@ def v11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.pq_adc_topk(emb, queries, k=10)
+
+
+def _pipe7_oracle() -> str:
+    from kafka_flink_spark.operators.urls import duckdb_canonical_url
+
+    return f"""
+WITH {_URL_SYNTH_SQL.strip()},
+canon AS (SELECT doc_id, {duckdb_canonical_url('url')} AS canon_url FROM urls),
+url_kept AS (
+    SELECT min(doc_id) AS doc_id FROM canon GROUP BY canon_url
+),
+g AS (
+    SELECT d.doc_id, d.source,
+           len(string_split(d.text, ' ')) AS n_words,
+           round((length(d.text) - (len(string_split(d.text, ' ')) - 1)) * 1.0
+                 / len(string_split(d.text, ' ')), 6) AS mean_word_len,
+           len(list_filter(string_split(d.text, ' '),
+               t -> list_contains([{_GOPHER_STOPS}], t))) AS stop_hits,
+           round((len(string_split(d.text, ' '))
+                  - len(list_filter(string_split(d.text, ' '),
+                        t -> regexp_matches(t, '[^A-Za-z]')))) * 1.0
+                 / greatest(len(string_split(d.text, ' ')), 1), 6) AS alpha_ratio,
+           md5(lower(trim(d.text))) AS fp
+    FROM documents d JOIN url_kept u ON d.doc_id = u.doc_id
+),
+quality AS (
+    SELECT * FROM g
+    WHERE n_words >= 40 AND n_words <= 100000
+      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      AND stop_hits >= 2 AND alpha_ratio >= 0.8
+),
+content AS (
+    SELECT min(doc_id) AS doc_id, any_value(source) AS _x FROM quality GROUP BY fp
+)
+SELECT q.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_words) AS BIGINT) AS total_words
+FROM quality q JOIN content c ON q.doc_id = c.doc_id
+GROUP BY q.source
+"""
+
+
+@register(
+    "pipe7_web_corpus_pipeline",
+    oracle=_pipe7_oracle(),
+    doc="Composed web-corpus ingest pipeline from the round-4 "
+    "primitives: URL-level dedup first (cheapest signal - no content "
+    "touched for URL variants), then the Gopher quality rule battery "
+    "over survivors, then exact content dedup (min doc per normalized "
+    "md5), then per-source corpus stats. The ordering is the "
+    "production ordering: each stage shrinks the corpus before the "
+    "next pays its cost; stages reuse t28/t29/d1 machinery verbatim.",
+)
+def pipe7_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.urls import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", _url_synth_col().alias("url"))
+    url_kept = url_dedup(with_url).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(url_kept, "doc_id")
+    quality = (
+        X.gopher_quality_rules(survivors)
+        .filter("keep")
+        .join(survivors.select("doc_id", "source", "text"), "doc_id")
+    )
+    content_kept = (
+        quality.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(content_kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )

@@ -1185,3 +1185,25 @@ class TestRound4b:
         )
         expect = [i for _, i in d2[:5]]
         assert [r.neighbor_id for r in got] == expect
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point of the rewrite (a malformed canonicalizer that strips
+    one '/' per pass would fail this)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.urls import canonical_url
+
+    urls = [
+        "HTTP://WWW.A.B/x//?utm_source=1&q=2&id=3#f",
+        "https://a.b",
+        "https://a.b/",
+        "http://user@host.io:8080/p?ref=x",
+        "https://W.example.org/p/q/?b=2&a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(F.col("c").alias("u"), canonical_url(F.col("c")).alias("c2"))
+    for r in twice.collect():
+        assert r.u == r.c2, (r.u, r.c2)
