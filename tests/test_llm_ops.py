@@ -1207,3 +1207,83 @@ def test_canonical_url_idempotent(spark):
     twice = once.select(F.col("c").alias("u"), canonical_url(F.col("c")).alias("c2"))
     for r in twice.collect():
         assert r.u == r.c2, (r.u, r.c2)
+
+
+def test_bucket_cap_output_is_subset_of_uncapped(spark):
+    """Soundness of the hot-bucket guard: capping may DROP pairs
+    (documented recall tradeoff) but must never INVENT one — every
+    capped pair exists in the exact (cap=None) output, with identical
+    jaccard/hamming values."""
+    from pyspark.sql import functions as F
+
+    n = 300
+    boiler = " ".join(f"w{j}" for j in range(50))
+    uniq = F.concat_ws(
+        " ",
+        F.array(
+            *[
+                F.concat(
+                    F.lit(f"u{k}_"),
+                    F.pmod(F.xxhash64(F.col("id") * 31 + k), F.lit(10**9)).cast("string"),
+                )
+                for k in range(12)
+            ]
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit(boiler + " "), uniq).alias("text")
+    )
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.minhash_lsh_pairs(docs, min_jaccard=0.5, bucket_cap=8).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.minhash_lsh_pairs(docs, min_jaccard=0.5, bucket_cap=None).collect()
+    }
+    assert capped <= exact, capped - exact
+    assert capped  # the guard still emits pairs on this corpus
+
+    scapped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(docs, max_hamming=10, bucket_cap=8).collect()
+    }
+    sexact = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_near_pairs(docs, max_hamming=10, bucket_cap=None).collect()
+    }
+    assert scapped <= sexact, scapped - sexact
+
+
+def test_round4_ops_empty_and_edge_inputs(spark):
+    """Empty corpora and degenerate rows must not throw."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.text import (
+        bm25_scores,
+        gopher_quality_rules,
+        winnowing_fingerprints,
+    )
+    from kafka_flink_spark.operators.urls import canonical_url, url_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert winnowing_fingerprints(empty).count() == 0
+    assert gopher_quality_rules(empty).count() == 0
+    assert bm25_scores(empty).count() == 0
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b c d e f g")], "doc_id long, text string"
+    )
+    # all below the w+k-1 winnowing threshold -> no fingerprints, no error
+    assert winnowing_fingerprints(edge).count() == 0
+    assert gopher_quality_rules(edge).count() == 3
+
+    u = spark.createDataFrame(
+        [(1, None), (2, "not a url at all"), (3, "https://ok.example/x")],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r.c for r in u.select("doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None  # degrades to ':///'-ish canonical, no throw
+    assert rows[3] == "https://ok.example/x"
+    assert url_dedup(u).count() >= 2

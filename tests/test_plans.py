@@ -557,3 +557,24 @@ def test_gopher_rules_no_shuffle(spark):
     """t29: a pure narrow projection — zero exchanges."""
     df = spark_queries()["t29_gopher_quality_rules"](spark, SF_SMALL)
     assert count_exchanges(df) == 0, count_exchanges(df)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE runtime re-planning is ON and effective: a groupBy over the
+    tiny fixture plans 32 shuffle partitions statically, but the
+    executed plan's AQEShuffleRead coalesces them — the runtime
+    behavior that keeps reducer counts proportional to data, not to
+    spark.sql.shuffle.partitions, at any scale."""
+    from pyspark.sql import functions as F
+
+    df = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    # materialize through the Dataset's OWN QueryExecution (a write
+    # action clones the plan, leaving df's copy isFinalPlan=false)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
