@@ -172,6 +172,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "v11_pq_adc_topk",
     "io12_exactly_once_sink",
     "pipe7_web_corpus_pipeline",
+    "g19_mode_median_minmax_by",
+    "set4_bag_semantics",
+    "g20_bitmap_distinct",
+    "sc12_try_functions",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

@@ -2170,3 +2170,177 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "g19_mode_median_minmax_by",
+    oracle="""
+WITH qc AS (
+    SELECT l_returnflag, l_quantity, count(*) AS c
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT q.l_returnflag,
+       CAST((SELECT min(l_quantity) FROM qc
+             WHERE l_returnflag = q.l_returnflag
+               AND c = (SELECT max(c) FROM qc WHERE l_returnflag = q.l_returnflag))
+            AS BIGINT) AS mode_qty,
+       round(median(li.l_extendedprice), 6) AS median_price,
+       round(arg_min(li.l_extendedprice, li.l_orderkey * 10 + li.l_linenumber), 6)
+           AS first_price,
+       round(arg_max(li.l_extendedprice, li.l_orderkey * 10 + li.l_linenumber), 6)
+           AS last_price
+FROM lineitem li JOIN (SELECT DISTINCT l_returnflag FROM qc) q
+  ON li.l_returnflag = q.l_returnflag
+GROUP BY q.l_returnflag
+""",
+    doc="Mode / median / min_by / max_by aggregate surface with "
+    "DETERMINISTIC tie semantics: Spark's mode() picks an arbitrary "
+    "value on tied counts, so the mode here is max_by over "
+    "(count, -value) — smallest value among the most frequent — "
+    "identical in both engines; median() is the exact interpolated "
+    "percentile; min_by/max_by pick the price of the first/last "
+    "lineitem by the total (orderkey, linenumber) order. All four are "
+    "single-exchange grouped aggregates (mode pre-aggregates "
+    "(flag, qty) counts first — two map-side-combined exchanges "
+    "total, never a per-group sort).",
+)
+def g19_mode_median_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    mode = qc.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_quantity", F.struct(F.col("c"), (-F.col("l_quantity")).alias("nv"))
+        )
+        .cast("long")
+        .alias("mode_qty")
+    )
+    pos = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    rest = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.min_by("l_extendedprice", pos), 6).alias("first_price"),
+        F.round(F.max_by("l_extendedprice", pos), 6).alias("last_price"),
+    )
+    return rest.join(F.broadcast(mode), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_price", "first_price", "last_price"
+    )
+
+
+@register(
+    "set4_bag_semantics",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS k FROM customer),
+s AS (SELECT s_nationkey AS k FROM supplier),
+ia AS (SELECT k FROM c INTERSECT ALL SELECT k FROM s),
+ea AS (SELECT k FROM c EXCEPT ALL SELECT k FROM s)
+SELECT 'intersect_all' AS op, CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n
+FROM ia GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n
+FROM ea GROUP BY k
+""",
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — "
+    "the multiset forms set1-set3's distinct variants don't cover): "
+    "duplicate multiplicities follow the SQL standard min(m,n) / "
+    "max(m-n,0) rules. Catalyst plans both as aggregate+join on "
+    "per-side counts — no row-pairing blowup; the result is grouped "
+    "to (op, key, multiplicity) so the oracle compare is "
+    "order-insensitive.",
+)
+def set4_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), F.col("k").cast("long"), "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), F.col("k").cast("long"), "n")
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "g20_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CAST(ceil(user_id / 32768.0) AS BIGINT)) AS BIGINT)
+           AS n_buckets_touched
+FROM events
+GROUP BY event_type
+""",
+    doc="Bitmap-aggregate distinct counting (Spark 3.5 bitmap family: "
+    "bitmap_bit_position / bitmap_construct_agg / bitmap_count, with "
+    "bitmap_or_agg merging per-bucket partials): each 32k-id bucket "
+    "becomes a fixed 4KB bitmap, so the exact-distinct state is "
+    "bounded and MERGEABLE — the exact-answer sibling of the HLL "
+    "sketch (g7) for id spaces you can afford to bitmap, and the "
+    "standard warehouse pattern for pre-aggregated distinct rollups. "
+    "The oracle checks the bitmap path against plain count(DISTINCT) "
+    "— equal by construction, which is the point.",
+)
+def g20_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # two-level build proves mergeability: shard-local bitmaps first
+    # (construct_agg), then OR-merged per bucket (or_agg) — exactly how
+    # pre-aggregated daily bitmaps roll up to monthly distincts
+    per_shard = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+            F.pmod("user_id", F.lit(4)).alias("shard"),
+        )
+        .groupBy("event_type", "bucket", "shard")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_bucket = per_shard.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_buckets_touched"),
+    )
+
+
+@register(
+    "sc12_try_functions",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_orderkey % 5), 6) END AS safe_div,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS safe_cast,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE CAST(9223372036854775807 - o_orderkey AS BIGINT) END AS safe_add
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+    doc="Error-safe expression surface (ANSI try_* family): "
+    "try_divide NULLs division-by-zero, try_cast NULLs malformed "
+    "input, try_add NULLs LONG overflow — instead of failing the "
+    "whole 100 TB job on one bad row (ANSI mode) or silently wrapping "
+    "(legacy mode). The oracle mirrors each NULL-production rule with "
+    "explicit CASE guards, which is precisely the semantics contract: "
+    "errors become NULLs, values are otherwise untouched.",
+)
+def sc12_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 2000")
+    return o.select(
+        "o_orderkey",
+        F.round(F.expr("try_divide(o_totalprice, o_orderkey % 5)"), 6).alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'oops' "
+            "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+        ).alias("safe_cast"),
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 "
+            "THEN try_add(9223372036854775807, o_orderkey + 1) "
+            "ELSE try_add(9223372036854775807, -o_orderkey) END"
+        ).alias("safe_add"),
+    )
