@@ -176,6 +176,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set4_bag_semantics",
     "g20_bitmap_distinct",
     "sc12_try_functions",
+    "qa2_expectation_checks",
+    "r2_recursive_bom_explosion",
+    "e11_dynamic_session_gap",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

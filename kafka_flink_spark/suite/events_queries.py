@@ -539,3 +539,63 @@ def e10_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "e11_dynamic_session_gap",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) + CASE WHEN event_type = 'view'
+                               THEN 1800000000 ELSE 7200000000 END AS end_us
+    FROM events
+),
+marked AS (
+    SELECT user_id, ts, end_us,
+           max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
+    FROM g
+),
+sess AS (
+    SELECT user_id, ts, end_us,
+           sum(CASE WHEN prev_end_us IS NULL
+                      OR epoch_us(ts) >= prev_end_us THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(max(end_us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+""",
+    doc="DYNAMIC-gap session windows (Spark 3.2+ session_window with a "
+    "gap EXPRESSION): short-dwell 'view' events extend a session by "
+    "only 30 minutes while engaged events extend it by 2 hours — the "
+    "per-event-timeout sessionization fixed-gap w14 cannot express. "
+    "Semantics (oracle-mirrored): each event claims [ts, ts + "
+    "gap(event)); overlapping claims merge; a new session starts when "
+    "ts >= the running max of previous claim ends (NOT merely the "
+    "previous event's end — a long-gap event can bridge over a later "
+    "short-gap one). Gap arithmetic in integer microseconds on both "
+    "sides.",
+)
+def e11_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # gap must be CalendarIntervalType: interval-string column, not
+    # INTERVAL literals (those parse as DayTimeIntervalType)
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("2 hours")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -2344,3 +2344,39 @@ def sc12_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE try_add(9223372036854775807, -o_orderkey) END"
         ).alias("safe_add"),
     )
+
+
+_BOM_SQL = """
+WITH RECURSIVE bom AS (
+    SELECT CAST(0 AS BIGINT) AS part_key, 0 AS depth
+    UNION ALL
+    SELECT p.p_partkey AS part_key, b.depth + 1 AS depth
+    FROM part p JOIN bom b
+      ON CAST(floor(p.p_partkey / 3) AS BIGINT) = b.part_key
+     AND p.p_partkey > 0
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(part_key) AS BIGINT) AS min_key,
+       CAST(max(part_key) AS BIGINT) AS max_key
+FROM bom
+WHERE depth > 0
+GROUP BY depth
+"""
+
+
+@register(
+    "r2_recursive_bom_explosion",
+    oracle=_BOM_SQL,
+    doc="Recursive CTE graph walk (the bill-of-materials explosion "
+    "idiom, beside r1's linear date spine): a synthetic assembly "
+    "forest parent(k) = floor(k/3) over part keys is traversed "
+    "top-down — each recursion step is a fully DISTRIBUTED join of "
+    "the frontier against the part table, depth ~ log3(|part|) "
+    "iterations (the frontier grows 3x per level, never revisits a "
+    "node: acyclic by construction). Per-level counts + key ranges "
+    "come out; identical WITH RECURSIVE text runs on both engines.",
+)
+def r2_recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SQL)

@@ -681,3 +681,88 @@ def sc8_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "qa2_expectation_checks",
+    oracle="""
+SELECT 'orders_custkey_fk' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'orders_key_unique',
+       CAST((SELECT coalesce(sum(n - 1), 0) FROM
+             (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_price_positive',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_priority_domain',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                                           '4-NOT SPECIFIED','5-LOW')) AS BIGINT)
+UNION ALL
+SELECT 'customer_name_not_null',
+       CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+""",
+    doc="Data-quality expectation suite (the Deequ / dbt-test shape): "
+    "referential integrity (orders -> customer FK via anti-join), "
+    "key uniqueness (surplus rows per duplicate key), range checks, "
+    "domain (accepted-values) checks, not-null checks - each one row "
+    "(check_name, n_violations). Every check is a single aggregate "
+    "over one scan shape; at 100 TB the checks share table scans "
+    "when run through one action (Catalyst common-subexpression "
+    "reuse), and violations counts - not violating ROWS - cross the "
+    "wire. The fixture is expected to pass all checks with 0 "
+    "violations; the shape is what's under test.",
+)
+def qa2_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    fk = one(
+        "orders_custkey_fk",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("n")
+        ),
+    )
+    uniq = one(
+        "orders_key_unique",
+        o.groupBy("o_orderkey")
+        .count()
+        .agg(F.sum(F.col("count") - 1).alias("n")),
+    )
+    rng = one(
+        "orders_price_positive",
+        o.filter("o_totalprice <= 0").agg(F.count("*").alias("n")),
+    )
+    dom = one(
+        "orders_priority_domain",
+        o.filter(
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        ).agg(F.count("*").alias("n")),
+    )
+    nn = one(
+        "customer_name_not_null",
+        c.filter(F.col("c_name").isNull()).agg(F.count("*").alias("n")),
+    )
+    qty = one(
+        "lineitem_qty_range",
+        li.filter("l_quantity < 1 OR l_quantity > 50").agg(F.count("*").alias("n")),
+    )
+    return fk.unionByName(uniq).unionByName(rng).unionByName(dom).unionByName(nn).unionByName(qty)
