@@ -179,6 +179,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "qa2_expectation_checks",
     "r2_recursive_bom_explosion",
     "e11_dynamic_session_gap",
+    "g21_listagg_ordered",
+    "w6_null_aware_window_nav",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

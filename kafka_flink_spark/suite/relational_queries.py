@@ -2380,3 +2380,83 @@ GROUP BY depth
 def r2_recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_BOM_SQL)
+
+
+@register(
+    "g21_listagg_ordered",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Ordered string aggregation (Spark 4 listagg WITHIN GROUP / "
+    "DuckDB string_agg ORDER BY): deterministic because the WITHIN "
+    "GROUP ordering is total — without it, concatenation order would "
+    "be partition-dependent and the whole query non-reproducible. "
+    "Use bounded groups only: the aggregate state is the "
+    "concatenated string itself (this is the one aggregate whose "
+    "state does NOT stay constant-size - at 100 TB cap group "
+    "cardinality or use collect_list+slice).",
+)
+def g21_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"),
+        F.count("*").cast("long").alias("n_nations"),
+    )
+
+
+@register(
+    "w6_null_aware_window_nav",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END AS p
+    FROM orders WHERE o_orderkey <= 4000
+)
+SELECT o_orderkey,
+       round(first_value(p IGNORE NULLS) OVER w, 2) AS first_nn,
+       round(last_value(p IGNORE NULLS) OVER w, 2) AS last_nn,
+       round(nth_value(p, 2 IGNORE NULLS) OVER w, 2) AS second_nn,
+       round(lag(p IGNORE NULLS) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_nn
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="Null-aware window navigation (IGNORE NULLS forms of "
+    "first_value / last_value / nth_value / lag) — the "
+    "last-known-good / previous-non-null-reading idiom sensor and "
+    "finance pipelines rely on, which the plain navigation functions "
+    "(w2/w3) cannot express. Every spec shares one hash exchange + "
+    "per-custkey sort.",
+)
+def w6_null_aware_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 4000")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("p"),
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return base.select(
+        "o_orderkey",
+        F.round(F.first("p", ignorenulls=True).over(w_full), 2).alias("first_nn"),
+        F.round(F.last("p", ignorenulls=True).over(w_full), 2).alias("last_nn"),
+        F.round(F.nth_value("p", 2, ignoreNulls=True).over(w_full), 2).alias("second_nn"),
+        # pyspark's F.lag has no ignorenulls kwarg; the SQL form does
+        F.round(F.expr("lag(p) IGNORE NULLS").over(w_lag), 2).alias("prev_nn"),
+    )
