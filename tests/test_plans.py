@@ -578,3 +578,46 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling is available and fires: a 90%-one-key
+    fact joined to a dim (thresholds lowered to fixture scale) plans
+    SortMergeJoin(skew=true) with an 'AQEShuffleRead skewed' leg — the
+    runtime answer to hot keys that needs NO salting code.
+
+    Caveat this test encodes deliberately: the join output must not be
+    re-used by an operator requiring hash partitioning on the join key
+    (e.g. a groupBy(k) directly downstream) — splitting a skewed
+    partition breaks that partitioning, so AQE then declines to split
+    and manual salting (operators/skew.py) is the remaining tool."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payloadpayloadpayload"), F.col("id").cast("string")).alias("pay"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        j = fact.join(dim, "k").select(F.length("pay").alias("l"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
