@@ -181,6 +181,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e11_dynamic_session_gap",
     "g21_listagg_ordered",
     "w6_null_aware_window_nav",
+    "io13_csv_malformed_handling",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

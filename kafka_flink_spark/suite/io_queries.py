@@ -536,3 +536,82 @@ def io12_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").cast("long").alias("n_ids"),
         F.sum("value_cents").cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "io13_csv_malformed_handling",
+    oracle="""
+WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 3000)
+SELECT 'permissive' AS mode,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT) AS n_parsed,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS n_corrupt
+FROM base
+UNION ALL
+SELECT 'dropmalformed',
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM base
+""",
+    doc="Malformed-record ingestion semantics (the CSV parse-mode "
+    "surface every lake ingest needs): a deterministically corrupted "
+    "CSV (every 10th key written with a non-numeric amount) read "
+    "twice - PERMISSIVE keeps every line and captures bad ones in "
+    "columnNameOfCorruptRecord (nulling unparseable fields), "
+    "DROPMALFORMED silently keeps only clean rows. Counts per mode "
+    "must match the corruption rule exactly: no line lost, no line "
+    "double-counted. Two real-world subtleties this query pins: "
+    "(a) Spark rejects plans whose ONLY referenced column is the "
+    "corrupt-record column; (b) CSV column pruning means a field "
+    "that is never referenced is never parsed - and an unreferenced "
+    "unparseable field does NOT mark the row corrupt - so the "
+    "aggregates deliberately reference the corruptible column.",
+)
+def io13_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 3000")
+    tmp = scratch_dir("csvmal_")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            F.concat_ws(",", F.col("o_orderkey"), F.lit("NOT_A_NUMBER"),
+                        F.col("o_orderpriority")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey"), F.col("o_totalprice"),
+                        F.col("o_orderpriority"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(tmp + "/data")
+
+    schema = "k long, amount double, pri string, _bad string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(tmp + "/data")
+    )
+    # reference a data column alongside _bad: Spark disallows queries
+    # whose only referenced column is the internal corrupt-record one
+    parsed = F.count(F.when(F.col("_bad").isNull(), F.col("amount")))
+    p = permissive.agg(
+        F.lit("permissive").alias("mode"),
+        F.count("*").cast("long").alias("n_rows"),
+        parsed.cast("long").alias("n_parsed"),
+        (F.count("*") - parsed).cast("long").alias("n_corrupt"),
+    )
+    dropm = (
+        spark.read.schema("k long, amount double, pri string")
+        .option("mode", "DROPMALFORMED")
+        .csv(tmp + "/data")
+    )
+    d = dropm.agg(
+        F.lit("dropmalformed").alias("mode"),
+        F.count("amount").cast("long").alias("n_rows"),
+        F.count("amount").cast("long").alias("n_parsed"),
+        F.lit(0).cast("long").alias("n_corrupt"),
+    )
+    return p.unionByName(d)
