@@ -2178,20 +2178,32 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH qc AS (
     SELECT l_returnflag, l_quantity, count(*) AS c
     FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                        l_quantity, l_extendedprice) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS cnt
+    FROM lineitem
+),
+fl AS (
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = 1 THEN l_extendedprice END), 6) AS first_price,
+           round(max(CASE WHEN rn = cnt THEN l_extendedprice END), 6) AS last_price
+    FROM ranked GROUP BY l_returnflag
+),
+mm AS (
+    SELECT l_returnflag, round(median(l_extendedprice), 6) AS median_price
+    FROM lineitem GROUP BY l_returnflag
 )
-SELECT q.l_returnflag,
+SELECT mm.l_returnflag,
        CAST((SELECT min(l_quantity) FROM qc
-             WHERE l_returnflag = q.l_returnflag
-               AND c = (SELECT max(c) FROM qc WHERE l_returnflag = q.l_returnflag))
+             WHERE l_returnflag = mm.l_returnflag
+               AND c = (SELECT max(c) FROM qc WHERE l_returnflag = mm.l_returnflag))
             AS BIGINT) AS mode_qty,
-       round(median(li.l_extendedprice), 6) AS median_price,
-       round(arg_min(li.l_extendedprice, li.l_orderkey * 10 + li.l_linenumber), 6)
-           AS first_price,
-       round(arg_max(li.l_extendedprice, li.l_orderkey * 10 + li.l_linenumber), 6)
-           AS last_price
-FROM lineitem li JOIN (SELECT DISTINCT l_returnflag FROM qc) q
-  ON li.l_returnflag = q.l_returnflag
-GROUP BY q.l_returnflag
+       mm.median_price, fl.first_price, fl.last_price
+FROM mm JOIN fl ON mm.l_returnflag = fl.l_returnflag
 """,
     doc="Mode / median / min_by / max_by aggregate surface with "
     "DETERMINISTIC tie semantics: Spark's mode() picks an arbitrary "
@@ -2214,7 +2226,13 @@ def g19_mode_median_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mode_qty")
     )
-    pos = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # (orderkey, linenumber) alone is NOT unique in the synthetic
+    # fixture; the full 6-tuple is (verified at every SF) — total
+    # order makes first/last engine-independent
+    pos = F.struct(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    )
     rest = li.groupBy("l_returnflag").agg(
         F.round(F.median("l_extendedprice"), 6).alias("median_price"),
         F.round(F.min_by("l_extendedprice", pos), 6).alias("first_price"),
