@@ -1547,3 +1547,60 @@ def bm25_scores(
         tfpart.alias("tf_part"),
         F.round(idf * tfpart, 6).alias("bm25"),
     )
+
+
+def model_quality_scores(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality scoring plumbing — the FineWeb-Edu /
+    classifier-filter shape: documents cross to Python in Arrow
+    batches (``mapInPandas``), a scorer produces a per-doc logit and
+    a 0-5 educational-quality bucket, and ``keep`` gates the corpus.
+
+    The SCORER here is a deterministic stub (md5-derived logit plus a
+    length feature, integer arithmetic only) so the whole path is
+    oracle-checkable; swap the body for ONNX/torch batch inference and
+    every Spark-side property is unchanged — Arrow batch transfer,
+    narrow plan (no shuffle: scoring fuses with the scan), executor-
+    local model instantiation once per partition via the iterator
+    protocol, batch-size control through
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    At 100 TB this is the GPU/CPU-inference stage of the pipeline; its
+    scaling is rows/sec × executors, with no exchange anywhere — the
+    only Spark concern is batch sizing, which the iterator form
+    already exposes.
+    """
+    from collections.abc import Iterator as _It
+
+    out_schema = (
+        f"{id_col} long, mq_logit_u long, edu_score long, keep boolean"
+    )
+
+    def score_batches(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        # model init would happen HERE, once per partition
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[col].fillna("").to_numpy()
+            logits_u = []
+            for i, txt in zip(ids, texts):
+                h = hashlib.md5(f"mq:{i}".encode()).hexdigest()
+                base = int(h[:15], 16) % 2_000_001 - 1_000_000  # [-1e6, 1e6]
+                length_feat = min(len(txt), 1000) * 500  # [0, 5e5]
+                logits_u.append(base + length_feat)  # 1e-6 units
+            out = pd.DataFrame(
+                {
+                    id_col: ids,
+                    "mq_logit_u": logits_u,
+                }
+            )
+            # bucket [-1e6, 1.5e6] -> 0..5 (FineWeb-Edu style)
+            out["edu_score"] = ((out["mq_logit_u"] + 1_000_000) // 500_000).clip(
+                0, 5
+            )
+            out["keep"] = out["edu_score"] >= 3
+            yield out
+
+    return df.select(id_col, col).mapInPandas(score_batches, out_schema)

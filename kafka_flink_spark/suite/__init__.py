@@ -182,6 +182,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "g21_listagg_ordered",
     "w6_null_aware_window_nav",
     "io13_csv_malformed_handling",
+    "t32_model_quality_filter",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

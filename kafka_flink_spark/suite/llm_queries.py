@@ -2870,3 +2870,32 @@ def pipe7_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+@register(
+    "t32_model_quality_filter",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           ({_md5l("'mq:' || CAST(doc_id AS VARCHAR)")}) % 2000001 - 1000000
+           + least(length(text), 1000) * 500 AS mq_logit_u
+    FROM documents
+)
+SELECT doc_id, CAST(mq_logit_u AS BIGINT) AS mq_logit_u,
+       CAST(least(greatest((mq_logit_u + 1000000) // 500000, 0), 5) AS BIGINT)
+           AS edu_score,
+       (least(greatest((mq_logit_u + 1000000) // 500000, 0), 5) >= 3) AS keep
+FROM s
+""",
+    doc="Model-based quality filtering plumbing (operators/text."
+    "model_quality_scores) - the FineWeb-Edu classifier-filter shape: "
+    "Arrow-batched mapInPandas scoring with per-partition model init "
+    "via the iterator protocol, 0-5 educational buckets, keep gate. "
+    "The scorer is a deterministic md5+length stub (like the "
+    "multimodal m1 decode stub) so the full path is oracle-checked; "
+    "swapping in ONNX/torch batch inference changes NOTHING on the "
+    "Spark side - narrow plan, no exchange, batch size governed by "
+    "arrow.maxRecordsPerBatch.",
+)
+def t32_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.model_quality_scores(load_table(spark, sf_dir, "documents"))

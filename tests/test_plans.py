@@ -621,3 +621,10 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_model_quality_filter_no_shuffle(spark):
+    """t32: Arrow-batched scoring fuses with the scan — zero exchanges
+    (the model-inference stage must never cost a shuffle)."""
+    df = spark_queries()["t32_model_quality_filter"](spark, SF_SMALL)
+    assert count_exchanges(df) == 0, count_exchanges(df)
