@@ -800,6 +800,28 @@ def ann_recall(
     )
 
 
+def _pq_subspaces(vec: Column, n_subspaces: int, sub: int) -> Column:
+    """Explode a vector into (s, v) sub-vector structs."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(vec, s * sub + 1, sub).alias("v"),
+                )
+                for s in range(n_subspaces)
+            ]
+        )
+    )
+
+
+def _d2_scaled(a: Column, b: Column) -> Column:
+    """Squared L2 via the proven diff->dot fold, integer-scaled to
+    1e-9 units so downstream sums are order-independent LONGs."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.round(dot(diff, diff) * 1e9, 0).cast("long")
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -836,23 +858,8 @@ def pq_adc_topk(
     tables broadcast against the codes.
     """
     sub = dim // n_subspaces
-
-    def subspaces(vec: Column) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(vec, s * sub + 1, sub).alias("v"),
-                    )
-                    for s in range(n_subspaces)
-                ]
-            )
-        )
-
-    def d2_scaled(a: Column, b: Column) -> Column:
-        diff = F.zip_with(a, b, lambda x, y: x - y)
-        return F.round(dot(diff, diff) * 1e9, 0).cast("long")
+    subspaces = lambda vec: _pq_subspaces(vec, n_subspaces, sub)  # noqa: E731
+    d2_scaled = _d2_scaled
 
     cb = (
         corpus.orderBy(id_col)
@@ -890,4 +897,131 @@ def pq_adc_topk(
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF+PQ ANN top-k — the production FAISS ``IVFx,PQy`` index
+    composed from this module's parts: a coarse inverted file (min-L2
+    assignment to ``n_cells`` centroids) prunes the corpus to
+    ``n_probe`` probed cells per query, and residual product
+    quantization (vector − its centroid, PQ-encoded) scores the
+    survivors from 1-byte codes via asymmetric distance, never
+    touching the original vectors at query time.
+
+    Deterministic, oracle-reproducible index (the v3/v11 recipe):
+    centroids = the ``n_cells`` lowest-id corpus vectors; shared PQ
+    codebook = residual sub-vectors of the ``n_codes`` lowest-id
+    vectors. Residuals are exact float subtractions; all distances go
+    through the diff→dot sequential fold and are integer-scaled
+    BEFORE any cross-subspace sum.
+
+    Scale shape: centroids + codebook broadcast (tiny); assignment and
+    encoding are broadcast joins with map-side-combined argmins; what
+    shuffles per vector is (cell, 8 codes) — ~9 longs; the ADC join
+    probes broadcast per-(query, cell) distance tables, touching only
+    probed cells' code rows. This is the layout that serves
+    billion-vector corpora: cells partition storage, codes compress
+    the scan, nothing corpus-sized is exchanged at query time.
+    """
+    sub = dim // n_subspaces
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("cid"), _as_double(vec_col).alias("c")
+        )
+    )
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2s", _d2_scaled(F.col("cv"), F.col("c")))
+        .groupBy("neighbor_id")
+        .agg(F.min_by("cid", F.struct("d2s", "cid")).alias("cell"))
+    )
+    resid = (
+        base.join(assigned, "neighbor_id")
+        .join(F.broadcast(cents.select(F.col("cid").alias("cell"), "c")), "cell")
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with("cv", "c", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    # shared residual codebook: lowest-id vectors' residuals
+    cb_sub = (
+        resid.orderBy("neighbor_id")
+        .limit(n_codes)
+        .select(
+            F.col("neighbor_id").cast("long").alias("code_id"),
+            _pq_subspaces(F.col("rv"), n_subspaces, sub).alias("p"),
+        )
+        .select("code_id", "p.s", F.col("p.v").alias("cw"))
+    )
+    codes = (
+        resid.select(
+            "neighbor_id", "cell", _pq_subspaces(F.col("rv"), n_subspaces, sub).alias("p")
+        )
+        .select("neighbor_id", "cell", "p.s", F.col("p.v").alias("vs"))
+        .join(F.broadcast(cb_sub), "s")
+        .withColumn("d2s", _d2_scaled(F.col("vs"), F.col("cw")))
+        .groupBy("neighbor_id", "cell", "s")
+        .agg(F.min_by("code_id", F.struct("d2s", "code_id")).alias("code_id"))
+    )
+    # query side: probe n_probe nearest cells, per-cell residual tables
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qd2", _d2_scaled(F.col("qv"), F.col("c")))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("qv", "c", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qtab = (
+        probes.select(
+            "query_id", "cell", _pq_subspaces(F.col("qr"), n_subspaces, sub).alias("p")
+        )
+        .select("query_id", "cell", "p.s", F.col("p.v").alias("qs"))
+        .join(F.broadcast(cb_sub), "s")
+        .select(
+            "query_id",
+            "cell",
+            "s",
+            "code_id",
+            _d2_scaled(F.col("qs"), F.col("cw")).alias("dq"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["cell", "s", "code_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_d2", F.col("rn").cast("int").alias("rn")
+        )
     )

@@ -2899,3 +2899,91 @@ FROM s
 )
 def t32_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.model_quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _v12_oracle() -> str:
+    d2_64 = (
+        "CAST(round(list_dot_product("
+        "list_transform(range(64), i -> {a}[i+1] - {b}[i+1]), "
+        "list_transform(range(64), i -> {a}[i+1] - {b}[i+1])) * 1e9) AS BIGINT)"
+    )
+    d2_8 = (
+        "CAST(round(list_dot_product("
+        "list_transform(range(8), i -> {a}[i+1] - {b}[i+1]), "
+        "list_transform(range(8), i -> {a}[i+1] - {b}[i+1])) * 1e9) AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+assigned AS (
+    SELECT neighbor_id, (min({{'d': d2s, 'c': cid}})).c AS cell
+    FROM (
+        SELECT e.vec_id AS neighbor_id, cents.cid,
+               {d2_64.format(a="e.v", b="cents.c")} AS d2s
+        FROM e, cents)
+    GROUP BY neighbor_id
+),
+resid AS (
+    SELECT a.neighbor_id, a.cell,
+           list_transform(range(64), i -> e.v[i+1] - ct.c[i+1]) AS rv
+    FROM assigned a
+    JOIN e ON e.vec_id = a.neighbor_id
+    JOIN cents ct ON ct.cid = a.cell
+),
+cb AS (SELECT neighbor_id AS code_id, rv FROM resid ORDER BY neighbor_id LIMIT 16),
+cbs AS (SELECT code_id, s, rv[s*8+1 : s*8+8] AS cw FROM cb, unnest(range(8)) u(s)),
+rsub AS (SELECT neighbor_id, cell, s, rv[s*8+1 : s*8+8] AS vs
+         FROM resid, unnest(range(8)) u(s)),
+codes AS (
+    SELECT neighbor_id, cell, s,
+           (min({{'d': {d2_8.format(a="vs", b="cw")}, 'c': code_id}})).c AS code_id
+    FROM rsub JOIN cbs USING (s)
+    GROUP BY neighbor_id, cell, s
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {_QUERY_IDS}),
+probes AS (
+    SELECT query_id, cid AS cell,
+           list_transform(range(64), i -> qv[i+1] - c[i+1]) AS qr
+    FROM (
+        SELECT q.query_id, cents.cid, cents.c, q.qv,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {d2_64.format(a="q.qv", b="cents.c")}, cents.cid) AS prn
+        FROM q, cents)
+    WHERE prn <= 2
+),
+qsub AS (SELECT query_id, cell, s, qr[s*8+1 : s*8+8] AS qs
+         FROM probes, unnest(range(8)) u(s)),
+qt AS (
+    SELECT query_id, cell, s, code_id, {d2_8.format(a="qs", b="cw")} AS dq
+    FROM qsub JOIN cbs USING (s)
+),
+adc AS (
+    SELECT query_id, neighbor_id, CAST(sum(dq) AS BIGINT) AS adc_d2
+    FROM codes JOIN qt USING (cell, s, code_id)
+    WHERE neighbor_id <> query_id
+    GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "v12_ivfpq_adc_topk",
+    oracle=_v12_oracle(),
+    doc="IVF+PQ ANN top-10 (operators/similarity.ivfpq_adc_topk) - the "
+    "production FAISS IVFx,PQy index composed from this engine's "
+    "parts: min-L2 coarse inverted file (8 cells, 2 probed per query) "
+    "prunes the corpus; residual product quantization (vector minus "
+    "its centroid, 8 one-byte codes from a shared 16-codeword "
+    "codebook) scores survivors via asymmetric distance without "
+    "touching original vectors at query time. Deterministic lowest-id "
+    "centroids + codebook make the whole index oracle-reproducible; "
+    "per-vector exchange payload is (cell, 8 codes) ~ 9 longs.",
+)
+def v12_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.ivfpq_adc_topk(emb, queries, k=10)

@@ -1287,3 +1287,70 @@ def test_round4_ops_empty_and_edge_inputs(spark):
     assert rows[2] is not None  # degrades to ':///'-ish canonical, no throw
     assert rows[3] == "https://ok.example/x"
     assert url_dedup(u).count() >= 2
+
+
+def test_ivfpq_lossless_degenerate_matches_exact(spark):
+    """n_cells=1 (no pruning) + n_codes=|corpus| (every residual its
+    own codeword) reduces IVF+PQ to exact search: the ADC ranking must
+    equal the exact squared-L2 ranking — pins the whole
+    assign/residual/encode/probe/ADC dataflow end-to-end."""
+    import math
+
+    import numpy as np
+
+    from kafka_flink_spark.operators.similarity import ivfpq_adc_topk
+
+    n = 24
+    rows = [(i, [math.sin(0.3 * i + 0.7 * d) for d in range(16)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    got = ivfpq_adc_topk(
+        emb, q, k=5, n_cells=1, n_probe=1, n_subspaces=4, n_codes=n, dim=16
+    ).collect()
+    vecs = {i: np.array(v) for i, v in rows}
+    d2 = sorted((float(((vecs[0] - vecs[i]) ** 2).sum()), i) for i in range(1, n))
+    assert [r.neighbor_id for r in got] == [i for _, i in d2[:5]]
+
+
+def test_ivfpq_probes_restrict_candidates(spark):
+    """With n_probe < n_cells, every returned neighbor must belong to
+    one of the query's probed cells (the pruning actually prunes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.similarity import ivfpq_adc_topk, _d2_scaled, _as_double
+
+    n = 60
+    rows = [(i, [math.cos(0.17 * i * (d + 1)) for d in range(16)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+    got = ivfpq_adc_topk(
+        emb, q, k=10, n_cells=6, n_probe=2, n_subspaces=4, n_codes=8, dim=16
+    )
+    # recompute assignment + probes with the same deterministic rules
+    cents = emb.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").cast("long").alias("cid"), _as_double("embedding").alias("c")
+    )
+    base = emb.select(F.col("vec_id").alias("nid"), _as_double("embedding").alias("v"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2s", _d2_scaled(F.col("v"), F.col("c")))
+        .groupBy("nid")
+        .agg(F.min_by("cid", F.struct("d2s", "cid")).alias("cell"))
+    )
+    cellmap = {r.nid: r.cell for r in assigned.collect()}
+    probed = sorted(
+        r.cell
+        for r in (
+            base.filter("nid = 1")
+            .crossJoin(F.broadcast(cents))
+            .withColumn("d2s", _d2_scaled(F.col("v"), F.col("c")))
+            .orderBy("d2s", "cid")
+            .limit(2)
+            .select(F.col("cid").alias("cell"))
+            .collect()
+        )
+    )
+    for r in got.collect():
+        assert cellmap[r.neighbor_id] in probed, (r.neighbor_id, cellmap[r.neighbor_id], probed)
