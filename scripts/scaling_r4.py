@@ -73,5 +73,29 @@ def main() -> None:
         print(f"vectors={n:>8,} wall={w:5.1f}s", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] != "extra"):
     main()
+
+
+def extra() -> None:
+    """Round-4b additions: IVF+PQ and the model-quality filter."""
+    spark = get_session("scaling-r4b")
+    from kafka_flink_spark.operators.similarity import ivfpq_adc_topk
+    from kafka_flink_spark.operators.text import model_quality_scores
+
+    print("== ivfpq_adc_topk (8 cells / 2 probed / 8x16 codes, 3 queries) ==")
+    for n in (50_000, 500_000):
+        emb = synth_vectors(spark, n)
+        q = emb.filter("vec_id < 3")
+        w = t(ivfpq_adc_topk(emb, q, k=10))
+        print(f"vectors={n:>8,} wall={w:5.1f}s", flush=True)
+
+    print("== model_quality_scores (Arrow-batched stub scorer) ==")
+    for n in (5_000, 50_000):
+        docs = synth_docs(spark, n)
+        w = t(model_quality_scores(docs))
+        print(f"docs={n:>7,} wall={w:5.1f}s", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "extra":
+    extra()
