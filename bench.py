@@ -78,6 +78,8 @@ R4_OPS = (
     "t31_bm25_scores",
     "v10_ann_recall_eval",
     "v11_pq_adc_topk",
+    "v12_ivfpq_adc_topk",
+    "t32_model_quality_filter",
     "w5_distribution_ranks",
 )
 
