@@ -615,3 +615,74 @@ def io13_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_corrupt"),
     )
     return p.unionByName(d)
+
+
+@register(
+    "io14_key_deletion_sweep",
+    oracle="""
+WITH dels AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+SELECT 'customer' AS tbl,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM customer WHERE c_custkey % 97 = 0) AS BIGINT)
+           AS n_deleted,
+       CAST((SELECT count(*) FROM customer WHERE c_custkey % 97 <> 0) AS BIGINT)
+           AS n_after,
+       CAST(0 AS BIGINT) AS residue
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE EXISTS (SELECT 1 FROM dels d
+                           WHERE d.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM dels d
+                               WHERE d.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST(0 AS BIGINT)
+""",
+    doc="Key-deletion sweep (the GDPR right-to-erasure lake "
+    "operation): a deletion list propagates across the subject table "
+    "AND every fact table referencing it - broadcast anti-joins "
+    "rewrite both tables to a new layout, then the query re-reads the "
+    "rewritten files and PROVES zero residue (a semi-join count "
+    "against the deletion list over the actual output files, not the "
+    "plan). At 100 TB the rewrite runs per partition-predicate slice "
+    "touching only partitions that contain deleted keys (a "
+    "partition-pruned scan of the deletion-key bloom, the j8 "
+    "machinery); the full-table rewrite here is the fixture-scale "
+    "form of the same plan.",
+)
+def io14_key_deletion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dels = c.filter("c_custkey % 97 = 0").select("c_custkey")
+    tmp = scratch_dir("gdpr_")
+
+    c_kept = c.join(F.broadcast(dels), "c_custkey", "left_anti")
+    o_kept = o.join(
+        F.broadcast(dels), o.o_custkey == dels.c_custkey, "left_anti"
+    )
+    c_kept.write.mode("overwrite").parquet(tmp + "/customer")
+    o_kept.write.mode("overwrite").parquet(tmp + "/orders")
+
+    c_back = spark.read.parquet(tmp + "/customer")
+    o_back = spark.read.parquet(tmp + "/orders")
+
+    def stats(tbl: str, before, back, key: str) -> DataFrame:
+        n_before = before.count()
+        n_after_col = F.count("*").cast("long")
+        residue = back.join(
+            F.broadcast(dels), back[key] == dels.c_custkey, "left_semi"
+        ).count()
+        return back.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(n_before).cast("long").alias("n_before"),
+            (F.lit(n_before) - n_after_col).cast("long").alias("n_deleted"),
+            n_after_col.alias("n_after"),
+            F.lit(residue).cast("long").alias("residue"),
+        )
+
+    return stats("customer", c, c_back, "c_custkey").unionByName(
+        stats("orders", o, o_back, "o_custkey")
+    )
