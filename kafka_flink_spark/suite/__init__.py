@@ -185,6 +185,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t32_model_quality_filter",
     "v12_ivfpq_adc_topk",
     "io14_key_deletion_sweep",
+    "sub4_not_in_null_semantics",
     # TPC-H relational tail (14 conventional shapes; lowest-risk in
     # the registry — spill to round 5)
     "s2_sort_null_ordering",

@@ -2478,3 +2478,58 @@ def w6_null_aware_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pyspark's F.lag has no ignorenulls kwarg; the SQL form does
         F.round(F.expr("lag(p) IGNORE NULLS").over(w_lag), 2).alias("prev_nn"),
     )
+
+
+@register(
+    "sub4_not_in_null_semantics",
+    oracle="""
+SELECT 'not_in_with_null' AS variant,
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN
+                   (SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                                ELSE o_custkey END
+                    FROM orders)) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'not_in_null_free',
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN
+                   (SELECT o_custkey FROM orders
+                    WHERE o_orderkey % 50 <> 0)) AS BIGINT)
+UNION ALL
+SELECT 'not_exists_equivalent',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+""",
+    doc="NOT IN three-valued-logic semantics - the classic SQL "
+    "correctness trap an engine must implement exactly: one NULL in "
+    "the subquery list makes every NOT IN row UNKNOWN, so the "
+    "with-null variant returns 0 rows while the null-free variant "
+    "returns the real complement, and NOT EXISTS (null-immune) gives "
+    "the intent. Catalyst plans NOT IN as null-aware anti join "
+    "(NAAJ); identical ANSI semantics on both engines.",
+)
+def sub4_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT 'not_in_with_null' AS variant,
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN
+                   (SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                                ELSE o_custkey END
+                    FROM orders)) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'not_in_null_free',
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey NOT IN
+                   (SELECT o_custkey FROM orders
+                    WHERE o_orderkey % 50 <> 0)) AS BIGINT)
+UNION ALL
+SELECT 'not_exists_equivalent',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+"""
+    )
