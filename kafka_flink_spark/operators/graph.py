@@ -60,6 +60,14 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank needs at least one node")
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    # Pin edges BEFORE deriving deg: out_e's one materialized plan
+    # otherwise embeds the caller's edge derivation TWICE (once under
+    # the deg aggregate, once as the join probe), and exchange reuse
+    # across those two consumers is not guaranteed — for a derived
+    # edge set (e.g. the co-purchase self-join + distinct) that means
+    # the dominant cost executes twice. One checkpoint bounds it to
+    # exactly one execution.
+    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # out-edges annotated with source degree, reused every round
     out_e = edges.join(deg, "src").localCheckpoint()
@@ -111,6 +119,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Pinned: e0 is referenced three times in the one plan the
+        # persist below materializes (twice under the degree union,
+        # once as the annotate probe); without this a caller-derived
+        # edge set (gr2's basket expansion + weight filter) executes
+        # per reference.
+        .localCheckpoint()
     )
     deg = (
         e0.select(F.col("a").alias("id"))

@@ -1278,7 +1278,7 @@ def bpe_encode_stats(
 
 def curriculum_order(
     df: DataFrame,
-    n_shards: int | None = None,
+    n_shards: int | str = 8,
     id_col: str = "doc_id",
     col: str = "text",
 ) -> DataFrame:
@@ -1295,17 +1295,20 @@ def curriculum_order(
     trivially small and broadcast back onto the corpus. The only
     corpus-sized exchange is the hash shuffle on (bin, shard).
 
-    ``n_shards`` defaults to the session's default parallelism (floor
-    8) so the per-shard row_number windows — the op's parallelism
-    ceiling at bins × shards partitions — scale with the cluster
-    instead of pinning at 32 tasks. Ranks are deterministic for a
-    FIXED n_shards; pass it explicitly when reproducibility across
-    differently-sized clusters matters.
+    ``n_shards`` defaults to 8 — a FIXED count, because ranks are a
+    function of n_shards and default-call output must be reproducible
+    across differently-sized clusters (curriculum order is training
+    metadata; silent cluster-dependence would poison restarts). Pass
+    ``n_shards="auto"`` to opt into parallelism-scaled shards (floor
+    8) when the per-shard row_number windows — the op's parallelism
+    ceiling at bins × shards partitions — should scale with the
+    cluster and cross-cluster reproducibility is not required.
     """
     from pyspark.sql.window import Window
 
-    if n_shards is None:
+    if n_shards == "auto":
         n_shards = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    n_shards = int(n_shards)
 
     q = quality_scores(df.select(id_col, col)).select(id_col, "quality_score")
     key = F.md5(F.concat(F.lit("curr:"), F.col(id_col).cast("string")))

@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+# '(=|$)' instead of '=': valueless tracking params ('?fbclid',
+# '?utm_source') must fold too, or recrawl variants stay distinct.
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
 
 def canonical_url(url: Column) -> Column:

@@ -90,84 +90,23 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1–3 covered
-# 138 unique names (135 green — see CORRECTNESS_r01/r02/r03.json and
-# VERDICT round 3). Round 4 leads with the 57 queries that have never
-# received a driver row: the g13 fix-verification rerun first (round-3
-# driver ERROR — raw array<double> output, now three scalar columns),
-# then the streaming late-data/interval-join block (the only
-# oracle-checkable surrogates for reference semantics W4/W6/W10), then
-# every round-3 operator addition grouped by family, then the six
-# round-4 operator additions (t28-t30, v10, w5, w26). The 14 TPC-H
-# relational shapes (``s2_sort_null_ordering`` through
-# ``q_waiting_suppliers`` below the 50-line) spill to round 5 — they
-# are the lowest-risk conventional shapes in the registry, exactly the
-# trade VERDICT r3 prescribed. All 50 are ALL-MATCH green under the local
-# bare-session driver simulation at sf0.01 (scripts/driver_sim.py,
-# round 4 — now with the strict raw-value canonicalizer probe that
-# catches the g13 failure class even on rows-only checks).
+# FIRST 50 queries in iteration order each round; rounds 1–4 covered
+# 187 unique names (182 full hash-green + 5 rows-only by design, 0
+# failing — see CORRECTNESS_r0{1..4}.json and VERDICT round 4). Round
+# 5 finishes the registry: the 32 queries that have never received a
+# driver row lead (every late-round-4 addition plus the TPC-H
+# relational tail the r4 budget line spilled), exactly the queue
+# VERDICT r4 task 1 prescribed. The ~18 spare slots re-attest the
+# five rows-only names (g7/g13/g16/t25/t26 — sketch/iterative ops
+# whose pinning is error-bound or pure-Python-reference pytest, plus
+# t26 which gained a frozen-merges oracle this round) and re-run the
+# queries whose code or oracle changed in round 5 (d3/d5 bucket_cap
+# pinned exact per ADVICE, gr1/gr2 edge-checkpoint perf fix, e11
+# oracle tie-break, t28 tracking-param regex widened) so their green
+# rows stay current.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # fix-verification rerun (r3 driver ERROR: raw array output)
-    "g13_approx_percentile_sketch",
-    # streaming late-data / interval-join semantics (W4/W6/W10)
-    "w21_stream_outer_interval_join",
-    "w22_stream_dedup_within_watermark",
-    "w23_stream_full_outer_interval_join",
-    "w24_stream_semi_join",
-    "w25_stream_corpus_ingest",
-    # LLM text ops (round-3 additions)
-    "t16_bpe_pair_counts",
-    "t17_cdc_chunk_dedup",
-    "t18_bigram_lm_score",
-    "t19_ngram_novelty",
-    "t20_inverted_index",
-    "t21_pmi_collocations",
-    "t22_stratified_exact_sample",
-    "t23_dup_substring_spans",
-    "t24_deterministic_shuffle",
-    "t25_bpe_train_merges",
-    "t26_bpe_encode_stats",
-    "t27_substring_dedup_rewrite",
-    # dedup / similarity / clustering / graph
-    "d9_incremental_dedup",
-    "v7_ann_knn_graph",
-    "v8_ivf_learned_topk",
-    "v9_random_projection",
-    "cl1_kmeans_profile",
-    "gr1_pagerank_copurchase",
-    "gr2_triangle_count",
-    # pipelines
-    "pipe4_quality_dedup_corpus",
-    "pipe5_curriculum_order",
-    "pipe6_temperature_mix",
-    # joins
-    "j8_bloom_prune_semi_join",
-    "j9_asof_join_forward",
-    "j10_range_join_binned",
-    "j11_fuzzy_name_match",
-    # events / relational / scalar additions
-    "e9_event_transitions",
-    "e10_daily_anomalies",
-    "g17_approx_top_k",
-    "g18_exact_percentiles",
-    "sc10_variant_functions",
-    "sc11_collation_group",
-    # io / UDF / multimodal
-    "io8_xml_roundtrip",
-    "io9_zorder_layout",
-    "io10_schema_evolution_merge",
-    "io11_dynamic_partition_overwrite",
-    "u9_arrow_python_udf",
-    "m7_real_media_probe",
-    # round-4 operator additions (registered + sim-verified this round)
-    "t28_url_dedup",
-    "t29_gopher_quality_rules",
-    "t30_winnowing_fingerprints",
-    "v10_ann_recall_eval",
-    "w5_distribution_ranks",
-    "w26_stream_topk_complete",
-    # ---- 50-query budget line (round 4) ----
-    # late-round-4 additions (sim-verified; lead round 5's rotation)
+    # ---- never driver-checked (32) ----
+    # late-round-4 additions, sim-verified in r4
     "t31_bm25_scores",
     "v11_pq_adc_topk",
     "io12_exactly_once_sink",
@@ -186,8 +125,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "v12_ivfpq_adc_topk",
     "io14_key_deletion_sweep",
     "sub4_not_in_null_semantics",
-    # TPC-H relational tail (14 conventional shapes; lowest-risk in
-    # the registry — spill to round 5)
+    # TPC-H relational tail (14 conventional shapes)
     "s2_sort_null_ordering",
     "sub3_lateral_topn",
     "r1_recursive_month_spine",
@@ -202,6 +140,23 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_supplier_part_counts",
     "q_dominant_suppliers",
     "q_waiting_suppliers",
+    # ---- rows-only re-attestation (t26 now oracle-paired) ----
+    "t26_bpe_encode_stats",
+    "g7_approx_distinct_sketch",
+    "g13_approx_percentile_sketch",
+    "g16_hll_sketch_union",
+    "t25_bpe_train_merges",
+    # ---- round-5 code/oracle changes: keep the green rows current ----
+    "d3_minhash_lsh_pairs",
+    "d5_simhash_near_pairs",
+    "gr1_pagerank_copurchase",
+    "gr2_triangle_count",
+    "pipe4_quality_dedup_corpus",
+    "t28_url_dedup",
+    "e10_daily_anomalies",
+    # round-5 operator additions
+    "gr3_connected_components",
+    # ---- 50-query budget line (round 5) ----
 )
 
 

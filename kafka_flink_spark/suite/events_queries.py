@@ -551,7 +551,7 @@ WITH g AS (
     FROM events
 ),
 marked AS (
-    SELECT user_id, ts, end_us,
+    SELECT user_id, ts, event_id, end_us,
            max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
     FROM g
@@ -560,7 +560,7 @@ sess AS (
     SELECT user_id, ts, end_us,
            sum(CASE WHEN prev_end_us IS NULL
                       OR epoch_us(ts) >= prev_end_us THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_id
     FROM marked
 )

@@ -241,10 +241,15 @@ WHERE len(list_intersect(sa, sb)) * 1.0 /
     doc="MinHash+LSH near-dup detection: 16 md5-salted permutations, "
     "8 bands × 2 rows, candidates verified with exact shingle Jaccard "
     "≥ 0.5. Signatures are per-row array expressions — no shuffle "
-    "until band-bucket join.",
+    "until band-bucket join. bucket_cap=None here: the DuckDB oracle "
+    "computes exact uncapped banding pairs, so the verification "
+    "contract must be exact at ANY scale factor; production callers "
+    "keep the default hot-bucket cap.",
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.5)
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.5, bucket_cap=None
+    )
 
 
 def _simhash_sig_sql() -> str:
@@ -296,11 +301,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     doc="SimHash near-dup pairs: chunk banding with the pigeonhole "
     "guarantee (7 disjoint chunks > max_hamming 6 ⇒ full recall), "
     "candidates verified with exact bit_count(xor) hamming ≤ 6; the "
-    "oracle is the brute-force all-pairs definition.",
+    "oracle is the brute-force all-pairs definition. bucket_cap=None "
+    "here so the full-recall pigeonhole contract vs the exact oracle "
+    "holds at any scale factor; production callers keep the cap.",
 )
 def d5_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=6
+        load_table(spark, sf_dir, "documents"), max_hamming=6, bucket_cap=None
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -2278,17 +2285,120 @@ def t24_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.deterministic_shuffle(load_table(spark, sf_dir, "documents"), n_shards=16)
 
 
+def _bpe_rounds_sql(num_merges: int) -> str:
+    """Unrolled-SQL BPE training rounds (the pagerank-oracle trick
+    applied to the tokenizer loop): the vocabulary is kept EXPLODED as
+    (word, freq, pos, sym) rows; each round counts adjacent pairs with
+    a lead() window, picks the argmax with the same (count DESC, l, r)
+    tie-break as the Spark TakeOrdered, and applies the greedy
+    leftmost-nonoverlapping merge with gaps-and-islands: merges can
+    only chain when left == right (otherwise adjacent matches are
+    impossible), and greedy scanning then takes exactly the
+    even-offset matches within each run of consecutive match
+    positions — so no sequential fold is needed, just windows."""
+    parts = [
+        """
+w0 AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) > 0 GROUP BY w
+),
+v0 AS MATERIALIZED (
+    SELECT w, freq, CAST(i AS BIGINT) AS pos, s[i] AS sym
+    FROM (SELECT w, freq, string_split(w, '') AS s,
+                 unnest(range(1, len(string_split(w, '')) + 1)) AS i
+          FROM w0)
+)"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""
+p{r} AS MATERIALIZED (
+    SELECT w, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+    FROM v{r - 1}
+),
+t{r} AS MATERIALIZED (
+    SELECT l, r, cnt, l || r AS m FROM (
+        SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ) ORDER BY cnt DESC, l, r LIMIT 1
+),
+tk{r} AS (
+    SELECT w, freq, pos, sym,
+           coalesce(mt AND ((pos - min(pos) OVER (PARTITION BY w, grp)) % 2 = 0),
+                    false) AS taken
+    FROM (
+        SELECT w, freq, pos, sym, mt,
+               CASE WHEN mt THEN pos - row_number()
+                    OVER (PARTITION BY w, mt ORDER BY pos) END AS grp
+        FROM (
+            SELECT p.w, p.freq, p.pos, p.sym,
+                   coalesce(p.sym = t.l AND p.nxt = t.r, false) AS mt
+            FROM p{r} p CROSS JOIN t{r} t
+        )
+    )
+),
+v{r} AS MATERIALIZED (
+    SELECT w, freq,
+           CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS pos,
+           CASE WHEN taken THEN (SELECT m FROM t{r}) ELSE sym END AS sym
+    FROM (
+        SELECT w, freq, pos, sym, taken,
+               coalesce(lag(taken) OVER (PARTITION BY w ORDER BY pos),
+                        false) AS prev_taken
+        FROM tk{r}
+    )
+    WHERE NOT prev_taken
+)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle(num_merges: int = 8) -> str:
+    winners = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS merge_rank, l AS "left", r AS "right", '
+        f"m AS merged, cnt AS pair_count FROM t{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return f"{_bpe_rounds_sql(num_merges)}\n{winners}"
+
+
+def _bpe_stats_oracle(num_merges: int = 8) -> str:
+    return f"""{_bpe_rounds_sql(num_merges)},
+pw AS (
+    SELECT w, freq, CAST(count(*) AS BIGINT) AS n_syms,
+           CAST(sum(length(sym)) AS BIGINT) AS n_chars
+    FROM v{num_merges} GROUP BY w, freq
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(freq) AS BIGINT) AS total_words,
+           CAST(sum(freq * n_chars) AS BIGINT) AS char_tokens,
+           CAST(sum(freq * n_syms) AS BIGINT) AS bpe_tokens
+    FROM pw
+),
+sy AS (SELECT CAST(count(DISTINCT sym) AS BIGINT) AS n_symbols FROM v{num_merges})
+SELECT CAST({num_merges} AS BIGINT) AS n_merges, n_distinct_words, total_words,
+       char_tokens, bpe_tokens, n_symbols,
+       round(char_tokens * 1.0 / bpe_tokens, 6) AS compression_ratio
+FROM tot, sy
+"""
+
+
 @register(
     "t25_bpe_train_merges",
-    oracle=None,  # iterative argmax loop — rows-only here; pytest
-    # (tests/test_llm_ops.py::TestTextRound3b) pins the full merge table against a
-    # pure-Python reference BPE trainer on the same fixture.
+    oracle=_bpe_merges_oracle(8),
     doc="Distributed BPE tokenizer training, full iterative merge loop "
     "(operators/text.bpe_train): one corpus pass for word frequencies, "
     "then 8 merge rounds over the Zipf-bounded distinct-word "
     "vocabulary — pair counts with map-side partials, TakeOrdered "
     "argmax, higher-order-fold merge application, zero driver "
-    "collects (the winning rule is broadcast-joined as columns).",
+    "collects (the winning rule is broadcast-joined as columns). "
+    "Round 5 closed the rows-only gap: the oracle unrolls all 8 "
+    "training rounds in SQL (gaps-and-islands greedy merge — no "
+    "sequential fold needed); pytest additionally pins the merge "
+    "table against a pure-Python reference trainer.",
 )
 def t25_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_train(load_table(spark, sf_dir, "documents"), num_merges=8)
@@ -2408,15 +2518,14 @@ def pipe6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t26_bpe_encode_stats",
-    oracle=None,  # depends on t25's iterative argmax loop — rows-only;
-    # pytest pins every field against the pure-Python reference
-    # trainer + encoder on the same fixture.
+    oracle=_bpe_stats_oracle(8),
     doc="BPE tokenizer ENCODE statistics (operators/text."
     "bpe_encode_stats): the 8 trained merges applied to the corpus — "
     "char-level vs BPE token counts, symbol inventory, compression "
     "ratio. Encoding runs over the Zipf-bounded distinct-word "
     "vocabulary, each word once weighted by frequency; the corpus is "
-    "scanned exactly once (word counts).",
+    "scanned exactly once (word counts). Oracle: the same unrolled-"
+    "SQL training rounds as t25, reduced to the encode statistics.",
 )
 def t26_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode_stats(load_table(spark, sf_dir, "documents"), num_merges=8)

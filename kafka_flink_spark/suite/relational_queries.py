@@ -1924,12 +1924,9 @@ def gr1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Edge build as an orderkey self-join (exchange reused across the
-    # two aliases). The groupBy + per-row basket-expansion alternative
-    # (used in gr2, where the edge set is persisted before reuse) loses
-    # HERE because pagerank consumes the un-checkpointed edge relation
-    # twice (degree pass + the annotate join) and the interpreted
-    # higher-order pair expansion would run per consumer — measured
-    # slower in situ despite a faster isolated build.
+    # two aliases). pagerank localCheckpoints the edge relation before
+    # deriving degrees, so this expensive self-join + distinct executes
+    # exactly once regardless of how many downstream consumers read it.
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
