@@ -478,9 +478,18 @@ def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MAD-floor for e10: with floor = 0 the rule is the classic
+# |n − median| > 3 · 1.4826 · MAD (any nonzero deviation flags when a
+# type's counts are majority-constant, i.e. MAD = 0). Deployments that
+# find that too noisy raise the floor — the SAME constant feeds the
+# Spark expression and the oracle SQL, so the verification contract
+# holds at any setting.
+E10_MAD_FLOOR = 0.0
+
+
 @register(
     "e10_daily_anomalies",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
     FROM events GROUP BY 1, 2
@@ -502,7 +511,8 @@ SELECT v.event_type, strftime(v.day, '%Y-%m-%d') AS day,
        CAST(v.n AS BIGINT) AS n,
        round(v.med, 6) AS med,
        round(m.mad, 6) AS mad,
-       CAST(v.adev > 3 * 1.4826 * m.mad AS BOOLEAN) AS is_anomaly
+       CAST(v.adev > greatest(3 * 1.4826 * m.mad, {E10_MAD_FLOOR}) AS BOOLEAN)
+           AS is_anomaly
 FROM dev v JOIN mad m ON v.event_type = m.event_type
 """,
     doc="Data-quality anomaly detection: per-type daily event counts "
@@ -510,12 +520,12 @@ FROM dev v JOIN mad m ON v.event_type = m.event_type
     "The corpus-sized pass is ONE map-side-partial count; both "
     "medians run over the days-by-types relation (tiny by contract), "
     "so 'exact median' costs nothing — the monitoring query every "
-    "ingest pipeline runs at 100 TB. Known semantic edge (kept "
-    "deliberately, matched by the oracle): when a type's daily counts "
-    "are majority-constant, MAD = 0 and ANY nonzero deviation flags "
-    "as an anomaly — noisy for low-variance types; production callers "
-    "wanting a floor should use "
-    "adev > greatest(3 * 1.4826 * mad, floor) on both sides.",
+    "ingest pipeline runs at 100 TB. Known semantic edge at the "
+    "default E10_MAD_FLOOR = 0: when a type's daily counts are "
+    "majority-constant, MAD = 0 and ANY nonzero deviation flags as "
+    "an anomaly — noisy for low-variance types; raising the module-"
+    "level floor feeds BOTH the Spark expression and the oracle, so "
+    "the contract holds at any setting.",
 )
 def e10_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -537,7 +547,10 @@ def e10_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("med", 6).alias("med"),
         F.round("mad", 6).alias("mad"),
-        (F.col("adev") > 3 * 1.4826 * F.col("mad")).alias("is_anomaly"),
+        (
+            F.col("adev")
+            > F.greatest(3 * 1.4826 * F.col("mad"), F.lit(E10_MAD_FLOOR))
+        ).alias("is_anomaly"),
     )
 
 

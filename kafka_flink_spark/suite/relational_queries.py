@@ -2046,6 +2046,77 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gr3_connected_components",
+    oracle="""
+WITH RECURSIVE co AS (
+    SELECT least(a.l_partkey, b.l_partkey) AS src,
+           greatest(a.l_partkey, b.l_partkey) AS dst,
+           count(*) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+e AS (SELECT DISTINCT src, dst FROM co WHERE w >= 2),
+ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+reach(a, b) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.a, ee.dst FROM reach r JOIN ee ON r.b = ee.src
+),
+comp AS (
+    SELECT a AS part_id, CAST(min(b) AS BIGINT) AS component_id
+    FROM reach GROUP BY a
+)
+SELECT part_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+           AS component_size
+FROM comp
+""",
+    doc="Weakly-connected components over the strong co-purchase "
+    "graph (parts co-ordered at least twice, gr2's edge set; parts "
+    "never co-ordered twice are singleton components) via the public "
+    "operators/graph.connected_components wrapper around the min-"
+    "label pointer-doubling core (operators/dedup.dedup_clusters): "
+    "O(log diameter) rounds, one edge join + min-aggregate each, "
+    "lineage cut per round. The most-requested graph primitive after "
+    "PageRank; iterative, so the oracle is a recursive CTE.",
+)
+def gr3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ps"),
+                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                        ),
+                        lambda s: s["src"] < s["dst"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    strong = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    cc = connected_components(nodes, strong, "id")
+    return cc.select(
+        F.col("id").alias("part_id"), "component_id", "component_size"
+    )
+
+
+@register(
     "j10_range_join_binned",
     oracle="""
 WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)

@@ -1,0 +1,124 @@
+"""Round-5 scale measurements.
+
+1. Streaming state BEYOND memory-resident: the round-4 state-scale
+   table stopped at 100k keys on the default HDFS-backed store (state
+   fully memory-resident). The actual 100 TB streaming question is
+   what happens when state exceeds heap — answered by the RocksDB
+   state-store provider (incremental checkpointing, spill-to-disk
+   native store). Same 400k-event OHLCV replay, HDFS vs RocksDB
+   provider at 100k and 1M distinct keys.
+
+2. gr1/gr2/gr3 graph-op re-measure after the round-5 edge
+   localCheckpoint fix (the co-purchase self-join now executes once).
+
+Usage: python scripts/scaling_r5.py [stream|graph]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+
+def stream_rate(spark, n_events: int, n_keys: int, provider: str, partitions: int = 8) -> int:
+    """Median-of-3 warm replay rate (ev/s) for the OHLCV stream at the
+    given key cardinality under the given state-store provider."""
+    from kafka_flink_spark.streaming.candles_stream import (
+        ohlcv_stream,
+        run_available_now,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scal_stream_")
+    try:
+        (
+            spark.range(n_events)
+            .select(
+                F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 30).alias("ts"),
+                F.concat(F.lit("P_"), F.col("id") % n_keys).alias("product"),
+                (F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 1).cast("double").alias("price"),
+                (F.pmod(F.col("id"), F.lit(100)) + 1).cast("long").alias("qty"),
+                F.col("id").alias("seq"),
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/src")
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_prov = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", HDFS
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+
+        def replay() -> None:
+            stream = spark.readStream.schema(
+                "ts timestamp, product string, price double, qty long, seq long"
+            ).parquet(f"{tmp}/src")
+            run_available_now(ohlcv_stream(stream, "1 minute"), "update").count()
+
+        replay()  # warm: engine init + provider class load
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            replay()
+            rates.append(int(n_events / (time.perf_counter() - t0)))
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
+        return sorted(rates)[1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stream_main() -> None:
+    from kafka_flink_spark.session import get_session
+
+    spark = get_session("scaling-r5-stream")
+    n = 400_000
+    for provider, label in ((HDFS, "hdfs"), (ROCKSDB, "rocksdb")):
+        for keys in (100_000, 1_000_000):
+            r = stream_rate(spark, n, keys, provider)
+            print(f"provider={label:8s} keys={keys:>9,} rate={r:>8,} ev/s", flush=True)
+    spark.stop()
+
+
+def graph_main() -> None:
+    from kafka_flink_spark.session import get_session
+    from kafka_flink_spark.suite import all_queries
+
+    spark = get_session("scaling-r5-graph")
+    qs = all_queries()
+    sf_dir = "/root/testdata/sf0.1"
+    for name in (
+        "gr1_pagerank_copurchase",
+        "gr2_triangle_count",
+        "gr3_connected_components",
+    ):
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 2))
+        print(f"{name}: runs={runs} median={sorted(runs)[1]}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
+    if mode == "stream":
+        stream_main()
+    elif mode == "graph":
+        graph_main()
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")

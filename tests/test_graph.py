@@ -49,3 +49,25 @@ def test_triangle_count_hand_graph(spark):
     assert row.n_nodes == 5
     assert row.n_edges == 7  # 6 K4 edges + pendant, dups collapsed
     assert row.n_triangles == 4
+
+
+def test_connected_components_hand_graph(spark):
+    """Two multi-node components (a chain and a pair, any edge
+    orientation) plus an isolated node: labels are the component-min
+    id, sizes count members, singletons label themselves."""
+    from kafka_flink_spark.operators.graph import connected_components
+
+    edges = [(1, 0), (1, 2), (2, 3), (5, 4)]  # chain 0-1-2-3, pair 4-5
+    nodes_df = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(nodes_df, edges_df, "id").collect()
+    got = {r.id: (r.component_id, r.component_size) for r in rows}
+    assert got == {
+        0: (0, 4),
+        1: (0, 4),
+        2: (0, 4),
+        3: (0, 4),
+        4: (4, 2),
+        5: (4, 2),
+        6: (6, 1),
+    }
