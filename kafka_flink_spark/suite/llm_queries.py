@@ -1850,14 +1850,23 @@ FROM doc_stats d JOIN chunk_stats c ON d.source = c.source
 def pipe4_quality_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sampled = X.hash_sample(docs, rates={}, default_rate=50, key_col="doc_id")
-    scores = X.bigram_lm_scores(sampled)
+    # scores (the full bigram-LM pass — pipe4's dominant stage) feeds
+    # BOTH the median broadcast and the keep-filter probe; without the
+    # persist the LM model build + scoring executes once per consumer.
+    # (doc_id, score) rows — corpus-count-sized, tiny payload.
+    scores = X.bigram_lm_scores(sampled).persist()
     med = scores.agg(F.expr("percentile(mean_lik_e9, 0.5)").alias("m"))
     keep = (
         scores.crossJoin(F.broadcast(med))
         .filter(F.col("mean_lik_e9") >= F.col("m"))
         .select("doc_id")
     )
-    keepers = sampled.join(keep, "doc_id").select("doc_id", "text", "source")
+    # keepers carries text into the CDC chunker AND projects (id,
+    # source) for the stats joins — pin it so the sample + keep join
+    # runs once, not per consumer.
+    keepers = (
+        sampled.join(keep, "doc_id").select("doc_id", "text", "source").persist()
+    )
     chunks = X.cdc_chunk_dedup(keepers, boundary_mod=32)
     src = keepers.select(F.col("doc_id").alias("keep_doc"), "source")
     chunk_stats = (
