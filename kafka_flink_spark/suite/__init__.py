@@ -156,6 +156,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e10_daily_anomalies",
     # round-5 operator additions
     "gr3_connected_components",
+    "e12_funnel_steps",
     # ---- 50-query budget line (round 5) ----
 )
 

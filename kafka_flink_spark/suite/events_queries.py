@@ -612,3 +612,85 @@ def e11_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "e12_funnel_steps",
+    oracle="""
+WITH base AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+    FROM events e JOIN base b ON e.user_id = b.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > b.v_us
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+    GROUP BY e.user_id
+)
+SELECT b.user_id,
+       CAST(CASE WHEN p.p_us IS NOT NULL THEN 3
+                 WHEN c.c_us IS NOT NULL THEN 2
+                 WHEN b.v_us IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage_reached,
+       CAST(c.c_us - b.v_us AS BIGINT) AS us_view_to_click,
+       CAST(p.p_us - c.c_us AS BIGINT) AS us_click_to_purchase
+FROM base b
+LEFT JOIN c ON b.user_id = c.user_id
+LEFT JOIN p ON p.user_id = c.user_id
+""",
+    doc="STRICT sequential funnel (view -> click -> purchase): per "
+    "user, the stage reached and exact step latencies, where each "
+    "step's event must be the first one AFTER the previous step's "
+    "event — the MATCH_RECOGNIZE shape. Distinct from e2_funnel, "
+    "which counts on each step's GLOBAL first occurrence (the loose "
+    "funnel): a click that precedes the first view advances e2 but "
+    "not e12, and only e12 yields per-step conversion latencies. "
+    "Expressed with three user-keyed conditional aggregations. Scale "
+    "join and groupBy keys on user_id, so after the first exchange "
+    "the stages are co-partitioned (no re-shuffle); the funnel "
+    "relations are user-count-sized, orders smaller than the event "
+    "log. All step arithmetic in integer epoch-MICROSECONDS on both "
+    "engines — no float or timestamp-format portability surface.",
+)
+def e12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    us = F.unix_micros("ts")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(base, "user_id")
+        .filter(us > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("c_us"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(us > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p_us"))
+    )
+    return (
+        base.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_us").isNotNull(), 3)
+            .when(F.col("c_us").isNotNull(), 2)
+            .when(F.col("v_us").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("stage_reached"),
+            (F.col("c_us") - F.col("v_us")).cast("long").alias("us_view_to_click"),
+            (F.col("p_us") - F.col("c_us")).cast("long").alias("us_click_to_purchase"),
+        )
+    )
