@@ -1607,3 +1607,55 @@ def model_quality_scores(df: DataFrame, col: str = "text", id_col: str = "doc_id
             yield out
 
     return df.select(id_col, col).mapInPandas(score_batches, out_schema)
+
+
+WPS_U_MOD = 1 << 30  # 30-bit uniform keeps w * SCALE inside int64
+WPS_SCALE = 10**9
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    q_i = w_i / u_i with u_i uniform, and the sample is the top-k
+    priorities — inclusion probability grows with weight w_i, and the
+    scheme supports unbiased subset-sum estimation via the (k+1)-th
+    priority as threshold. The mixture-builder's weighted cousin of
+    ``hash_sample``: sample documents proportional to length/quality
+    instead of per-stratum rates.
+
+    Engine-portable determinism (the t22/t24 discipline): u_i is an
+    md5-derived 30-bit integer, and the priority is computed as the
+    exact INTEGER ``(w * 10^9) div (u + 1)`` — no RNG state, no float
+    anywhere, bit-identical on any engine or partitioning. Weight =
+    whitespace token count (the training-data default: sampling
+    proportional to tokens yields token-uniform corpora).
+
+    Scale shape: the weight+priority pass is a narrow zero-shuffle
+    projection; top-k uses orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows) — no global sort, no single-partition window.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wps:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % WPS_U_MOD
+    )
+    w = F.size(F.filter(F.split(F.col(col), " "), lambda t: t != ""))
+    scored = df.select(
+        F.col(id_col),
+        w.cast("long").alias("n_tokens"),
+        u.alias("_u"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"(n_tokens * {WPS_SCALE}) div (_u + 1)").cast("long").alias("priority"),
+    )
+    return scored.orderBy(F.desc("priority"), id_col).limit(k)

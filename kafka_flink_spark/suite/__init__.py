@@ -157,6 +157,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 operator additions
     "gr3_connected_components",
     "e12_funnel_steps",
+    "t33_weighted_priority_sample",
     # ---- 50-query budget line (round 5) ----
 )
 

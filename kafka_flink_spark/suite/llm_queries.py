@@ -3105,3 +3105,31 @@ def v12_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.ivfpq_adc_topk(emb, queries, k=10)
+
+
+@register(
+    "t33_weighted_priority_sample",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           {_md5l("'wps:' || CAST(doc_id AS VARCHAR)")} % {X.WPS_U_MOD} AS u
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((n_tokens * {X.WPS_SCALE}) // (u + 1) AS BIGINT) AS priority
+FROM scored
+ORDER BY priority DESC, doc_id
+LIMIT 50
+""",
+    doc="Priority sampling (Duffield-Lund-Thorup): top-k priorities "
+    "q_i = w_i/u_i with md5-derived uniforms, weight = token count — "
+    "the weighted cousin of hash_sample (t4's stratified rates) for "
+    "sampling documents proportional to length. Priorities are exact "
+    "integers ((w * 1e9) div (u+1)), so the sample is bit-identical "
+    "across engines; Spark plans the top-k as TakeOrderedAndProject "
+    "(per-partition heaps), never a global sort.",
+)
+def t33_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.weighted_priority_sample(load_table(spark, sf_dir, "documents"), k=50)

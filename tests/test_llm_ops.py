@@ -1354,3 +1354,30 @@ def test_ivfpq_probes_restrict_candidates(spark):
     )
     for r in got.collect():
         assert cellmap[r.neighbor_id] in probed, (r.neighbor_id, cellmap[r.neighbor_id], probed)
+
+
+def test_weighted_priority_sample_formula_and_topk(spark):
+    """Priorities equal the exact integer formula (w * 1e9) div (u+1)
+    with u = md5-60bit('wps:'+id) % 2^30, and the returned rows are
+    exactly the k largest by (priority, id)-order."""
+    import hashlib
+
+    from kafka_flink_spark.operators.text import (
+        WPS_SCALE,
+        WPS_U_MOD,
+        weighted_priority_sample,
+    )
+
+    rows = [(i, " ".join(["tok"] * (1 + (i * 7) % 23))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = weighted_priority_sample(df, k=10).collect()
+
+    def prio(i, ntok):
+        u = int(hashlib.md5(f"wps:{i}".encode()).hexdigest()[:15], 16) % WPS_U_MOD
+        return (ntok * WPS_SCALE) // (u + 1)
+
+    want = sorted(
+        ((prio(i, 1 + (i * 7) % 23), i, 1 + (i * 7) % 23) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r.priority, r.doc_id, r.n_tokens) for r in got] == want
