@@ -628,3 +628,14 @@ def test_model_quality_filter_no_shuffle(spark):
     (the model-inference stage must never cost a shuffle)."""
     df = spark_queries()["t32_model_quality_filter"](spark, SF_SMALL)
     assert count_exchanges(df) == 0, count_exchanges(df)
+
+
+def test_weighted_priority_sample_topk_no_global_sort(spark):
+    """t33: the weighted-sample top-k must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    never a global Sort — the difference between O(k) driver memory
+    and a full corpus sort at 100 TB."""
+    df = spark_queries()["t33_weighted_priority_sample"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "Sort " not in plan, plan[:1200]
