@@ -11,7 +11,7 @@
 2. gr1/gr2/gr3 graph-op re-measure after the round-5 edge
    localCheckpoint fix (the co-purchase self-join now executes once).
 
-Usage: python scripts/scaling_r5.py [stream|graph]
+Usage: python scripts/scaling_r5.py [stream|graph|ops]
 """
 
 from __future__ import annotations
@@ -114,11 +114,66 @@ def graph_main() -> None:
     spark.stop()
 
 
+def ops_main() -> None:
+    """1x/10x rows for the late round-5 operators (e12 funnel, t33
+    weighted sample)."""
+    from kafka_flink_spark.session import get_session
+    from kafka_flink_spark.operators.text import weighted_priority_sample
+    from scaling_r3 import synth_docs, t
+
+    spark = get_session("scaling-r5-ops")
+
+    def synth_events(n: int, n_users: int):
+        typ = F.element_at(
+            F.array(*[F.lit(x) for x in ("view", "click", "signup", "purchase", "error")]),
+            (F.pmod(F.xxhash64("id"), F.lit(5)) + 1).cast("int"),
+        )
+        return spark.range(n).select(
+            (F.col("id") % n_users).alias("user_id"),
+            typ.alias("event_type"),
+            F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 13).alias("ts"),
+        )
+
+    def funnel(ev):
+        us = F.unix_micros("ts")
+        base = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", us)).alias("v_us")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .join(base, "user_id")
+            .filter(us > F.col("v_us"))
+            .groupBy("user_id")
+            .agg(F.min(us).alias("c_us"))
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(clicks, "user_id")
+            .filter(us > F.col("c_us"))
+            .groupBy("user_id")
+            .agg(F.min(us).alias("p_us"))
+        )
+        return base.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+
+    print("== e12 funnel (events 1M -> 10M, users = n/50) ==")
+    for n in (1_000_000, 10_000_000):
+        w = t(funnel(synth_events(n, n // 50)))
+        print(f"events={n:>11,} wall={w:5.1f}s", flush=True)
+
+    print("== t33 weighted_priority_sample (docs 50k -> 500k) ==")
+    for n in (50_000, 500_000):
+        w = t(weighted_priority_sample(synth_docs(spark, n), k=50))
+        print(f"docs={n:>8,} wall={w:5.1f}s", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     if mode == "stream":
         stream_main()
     elif mode == "graph":
         graph_main()
+    elif mode == "ops":
+        ops_main()
     else:
         raise SystemExit(f"unknown mode {mode!r}")

@@ -325,3 +325,53 @@ def test_asof_forward_matches_bruteforce(spark, left, right):
             continue  # same-instant right ties: convention pinned elsewhere
         expected = float(min(cands)[1]) if cands else None
         assert got[i] == expected, (i, k, t, got[i], expected)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy, extra_nodes=st.integers(min_value=1, max_value=6))
+@SET
+def test_connected_components_matches_union_find(spark, edges, extra_nodes):
+    """connected_components == pure-Python union-find on random graphs
+    (self-loops, duplicate/reversed edges, isolated nodes): labels are
+    the component-min id, sizes count members."""
+    from kafka_flink_spark.operators.graph import connected_components
+
+    node_ids = sorted(
+        {n for e in edges for n in e} | {100 + i for i in range(extra_nodes)}
+    )
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in node_ids}
+    sizes = defaultdict(int)
+    for c in comp.values():
+        sizes[c] += 1
+    want = {n: (comp[n], sizes[comp[n]]) for n in node_ids}
+
+    nodes_df = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        edges_df = edges_df.filter(F.lit(False))
+    rows = connected_components(nodes_df, edges_df, "id").collect()
+    got = {r.id: (r.component_id, r.component_size) for r in rows}
+    assert got == want
