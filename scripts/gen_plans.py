@@ -107,6 +107,14 @@ SHOWCASE = (
         "carry (doc_id, pos, token/hash) — the raw text column appears in "
         "no exchange. Interval merge reuses the per-doc sort.",
     ),
+    (
+        "t33_weighted_priority_sample",
+        "Weighted priority sampling: the priority computation is a narrow "
+        "zero-shuffle projection fused with the scan, and the top-k plans "
+        "as TakeOrderedAndProject — per-partition k-row heaps merged on "
+        "the driver, never a global Sort (plan-gated). O(k) driver "
+        "memory at any corpus size.",
+    ),
 )
 
 
