@@ -158,7 +158,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gr3_connected_components",
     "e12_funnel_steps",
     "t33_weighted_priority_sample",
-    # ---- 50-query budget line (round 5) ----
+    # round-5 one-pass/persist rewrites (semantics-identical; re-earn rows)
+    "pipe1_document_pipeline",
+    "pipe2_training_mix",
+    "pipe7_web_corpus_pipeline",
+    # ---- 50-query budget line (round 5): exactly 50 names ----
 )
 
 

@@ -568,14 +568,21 @@ GROUP BY source
     "with the scan, dedup is a semi join on doc_id.",
 )
 def pipe1_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     good = X.quality_scores(docs).filter(F.col("quality_score") >= 0.5)
-    keep = (
-        good.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
+    # Exact dedup as ONE window over the quality survivors instead of
+    # the groupBy + semi-join pair: the old shape consumed `good` from
+    # two plan positions, re-running the quality regex pass per
+    # consumer (the round-5 multi-consumer lesson). One fp-keyed
+    # shuffle, one corpus pass, identical keep-min-doc semantics.
+    fp_min = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
     )
-    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    survivors = good.withColumn("_min_id", fp_min).filter(
+        F.col("doc_id") == F.col("_min_id")
+    )
     return survivors.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
@@ -837,12 +844,17 @@ def pipe2_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = sampled.withColumn("n_words", F.size(X.tokens("text"))).filter(
         F.col("n_words") >= 20
     )
-    keep = (
-        good.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
+    # same one-pass window dedup as pipe1 (multi-consumer lesson)
+    from pyspark.sql.window import Window
+
+    fp_min = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
     )
-    survivors = good.join(keep.select("doc_id"), "doc_id", "left_semi")
+    survivors = (
+        good.withColumn("_min_id", fp_min)
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
     packed = X.pack_documents(survivors, capacity=4096, num_shards=8)
     return (
         packed.groupBy("shard")
@@ -2966,11 +2978,17 @@ def pipe7_web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_url = docs.select("doc_id", _url_synth_col().alias("url"))
     url_kept = url_dedup(with_url).select(F.col("keep_id").alias("doc_id"))
-    survivors = docs.join(url_kept, "doc_id")
+    # survivors feeds the Gopher pass AND the enrich join; quality
+    # feeds the content-dedup aggregate AND the final join — pin both
+    # so the url_dedup groupBy and the rule battery execute once per
+    # pipeline run, not once per consumer (round-5 multi-consumer
+    # lesson; both relations are doc-sized).
+    survivors = docs.join(url_kept, "doc_id").persist()
     quality = (
         X.gopher_quality_rules(survivors)
         .filter("keep")
         .join(survivors.select("doc_id", "source", "text"), "doc_id")
+        .persist()
     )
     content_kept = (
         quality.select(
