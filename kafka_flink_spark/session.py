@@ -162,7 +162,11 @@ def cluster_conf(
       overhead, small enough to ride out stragglers.
     * RocksDB state store: streaming state (candles, dedup, joins)
       spills to local disk instead of heap; changelog checkpointing
-      makes commits incremental.
+      makes commits incremental. Measured (SCALING.md round 5): a
+      flat ~20-25% throughput toll vs the memory-resident HDFS store,
+      constant from 100k to 1M keys — safe to enable ahead of need,
+      which is why it is the cluster default here while local tests
+      keep the faster HDFS store.
     * Kryo + compressed shuffle are the standard wire-efficiency knobs.
     """
     total_cores = executors * cores_per_executor
