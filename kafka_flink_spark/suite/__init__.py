@@ -158,11 +158,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gr3_connected_components",
     "e12_funnel_steps",
     "t33_weighted_priority_sample",
-    # round-5 one-pass/persist rewrites (semantics-identical; re-earn rows)
+    # round-5 one-pass/persist rewrites (semantics-identical; re-earn
+    # rows; pipe7's rewrite is covered by its entry in the
+    # never-checked block above)
     "pipe1_document_pipeline",
     "pipe2_training_mix",
-    "pipe7_web_corpus_pipeline",
-    # ---- 50-query budget line (round 5): exactly 50 names ----
+    # ---- 50-query budget line (round 5): 49 names + 1 registry-order
+    # flagship re-attest fill the driver's 50 ----
 )
 
 
