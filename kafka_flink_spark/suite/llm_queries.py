@@ -898,7 +898,12 @@ FROM reach GROUP BY a
 )
 def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
+    # bucket_cap=None: the recursive-CTE oracle clusters the EXACT
+    # brute-force pair set, so the verification contract must stay
+    # exact at any scale factor (same reasoning as d3/d5).
+    pairs = D.simhash_near_pairs(docs, max_hamming=6, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
     return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 
@@ -1429,7 +1434,12 @@ GROUP BY 1
 )
 def pipe3_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_pairs(docs, max_hamming=6).select("doc_a", "doc_b")
+    # bucket_cap=None: the recursive-CTE oracle clusters the EXACT
+    # brute-force pair set, so the verification contract must stay
+    # exact at any scale factor (same reasoning as d3/d5).
+    pairs = D.simhash_near_pairs(docs, max_hamming=6, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
     clusters = D.dedup_clusters(docs.select("doc_id"), pairs)
     bucket = (
         D._md5_long_expr(
