@@ -688,24 +688,29 @@ def dedup_clusters(
         parent = propagated.select(
             F.col(id_col).alias("_pid"), F.col("cluster_id").alias("_pcluster")
         )
+        # The previous round's label rides along into the ONE
+        # materialized plan, so the convergence check below is a
+        # shuffle-free filter+count over checkpointed rows instead of
+        # a per-round join job — at local-mode job overhead (~0.5 s a
+        # job) that join was a third of the whole operator's wall.
         new_labels = (
             propagated.join(parent, propagated.cluster_id == F.col("_pid"), "left")
+            .join(
+                labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
+                id_col,
+            )
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("_pcluster"), F.col("cluster_id")).alias("cluster_id"),
+                "_old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             break
-    return labels
+    return labels.select(id_col, "cluster_id")
 
 
 def incremental_dedup(

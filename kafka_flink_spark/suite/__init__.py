@@ -140,15 +140,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_supplier_part_counts",
     "q_dominant_suppliers",
     "q_waiting_suppliers",
-    # ---- rows-only re-attestation (t26 now oracle-paired) ----
+    # ---- rows-only re-attestation (t25/t26 now oracle-paired; the
+    # unchanged g7/g16 sketches keep their earlier rows) ----
     "t26_bpe_encode_stats",
-    "g7_approx_distinct_sketch",
     "g13_approx_percentile_sketch",
-    "g16_hll_sketch_union",
     "t25_bpe_train_merges",
     # ---- round-5 code/oracle changes: keep the green rows current ----
     "d3_minhash_lsh_pairs",
     "d5_simhash_near_pairs",
+    "d7_dedup_clusters",
+    "pipe3_leakage_safe_split",
     "gr1_pagerank_copurchase",
     "gr2_triangle_count",
     "pipe4_quality_dedup_corpus",
