@@ -83,6 +83,15 @@ R4_OPS = (
     "w5_distribution_ranks",
 )
 
+# Round-5 additions, timed as a fifth section.
+R5_OPS = (
+    "gr3_connected_components",
+    "e12_funnel_steps",
+    "t33_weighted_priority_sample",
+    "d7_dedup_clusters",
+    "pipe7_web_corpus_pipeline",
+)
+
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -152,6 +161,9 @@ def main() -> None:
     r4_timings = _time_section(
         spark, qs, sf_dir, [n for n in R4_OPS if n in qs], spread
     )
+    r5_timings = _time_section(
+        spark, qs, sf_dir, [n for n in R5_OPS if n in qs], spread
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -168,6 +180,8 @@ def main() -> None:
                 "extra_total": round(sum(extra_timings.values()), 3),
                 "r4_queries": r4_timings,
                 "r4_total": round(sum(r4_timings.values()), 3),
+                "r5_queries": r5_timings,
+                "r5_total": round(sum(r5_timings.values()), 3),
                 "reps_per_query": REPS,
                 "spread_min_max": spread,
                 "streaming_ohlcv_ev_per_s": _streaming_rate(spark),

@@ -639,3 +639,13 @@ def test_weighted_priority_sample_topk_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     assert "Sort " not in plan, plan[:1200]
+
+
+def test_funnel_steps_bounded_exchanges(spark):
+    """e12: three user-keyed conditional aggregations — the plan must
+    stay at ≤5 user-keyed exchanges (one per event-branch shuffle plus
+    assembly); a regression to per-consumer recompute or a stray
+    repartition would push it past that."""
+    df = spark_queries()["e12_funnel_steps"](spark, SF_SMALL)
+    n = count_exchanges(df)
+    assert n <= 5, n
