@@ -157,10 +157,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     tris = wedges.join(
         e3, (F.col("wb") == F.col("e3.src")) & (F.col("wc") == F.col("e3.dst"))
     )
+    # broadcast hints: each side is a 1-row global aggregate, but a
+    # fresh aggregate has no size stats at planning time — without the
+    # hint Spark can plan a CartesianProduct instead of the 1-row
+    # broadcast nested loop.
     return (
         deg.agg(F.count("*").cast("long").alias("n_nodes"))
-        .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
-        .crossJoin(tris.agg(F.count("*").cast("long").alias("n_triangles")))
+        .crossJoin(F.broadcast(e.agg(F.count("*").cast("long").alias("n_edges"))))
+        .crossJoin(
+            F.broadcast(tris.agg(F.count("*").cast("long").alias("n_triangles")))
+        )
     )
 
 

@@ -1261,7 +1261,7 @@ def bpe_encode_stats(
         .agg(F.count_distinct("sym").cast("long").alias("n_symbols"))
     )
     return (
-        totals.crossJoin(symbols)
+        totals.crossJoin(F.broadcast(symbols))
         .select(
             F.lit(num_merges).cast("long").alias("n_merges"),
             "n_distinct_words",
