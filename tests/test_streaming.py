@@ -945,3 +945,29 @@ def test_exactly_once_sink_idempotent_and_resumable(spark, tmp_path):
     run_idempotent_parquet_sink(pipeline(), out, ckpt2)
     again = spark.read.parquet(out)
     assert sorted(r.id for r in again.select("id").collect()) == ids1
+
+
+def test_rocksdb_state_store_parity(spark):
+    """The RocksDB state-store provider (the cluster_conf default for
+    state ≫ heap; SCALING.md round 5) must produce byte-identical
+    results to the default HDFS-backed store — state-store choice is
+    an operational knob, never a semantics one."""
+    import pytest
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf_key, None)
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    try:
+        spark.conf.set(conf_key, rocksdb)
+        out = _fmt(run_available_now(ohlcv_stream(trades, "1 hour"), "update"))
+    except Exception as exc:  # pragma: no cover - env without RocksDB jni
+        pytest.skip(f"RocksDB provider unavailable: {type(exc).__name__}")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    assert_frames_match(out, _batch_candles_pdf(spark), "rocksdb_parity")
