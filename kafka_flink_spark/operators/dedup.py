@@ -680,6 +680,7 @@ def dedup_clusters(
     labels = ids.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
+    init_labels = labels
     for _ in range(max_iterations):
         neighbor = edges.join(labels, edges.dst == labels[id_col]).select(
             F.col("src").alias(id_col), "cluster_id"
@@ -698,11 +699,17 @@ def dedup_clusters(
         # shuffle-free filter+count over checkpointed rows instead of
         # a per-round join job — at local-mode job overhead (~0.5 s a
         # job) that join was a third of the whole operator's wall.
+        # LEFT join: edge endpoints absent from ``ids`` enter the
+        # label relation as RELAY nodes (they carry connectivity
+        # between listed nodes; an inner join here would sever any
+        # path through them). A relay's first appearance has no _old
+        # — it counts as changed via the null-safe comparison.
         new_labels = (
             propagated.join(parent, propagated.cluster_id == F.col("_pid"), "left")
             .join(
                 labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
                 id_col,
+                "left",
             )
             .select(
                 F.col(id_col),
@@ -711,11 +718,19 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        changed = new_labels.filter(
+            ~F.col("cluster_id").eqNullSafe(F.col("_old"))
+        ).count()
         labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             break
-    return labels.select(id_col, "cluster_id")
+    # Relay nodes served their purpose inside the loop; the contract
+    # is one row per REQUESTED id (semi-join against the checkpointed
+    # initial labels, not ``ids``, so a derived id relation is not
+    # re-executed here).
+    return labels.join(init_labels.select(id_col), id_col, "left_semi").select(
+        id_col, "cluster_id"
+    )
 
 
 def incremental_dedup(

@@ -176,10 +176,14 @@ def connected_components(
     id_col: str = "id",
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Weakly-connected components: every node gets a ``component_id``
-    = the smallest node id reachable through the (undirected) edge set
-    (columns ``src``/``dst``, any orientation; isolated nodes are their
-    own component) plus the component's size. The most-requested graph
+    """Weakly-connected components: every node in ``nodes`` gets a
+    ``component_id`` = the smallest LISTED node id reachable through
+    the (undirected) edge set (columns ``src``/``dst``, any
+    orientation; isolated nodes are their own component) plus the
+    component's size (count of listed members). Edge endpoints absent
+    from ``nodes`` act as RELAYS: connectivity propagates through
+    them, but they get no output row and their ids are not component
+    labels. The most-requested graph
     primitive after PageRank — the public face of the min-label
     pointer-doubling core that near-dup clustering (d7) already runs:
     O(log diameter) rounds, each one edge-keyed join + min-aggregate,

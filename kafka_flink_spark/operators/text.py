@@ -1306,9 +1306,14 @@ def curriculum_order(
     """
     from pyspark.sql.window import Window
 
-    if n_shards == "auto":
+    # None is accepted as an alias for "auto" (the round-4 spelling of
+    # parallelism-scaled shards) so existing callers don't break.
+    if n_shards in ("auto", None):
         n_shards = max(8, df.sparkSession.sparkContext.defaultParallelism)
-    n_shards = int(n_shards)
+    elif not isinstance(n_shards, int):
+        raise ValueError(
+            f"n_shards must be an int, 'auto', or None (got {n_shards!r})"
+        )
 
     q = quality_scores(df.select(id_col, col)).select(id_col, "quality_score")
     key = F.md5(F.concat(F.lit("curr:"), F.col(id_col).cast("string")))
@@ -1648,7 +1653,11 @@ def weighted_priority_sample(
         ).cast("long")
         % WPS_U_MOD
     )
-    w = F.size(F.filter(F.split(F.col(col), " "), lambda t: t != ""))
+    # regexp_count of non-space runs == count of non-empty whitespace
+    # tokens, entirely in codegen — an F.filter lambda here would run
+    # interpreted per document on the operator's only corpus-sized
+    # pass (the t23 lesson).
+    w = F.regexp_count(F.col(col), F.lit("[^ ]+"))
     scored = df.select(
         F.col(id_col),
         w.cast("long").alias("n_tokens"),

@@ -1875,7 +1875,10 @@ def pipe4_quality_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores (the full bigram-LM pass — pipe4's dominant stage) feeds
     # BOTH the median broadcast and the keep-filter probe; without the
     # persist the LM model build + scoring executes once per consumer.
-    # (doc_id, score) rows — corpus-count-sized, tiny payload.
+    # (doc_id, score) rows — corpus-count-sized, tiny payload. Cache
+    # lifecycle is the session's: callers running many pipelines in
+    # one long-lived session should clearCache()/unpersist between
+    # runs (the bench and driver both do).
     scores = X.bigram_lm_scores(sampled).persist()
     med = scores.agg(F.expr("percentile(mean_lik_e9, 0.5)").alias("m"))
     keep = (
@@ -2364,9 +2367,13 @@ tk{r} AS (
                CASE WHEN mt THEN pos - row_number()
                     OVER (PARTITION BY w, mt ORDER BY pos) END AS grp
         FROM (
+            -- LEFT join on true, not CROSS: if merge candidates are
+            -- exhausted before round {r} (t{r} empty), a cross join
+            -- would empty the vocabulary; left keeps it unchanged,
+            -- matching the Spark side's left broadcast join.
             SELECT p.w, p.freq, p.pos, p.sym,
                    coalesce(p.sym = t.l AND p.nxt = t.r, false) AS mt
-            FROM p{r} p CROSS JOIN t{r} t
+            FROM p{r} p LEFT JOIN t{r} t ON true
         )
     )
 ),

@@ -40,6 +40,7 @@ def stream_rate(spark, n_events: int, n_keys: int, provider: str, partitions: in
     )
 
     tmp = tempfile.mkdtemp(prefix="scal_stream_")
+    prev_parts = prev_prov = None
     try:
         (
             spark.range(n_events)
@@ -73,10 +74,15 @@ def stream_rate(spark, n_events: int, n_keys: int, provider: str, partitions: in
             t0 = time.perf_counter()
             replay()
             rates.append(int(n_events / (time.perf_counter() - t0)))
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
         return sorted(rates)[1]
     finally:
+        # conf restore in the finally: a throwing replay (e.g. missing
+        # RocksDB native lib) must not leave the session pinned to
+        # this run's partitions/provider and corrupt later rows.
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_prov is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -71,3 +71,18 @@ def test_connected_components_hand_graph(spark):
         5: (4, 2),
         6: (6, 1),
     }
+
+
+def test_connected_components_relay_nodes(spark):
+    """Edge endpoints absent from the node list are RELAYS: listed
+    nodes connected only through them still merge, relays get no
+    output row, and labels are the smallest LISTED id."""
+    from kafka_flink_spark.operators.graph import connected_components
+
+    # 1-2-3 chain where 2 is unlisted; 5-4 pair where 4 is unlisted
+    # and smaller than every listed member of its component
+    nodes_df = spark.createDataFrame([(1,), (3,), (5,), (9,)], "id long")
+    edges_df = spark.createDataFrame([(1, 2), (2, 3), (5, 4)], "src long, dst long")
+    rows = connected_components(nodes_df, edges_df, "id").collect()
+    got = {r.id: (r.component_id, r.component_size) for r in rows}
+    assert got == {1: (1, 2), 3: (1, 2), 5: (5, 1), 9: (9, 1)}

@@ -964,7 +964,16 @@ def test_rocksdb_state_store_parity(spark):
         spark.conf.set(conf_key, rocksdb)
         out = _fmt(run_available_now(ohlcv_stream(trades, "1 hour"), "update"))
     except Exception as exc:  # pragma: no cover - env without RocksDB jni
-        pytest.skip(f"RocksDB provider unavailable: {type(exc).__name__}")
+        # Skip ONLY provider-load failures (missing class / native
+        # lib); any other exception on the RocksDB path is exactly the
+        # regression this test exists to catch — let it FAIL.
+        msg = f"{type(exc).__name__}: {exc}"
+        if any(
+            s in msg
+            for s in ("ClassNotFound", "NoClassDefFound", "UnsatisfiedLink")
+        ):
+            pytest.skip(f"RocksDB provider unavailable: {type(exc).__name__}")
+        raise
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
