@@ -980,3 +980,58 @@ def test_rocksdb_state_store_parity(spark):
         else:
             spark.conf.set(conf_key, prev)
     assert_frames_match(out, _batch_candles_pdf(spark), "rocksdb_parity")
+
+
+def test_jdbc_sink_to_embedded_derby(spark, tmp_path):
+    """K4 end to end against a REAL database: windowed candles stream
+    through the foreachBatch JDBC sink into an in-memory Derby DB
+    (embedded driver ships with Spark), then read back via JDBC and
+    compared to the batch answer for the watermark-closed windows —
+    the same equivalence the w12 append test pins, but through the
+    RDBMS round-trip the reference only left as a commented Postgres
+    placeholder."""
+    from kafka_flink_spark.sources.kafka_io import jdbc_sink
+
+    url = "jdbc:derby:memory:k4test;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    candles = ohlcv_stream(trades, "1 hour").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "product",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+    q = jdbc_sink(candles, url, "candles", str(tmp_path / "ckpt"), properties=props)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.read.jdbc(url, "candles", properties=props)
+        .toPandas()
+        .rename(columns=str.lower)
+    )
+    batch = _batch_candles_pdf(spark)
+    max_ws = batch["window_start"].max()
+    expected = batch[batch["window_start"] < max_ws].reset_index(drop=True)
+    assert_frames_match(got, expected, "k4_jdbc_derby")
+
+
+def test_console_sink_smoke(spark):
+    """K3: the console sink (reference ``.print()``) starts, drains an
+    availableNow replay, and stops cleanly — the wrapper is exercised
+    end to end, not just constructed."""
+    from kafka_flink_spark.sources.kafka_io import console_sink
+
+    trades = stream_trades_from_fixture(spark, SF_SMALL)
+    q = console_sink(ohlcv_stream(trades, "1 hour"), output_mode="update", num_rows=5)
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+    finally:
+        q.stop()
