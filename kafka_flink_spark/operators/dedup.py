@@ -681,6 +681,7 @@ def dedup_clusters(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
     init_labels = labels
+    n_ids = init_labels.count()
     for _ in range(max_iterations):
         neighbor = edges.join(labels, edges.dst == labels[id_col]).select(
             F.col("src").alias(id_col), "cluster_id"
@@ -725,9 +726,12 @@ def dedup_clusters(
         if changed == 0:
             break
     # Relay nodes served their purpose inside the loop; the contract
-    # is one row per REQUESTED id (semi-join against the checkpointed
-    # initial labels, not ``ids``, so a derived id relation is not
-    # re-executed here).
+    # is one row per REQUESTED id. The semi-join runs only when relays
+    # actually appeared (label rows > requested ids) — in the common
+    # nodes ⊇ endpoints case both counts are cheap scans of
+    # checkpointed data and the join job is skipped entirely.
+    if labels.count() == n_ids:
+        return labels.select(id_col, "cluster_id")
     return labels.join(init_labels.select(id_col), id_col, "left_semi").select(
         id_col, "cluster_id"
     )
