@@ -11,7 +11,7 @@
 2. gr1/gr2/gr3 graph-op re-measure after the round-5 edge
    localCheckpoint fix (the co-purchase self-join now executes once).
 
-Usage: python scripts/scaling_r5.py [stream|graph|ops]
+Usage: python scripts/scaling_r5.py [stream|graph|ops|wcc]
 """
 
 from __future__ import annotations
@@ -173,6 +173,39 @@ def ops_main() -> None:
     spark.stop()
 
 
+def wcc_main() -> None:
+    """Pointer-doubling convergence evidence: worst-case CHAIN graphs
+    (diameter = n-1) must converge in ~log2(n) label rounds, not n —
+    the difference between 17 rounds and 100k rounds at the 100 TB
+    diameter regime. Also a 1M-edge random graph for the typical case."""
+    from kafka_flink_spark.operators.graph import connected_components
+    from kafka_flink_spark.session import get_session
+
+    spark = get_session("scaling-r5-wcc")
+    for n in (10_000, 100_000):
+        nodes = spark.range(n).select(F.col("id"))
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        t0 = time.perf_counter()
+        out = connected_components(nodes, chain, "id", max_iterations=25)
+        n_comp = out.select("component_id").distinct().count()
+        w = time.perf_counter() - t0
+        print(f"chain n={n:>8,} wall={w:5.1f}s components={n_comp} (expect 1)", flush=True)
+    n, m = 200_000, 1_000_000
+    nodes = spark.range(n).select(F.col("id"))
+    rand = spark.range(m).select(
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n)).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    out = connected_components(nodes, rand, "id")
+    n_comp = out.select("component_id").distinct().count()
+    w = time.perf_counter() - t0
+    print(f"random n={n:,} m={m:,} wall={w:5.1f}s components={n_comp}", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "stream"
     if mode == "stream":
@@ -181,5 +214,7 @@ if __name__ == "__main__":
         graph_main()
     elif mode == "ops":
         ops_main()
+    elif mode == "wcc":
+        wcc_main()
     else:
         raise SystemExit(f"unknown mode {mode!r}")
