@@ -143,7 +143,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- rows-only re-attestation (t25/t26 now oracle-paired; the
     # unchanged g7/g16 sketches keep their earlier rows) ----
     "t26_bpe_encode_stats",
-    "g13_approx_percentile_sketch",
     "t25_bpe_train_merges",
     # ---- round-5 code/oracle changes: keep the green rows current ----
     "d3_minhash_lsh_pairs",
@@ -164,8 +163,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # never-checked block above)
     "pipe1_document_pipeline",
     "pipe2_training_mix",
-    # ---- 50-query budget line (round 5): 49 names + 1 registry-order
-    # flagship re-attest fill the driver's 50 ----
+    # round-5 tail additions (bucketed co-located join; salted skew
+    # join). g13's re-attest slot went to io15 — its rows-only row
+    # from r4 stands and neither its code nor check strength changed.
+    "io15_bucketed_colocated_join",
+    "j12_salted_skew_join",
+    # ---- 50-query budget line (round 5): exactly 50 names ----
 )
 
 

@@ -686,3 +686,64 @@ def io14_key_deletion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats("customer", c, c_back, "c_custkey").unionByName(
         stats("orders", o, o_back, "o_custkey")
     )
+
+
+@register(
+    "io15_bucketed_colocated_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Bucketed co-located join: orders and lineitem written as "
+    "bucketed tables (bucketBy(8, orderkey).sortBy(orderkey)), then "
+    "sort-merge-joined WITHOUT A SHUFFLE — both scans emit the "
+    "bucket-hash partitioning the join requires, so the only "
+    "Exchange in the whole plan is the final 5-row priority rollup "
+    "(gated in tests/test_plans.py). This is the canonical 100 TB "
+    "fact-to-fact technique: the shuffle is paid ONCE at write time "
+    "and amortized over every subsequent join/aggregation on the "
+    "bucket key; a nightly-joined pair of 50 TB tables never "
+    "re-exchanges. Bucket count is chosen at write time for target "
+    "task size (8 here for fixture scale; thousands at 100 TB) and "
+    "sortBy makes each bucket file merge-ready so the join needs no "
+    "per-task sort either.",
+)
+def io15_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _bucketed_orders_lineitem(spark, sf_dir)
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both fixtures as bucketed tables and return the
+    exchange-free sort-merge join (the pre-aggregation relation, so
+    the plan gate can assert on the join alone)."""
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    base = scratch_dir("io15_bucketed_")
+    for name, df, key in (
+        ("io15_orders_bkt", o, "o_orderkey"),
+        ("io15_lineitem_bkt", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    ob = spark.table("io15_orders_bkt")
+    lb = spark.table("io15_lineitem_bkt")
+    # merge hint: keep the sort-merge strategy even where the fixture
+    # side is small enough to broadcast — the co-location is the point.
+    return ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)

@@ -2601,3 +2601,43 @@ SELECT 'not_exists_equivalent',
                                WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
 """
     )
+
+
+@register(
+    "j12_salted_skew_join",
+    oracle="""
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+    doc="Explicitly salted skew join (operators/skew.py): the fact "
+    "side carries a deterministic xxhash64 row salt, the dimension "
+    "side replicates once per salt value, and the join key becomes "
+    "(key, salt) — a formerly-hot reducer key fans out over "
+    "num_salts evenly-loaded ones. Semantically identical to the "
+    "plain equi-join (this oracle), which is the point: salting is a "
+    "physical rewrite, not a semantic one. At 100 TB this is the "
+    "tool for the skew AQE splitting can't fix — every split of a "
+    "hot partition still joins the FULL matching build side, whereas "
+    "the salt spreads the probe rows themselves. Deterministic salt "
+    "(hash of row content, never rand()) keeps retried/speculated "
+    "tasks exactly-once.",
+)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="l_suppkey", num_salts=8)
+    return joined.groupBy(F.col("s_nationkey").cast("long").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -649,3 +649,19 @@ def test_funnel_steps_bounded_exchanges(spark):
     df = spark_queries()["e12_funnel_steps"](spark, SF_SMALL)
     n = count_exchanges(df)
     assert n <= 5, n
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """io15: both sides read from bucketed tables (bucketBy(8, key))
+    — the sort-merge join consumes the bucket partitioning directly,
+    so the JOIN subplan has ZERO exchanges (write-time shuffle,
+    amortized over every later join on the key), and the full query's
+    only exchange is the final 5-row priority rollup."""
+    from kafka_flink_spark.suite.io_queries import _bucketed_orders_lineitem
+
+    joined = _bucketed_orders_lineitem(spark, SF_SMALL)
+    assert count_exchanges(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()[:3000]
+    assert "SortMergeJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+    full = spark_queries()["io15_bucketed_colocated_join"](spark, SF_SMALL)
+    assert count_exchanges(full) == 1, count_exchanges(full)
