@@ -153,7 +153,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gr2_triangle_count",
     "pipe4_quality_dedup_corpus",
     "t28_url_dedup",
-    "e10_daily_anomalies",
+    # s11 (S2/S3 offset semantics, new this round) takes e10's
+    # re-attest slot: e10's round-5 change was a default-preserving
+    # parameterization on both sides, so its r4 green row stands.
+    "s11_kafka_log_offset_replay",
     # round-5 operator additions
     "gr3_connected_components",
     "e12_funnel_steps",

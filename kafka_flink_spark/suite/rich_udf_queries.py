@@ -391,3 +391,56 @@ def u9_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return f"{name.upper()}#{nationkey}"
 
     return s.select("s_suppkey", tag("s_name", "s_nationkey").alias("tag"))
+
+
+_KAFKA_LOG_ORACLE = """
+SELECT seq AS offset,
+       seq,
+       1700000000000 + seq AS ts_ms,
+       'Instrument_' || CAST(CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 100 AS VARCHAR)
+           AS instrument_id,
+       'Product_' || CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 2000 AS VARCHAR)
+           AS product,
+       (CAST(('0x' || substr(h, 13, 8)) AS BIGINT) % 999000) / 1000.0 + 1.0 AS price,
+       CAST(('0x' || substr(h, 21, 4)) AS BIGINT) % 100 + 1 AS qty
+FROM (SELECT seq, md5('trade:' || CAST(seq AS VARCHAR)) AS h
+      FROM range(10000) t(seq))
+WHERE seq >= 2500
+"""
+
+
+@register(
+    "s11_kafka_log_offset_replay",
+    oracle=_KAFKA_LOG_ORACLE,
+    doc="S2/S3 start-position semantics made executable without a "
+    "broker (sources/kafka_log.py): a 10k-record JSON trade log in "
+    "sealed base-offset-named segments (what a single-partition topic "
+    "fed by the reference's old/gen.py producer holds; position "
+    "control old/kfk.py:64) is batch-read FROM OFFSET 2500, one "
+    "input split per overlapping segment, and the wire envelope "
+    "decoded via from_json — bit-exact against the md5 generator "
+    "recipe regenerated in SQL. The streaming form (earliest/latest "
+    "first-start, checkpoint-beats-start-position, offset-range "
+    "replay) is pinned in tests/test_kafka_log.py.",
+)
+def s11_kafka_log_offset_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+    from kafka_flink_spark.sources.kafka_log import register_kafka_log, write_trade_log
+
+    register_kafka_log(spark)
+    log = scratch_dir("s11_kafka_log_") + "/topic"
+    write_trade_log(log, 10_000, segment_rows=2500)
+    wire = (
+        spark.read.format("kafka_log")
+        .option("path", log)
+        .option("startingOffset", "2500")
+        .load()
+    )
+    return wire.select(
+        "offset",
+        F.from_json(
+            "value",
+            "seq long, ts_ms long, instrument_id string, "
+            "product string, price double, qty long",
+        ).alias("r"),
+    ).select("offset", "r.*")

@@ -1,0 +1,150 @@
+"""S2/S3 start-position semantics, executed for real against the
+file-backed Kafka-shaped log (sources/kafka_log.py): earliest reads
+the whole log, latest skips what exists at first start and picks up
+only post-start appends, checkpoints win over the start position on
+restart, and batch offset-range reads replay bit-exactly."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_flink_spark.sources.kafka_log import (
+    append_segment,
+    end_offset,
+    register_kafka_log,
+    write_trade_log,
+)
+
+
+def _append_json(path: str, lo: int, hi: int) -> None:
+    append_segment(
+        path, [json.dumps({"n": i}, separators=(",", ":")) for i in range(lo, hi)]
+    )
+
+
+def _run_available_now(spark, path: str, ckpt: str, out: str, starting: str) -> None:
+    stream = (
+        spark.readStream.format("kafka_log")
+        .option("path", path)
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+    def write_batch(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_earliest_reads_whole_log_and_offsets_are_global(spark):
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_") as tmp:
+        log, ckpt, out = f"{tmp}/log", f"{tmp}/ckpt", f"{tmp}/out"
+        _append_json(log, 0, 10)
+        _append_json(log, 10, 15)
+        assert end_offset(log) == 15
+
+        _run_available_now(spark, log, ckpt, out, "earliest")
+        rows = sorted(
+            spark.read.parquet(out).select("offset", "value").collect(),
+            key=lambda r: r.offset,
+        )
+        assert [r.offset for r in rows] == list(range(15))
+        assert json.loads(rows[12].value) == {"n": 12}
+
+
+def test_latest_skips_existing_then_reads_only_appends(spark):
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_") as tmp:
+        log, ckpt, out = f"{tmp}/log", f"{tmp}/ckpt", f"{tmp}/out"
+        _append_json(log, 0, 10)
+
+        # First start with latest: the 10 pre-existing records are
+        # skipped — nothing to read, no output files.
+        _run_available_now(spark, log, ckpt, out, "latest")
+        import os
+
+        if os.path.isdir(out):  # batch 0 may write an empty part file
+            n = spark.read.schema("offset long, value string").parquet(out).count()
+            assert n == 0, "latest must not read pre-existing records"
+
+        # Append after the stream has established its start position;
+        # restart from the SAME checkpoint: only the appends arrive
+        # (the checkpointed offset wins — Kafka-connector contract).
+        _append_json(log, 10, 14)
+        _run_available_now(spark, log, ckpt, out, "latest")
+        offs = sorted(r.offset for r in spark.read.parquet(out).collect())
+        assert offs == [10, 11, 12, 13]
+
+
+def test_checkpoint_beats_start_position_on_restart(spark):
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_") as tmp:
+        log, ckpt, out = f"{tmp}/log", f"{tmp}/ckpt", f"{tmp}/out"
+        _append_json(log, 0, 6)
+        _run_available_now(spark, log, ckpt, out, "earliest")
+        _append_json(log, 6, 9)
+        # Restart configured latest — but the checkpoint holds offset 6,
+        # so the 3 appended records (not 0) arrive exactly once.
+        _run_available_now(spark, log, ckpt, out, "latest")
+        offs = sorted(r.offset for r in spark.read.parquet(out).collect())
+        assert offs == list(range(9))
+
+
+def test_batch_offset_range_read_is_exact(spark):
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_") as tmp:
+        log = f"{tmp}/log"
+        for base in range(0, 20, 4):  # 5 segments of 4
+            _append_json(log, base, base + 4)
+
+        df = (
+            spark.read.format("kafka_log")
+            .option("path", log)
+            .option("startingOffset", "3")
+            .option("endingOffset", "17")
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: r.offset)
+        assert [r.offset for r in rows] == list(range(3, 17))
+        assert [json.loads(r.value)["n"] for r in rows] == list(range(3, 17))
+        # planning: one split per overlapping segment (offsets 3..16
+        # touch segments 0,4,8,12,16 → 5 splits)
+        assert df.rdd.getNumPartitions() == 5
+
+
+def test_trade_log_roundtrips_generator_recipe(spark):
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_") as tmp:
+        log = f"{tmp}/log"
+        write_trade_log(log, 100, segment_rows=30)
+        assert end_offset(log) == 100
+
+        df = (
+            spark.read.format("kafka_log")
+            .option("path", log)
+            .load()
+            .select(
+                "offset",
+                F.from_json(
+                    "value",
+                    "seq long, ts_ms long, instrument_id string, "
+                    "product string, price double, qty long",
+                ).alias("r"),
+            )
+        )
+        rows = df.select("offset", "r.*").orderBy("offset").collect()
+        from kafka_flink_spark.sources.trade_gen import trade_row
+
+        for r in rows:
+            assert r.offset == r.seq
+            assert tuple(r)[1:] == trade_row(r.seq, 2000, 100)
