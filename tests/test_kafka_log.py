@@ -148,3 +148,59 @@ def test_trade_log_roundtrips_generator_recipe(spark):
         for r in rows:
             assert r.offset == r.seq
             assert tuple(r)[1:] == trade_row(r.seq, 2000, 100)
+
+
+def test_e2e_producer_log_to_streaming_ohlcv(spark):
+    """The reference's flagship pipeline end-to-end, broker-free:
+    producer log (old/gen.py recipe) → JSON envelope decode
+    (JsonRowDeserializationSchema) → watermarked tumbling OHLCV
+    (3_ohlc.py) — and the streamed candles equal the batch candles
+    over the same records (the Structured Streaming equivalence)."""
+    from pyspark.sql import types as T
+
+    from kafka_flink_spark.operators.candles import ohlcv
+    from kafka_flink_spark.sources.kafka_io import decode_json_envelope
+    from kafka_flink_spark.streaming.candles_stream import (
+        ohlcv_stream,
+        run_available_now,
+    )
+
+    wire_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("instrument_id", T.StringType()),
+            T.StructField("product", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+
+    def to_trades(wire):
+        return decode_json_envelope(wire, wire_schema).select(
+            F.timestamp_millis("ts_ms").alias("ts"), "product", "price", "qty", "seq"
+        )
+
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_e2e_") as tmp:
+        log = f"{tmp}/topic"
+        write_trade_log(log, 3000, segment_rows=1000)
+
+        stream = (
+            spark.readStream.format("kafka_log")
+            .option("path", log)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        streamed = run_available_now(
+            ohlcv_stream(to_trades(stream), "1 minute"), "update"
+        )
+
+        batch_wire = spark.read.format("kafka_log").option("path", log).load()
+        expected = ohlcv(to_trades(batch_wire), "1 minute", seq_col="seq")
+
+        key = lambda r: (r.window_start, r.product)
+        got = sorted(streamed.collect(), key=key)
+        want = sorted(expected.collect(), key=key)
+        assert len(got) == len(want) > 0
+        assert got == want
