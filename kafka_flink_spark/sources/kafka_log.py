@@ -1,35 +1,43 @@
 """File-backed Kafka-shaped log source with real start-position
-semantics (SURVEY.md §2.1 S2/S3).
+semantics (SURVEY.md §2.1 S1/S2/S3).
 
 The sandbox has no broker, so ``kafka_io.kafka_json_source``'s
 ``startingOffsets`` remained a structural option shim — passed through
 to the Kafka connector but never *executed*. This module makes the
-semantics executable and testable without a broker: a "topic" is a
-directory of append-only JSONL segment files (one record per line,
-named ``segment-<start_offset>.jsonl`` with the global offset of their
-first record zero-padded in the name, exactly how a broker's log
-segments carry their base offset), and a Spark 4 Python DataSource
-reads it as ``(offset long, value string)`` — the Kafka wire shape —
-in batch (explicit offset ranges) or streaming (``earliest`` /
-``latest`` start positions, checkpointed micro-batch offsets,
-bit-exact replay of any offset range because the log IS its own
-write-ahead log).
+semantics executable and testable without a broker. A "topic" is a
+directory of append-only JSONL segment files (one record per line),
+either flat (a single partition) or Kafka-partitioned::
+
+    topic/partition=0/segment-00000000000000000000.jsonl
+    topic/partition=1/segment-00000000000000002500.jsonl
+
+Segments are named by the global offset of their FIRST record
+(zero-padded, exactly how a broker's log segments carry their base
+offset), so planning needs to line-count only each partition's TAIL
+segment — earlier segments' extents are implied by their successors'
+bases. The source reads ``(partition int, offset long, value string)``
+— the Kafka wire shape — in batch (explicit offset ranges) or
+streaming (``earliest``/``latest`` start positions, checkpointed
+per-partition offsets, bit-exact replay of any offset range because
+the log IS its own write-ahead log).
 
 Semantics mirrored from the reference's consumer configuration
 (``old/kfk.py:64`` start-position control; ``3_ohlc.py:32-36``):
 
-* ``earliest`` — first stream start reads from offset 0;
-* ``latest`` — first stream start begins at the CURRENT end of the
-  log: records already present are skipped, records appended after
+* ``earliest`` — first stream start reads every partition from 0;
+* ``latest`` — first stream start begins at each partition's CURRENT
+  end: records already present are skipped, records appended after
   the stream starts are read. On restart from a checkpoint the stored
-  offset wins, as with the real Kafka connector.
+  offsets win, as with the real Kafka connector. A partition that
+  appears after start is read from 0 (new-partition discovery).
 
-Scale notes: segment base offsets live in file names, so planning
-needs to line-count only the TAIL segment (the writer seals earlier
-segments); batch reads plan one input partition per segment —
-parallelism tracks segment count like Kafka parallelism tracks topic
-partitions. Paths must be on shared storage for a multi-executor
-cluster (same contract as every file source).
+Scale design: the streaming reader is the FULL ``DataSourceStreamReader``
+API — offsets are per-partition dicts, ``partitions(start, end)``
+plans one input split per topic-partition per micro-batch, and
+``read`` executes ON EXECUTORS, so streaming ingest parallelism
+tracks partition count exactly like the Kafka connector's. Batch
+reads additionally split per segment. Paths must be on shared storage
+for a multi-executor cluster (same contract as every file source).
 """
 
 from __future__ import annotations
@@ -40,30 +48,43 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
-KAFKA_LOG_SCHEMA = "offset long, value string"
+KAFKA_LOG_SCHEMA = "partition int, offset long, value string"
 
 _SEG_PREFIX = "segment-"
 _SEG_SUFFIX = ".jsonl"
 _SEG_DIGITS = 20
+_PART_PREFIX = "partition="
 
 
 def _segment_name(base_offset: int) -> str:
     return f"{_SEG_PREFIX}{base_offset:0{_SEG_DIGITS}d}{_SEG_SUFFIX}"
 
 
-def _segments(path: str) -> list[tuple[int, str]]:
+def _segments(part_dir: str) -> list[tuple[int, str]]:
     """(base_offset, absolute_path) per segment, offset-ordered."""
     out = []
-    for name in os.listdir(path):
+    for name in os.listdir(part_dir):
         if name.startswith(_SEG_PREFIX) and name.endswith(_SEG_SUFFIX):
             base = int(name[len(_SEG_PREFIX) : -len(_SEG_SUFFIX)])
-            out.append((base, os.path.join(path, name)))
+            out.append((base, os.path.join(part_dir, name)))
     out.sort()
     return out
+
+
+def _partition_dirs(path: str) -> list[tuple[int, str]]:
+    """(partition_id, dir) pairs; a flat topic is partition 0."""
+    parts = [
+        (int(name[len(_PART_PREFIX) :]), os.path.join(path, name))
+        for name in os.listdir(path)
+        if name.startswith(_PART_PREFIX)
+    ]
+    if parts:
+        return sorted(parts)
+    return [(0, path)]
 
 
 def _count_lines(file_path: str) -> int:
@@ -71,23 +92,24 @@ def _count_lines(file_path: str) -> int:
         return sum(1 for _ in f)
 
 
-def end_offset(path: str) -> int:
-    """One past the last record: tail segment's base + its line count
-    (earlier segments' extents are implied by their successors' bases)."""
-    segs = _segments(path)
+def end_offset(part_dir: str) -> int:
+    """One past a partition's last record: tail segment's base + its
+    line count (the only line-count planning ever needs)."""
+    segs = _segments(part_dir)
     if not segs:
         return 0
     base, tail = segs[-1]
     return base + _count_lines(tail)
 
 
-def append_segment(path: str, values: list[str]) -> int:
+def append_segment(part_dir: str, values: list[str]) -> int:
     """Producer-side helper (the test harness's broker stand-in): seal
-    ``values`` as the next segment; returns its base offset. Writes to
-    a temp name then renames — readers never observe a partial file."""
-    os.makedirs(path, exist_ok=True)
-    base = end_offset(path)
-    final = os.path.join(path, _segment_name(base))
+    ``values`` as the partition's next segment; returns its base
+    offset. Writes to a temp name then renames — readers never observe
+    a partial file."""
+    os.makedirs(part_dir, exist_ok=True)
+    base = end_offset(part_dir)
+    final = os.path.join(part_dir, _segment_name(base))
     tmp = final + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         for v in values:
@@ -97,11 +119,25 @@ def append_segment(path: str, values: list[str]) -> int:
     return base
 
 
+def _read_range(pid: int, part_dir: str, lo: int, hi: int):
+    """Yield (partition, offset, value) for offsets in [lo, hi)."""
+    for base, file_path in _segments(part_dir):
+        if base >= hi:
+            break
+        with open(file_path, encoding="utf-8") as f:
+            for offset, line in enumerate(f, start=base):
+                if offset >= hi:
+                    break
+                if offset >= lo:
+                    yield (pid, offset, line.rstrip("\n"))
+
+
 class KafkaLogDataSource(DataSource):
     """``spark.read.format("kafka_log")`` / ``spark.readStream...``.
 
-    Options: ``path`` (required), batch ``startingOffset`` /
-    ``endingOffset`` (global record offsets; default 0 / log end),
+    Options: ``path`` (required); batch ``startingOffset`` /
+    ``endingOffset`` — a single offset applied per partition, or a
+    JSON dict ``{"0": 2500, ...}`` (default 0 / partition end);
     streaming ``startingOffsets`` = ``earliest`` (default) | ``latest``.
     """
 
@@ -115,47 +151,67 @@ class KafkaLogDataSource(DataSource):
     def reader(self, schema) -> "KafkaLogBatchReader":
         return KafkaLogBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "KafkaLogStreamReader":
+    def streamReader(self, schema) -> "KafkaLogStreamReader":
         return KafkaLogStreamReader(self.options)
+
+
+def _per_partition(option_value: str | None, parts, default_fn) -> dict[int, int]:
+    """Resolve a scalar-or-JSON-dict offset option per partition."""
+    if option_value is None:
+        return {pid: default_fn(pid, d) for pid, d in parts}
+    v = option_value.strip()
+    if v.startswith("{"):
+        parsed = {int(k): int(x) for k, x in json.loads(v).items()}
+        return {pid: parsed.get(pid, default_fn(pid, d)) for pid, d in parts}
+    return {pid: int(v) for pid, _ in parts}
 
 
 class KafkaLogBatchReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.path = options["path"]
-        self.start = int(options.get("startingOffset", "0"))
-        end = options.get("endingOffset")
-        self.end = int(end) if end is not None else end_offset(self.path)
+        parts = _partition_dirs(self.path)
+        self.start = _per_partition(
+            options.get("startingOffset"), parts, lambda pid, d: 0
+        )
+        self.end = _per_partition(
+            options.get("endingOffset"), parts, lambda pid, d: end_offset(d)
+        )
+        self.parts = parts
 
     def partitions(self):
-        # One split per segment, bounds from the NEXT segment's base
-        # (tail bound comes from the reader's end offset) — no line
-        # counting at plan time beyond what end_offset already did.
-        segs = _segments(self.path)
-        parts = []
-        for i, (base, file_path) in enumerate(segs):
-            seg_end = segs[i + 1][0] if i + 1 < len(segs) else self.end
-            lo, hi = max(base, self.start), min(seg_end, self.end)
-            if lo < hi:
-                parts.append(InputPartition((file_path, base, lo, hi)))
-        return parts or [InputPartition((None, 0, 0, 0))]
+        # One split per (partition, segment): bounds from the NEXT
+        # segment's base; the tail bound is the reader's end offset.
+        splits = []
+        for pid, part_dir in self.parts:
+            segs = _segments(part_dir)
+            for i, (base, file_path) in enumerate(segs):
+                seg_end = segs[i + 1][0] if i + 1 < len(segs) else self.end[pid]
+                lo = max(base, self.start[pid])
+                hi = min(seg_end, self.end[pid])
+                if lo < hi:
+                    splits.append(InputPartition((pid, file_path, base, lo, hi)))
+        return splits or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
-        file_path, base, lo, hi = partition.value
-        if file_path is None:
+        if partition.value is None:
             return
+        pid, file_path, base, lo, hi = partition.value
         with open(file_path, encoding="utf-8") as f:
             for offset, line in enumerate(f, start=base):
                 if offset >= hi:
                     break
                 if offset >= lo:
-                    yield (offset, line.rstrip("\n"))
+                    yield (pid, offset, line.rstrip("\n"))
 
 
-class KafkaLogStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch reader: offsets are ``{"offset": n}`` dicts; every
-    batch is an exact offset range replayable from the segment files,
-    so checkpoint recovery re-reads identical rows (exactly-once into
-    idempotent sinks, the io12 contract)."""
+class KafkaLogStreamReader(DataSourceStreamReader):
+    """Full streaming reader: offsets are per-partition dicts
+    (``{"0": n, "1": m}``), each micro-batch plans one input split per
+    advancing partition, and splits read ON EXECUTORS — ingest
+    parallelism tracks partition count, the Kafka-connector property.
+    Every batch is an exact offset range replayable from the sealed
+    segments, so checkpoint recovery re-reads identical rows
+    (exactly-once into idempotent sinks, the io12 contract)."""
 
     def __init__(self, options) -> None:
         self.path = options["path"]
@@ -167,39 +223,32 @@ class KafkaLogStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # Evaluated once per NEW checkpoint; a restart resumes from the
-        # checkpointed offset instead (Structured Streaming contract,
+        # checkpointed offsets instead (Structured Streaming contract,
         # same as the Kafka connector's startingOffsets handling).
-        return {"offset": 0 if self.starting == "earliest" else end_offset(self.path)}
+        if self.starting == "earliest":
+            return {str(pid): 0 for pid, _ in _partition_dirs(self.path)}
+        return {str(pid): end_offset(d) for pid, d in _partition_dirs(self.path)}
 
-    def read(self, start: dict):
-        lo = start["offset"]
-        hi = end_offset(self.path)
-        if hi <= lo:
-            # Empty no-advance batch: the wrapper VALIDATES these with
-            # next(it) — must be an iterator. Advancing batches below
-            # are concrete lists — the wrapper's prefetch cache
-            # copy.copy()s them per consumer, which a generator can't
-            # survive (same contract as trade_gen).
-            return iter(()), {"offset": lo}
-        return self._rows(lo, hi), {"offset": hi}
+    def latestOffset(self) -> dict:
+        return {str(pid): end_offset(d) for pid, d in _partition_dirs(self.path)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # Replay path (checkpoint recovery): runs in the read worker,
-        # which requires an iterator return.
-        return iter(self._rows(start["offset"], end["offset"]))
-
-    def _rows(self, lo: int, hi: int) -> list[tuple]:
+    def partitions(self, start: dict, end: dict):
+        # A partition absent from `start` appeared after stream start:
+        # read it from 0 (new-partition discovery).
+        dirs = dict(_partition_dirs(self.path))
         out = []
-        for base, file_path in _segments(self.path):
-            if base >= hi:
-                break
-            with open(file_path, encoding="utf-8") as f:
-                for offset, line in enumerate(f, start=base):
-                    if offset >= hi:
-                        break
-                    if offset >= lo:
-                        out.append((offset, line.rstrip("\n")))
+        for pid_str, hi in end.items():
+            lo = start.get(pid_str, 0)
+            if hi > lo:
+                out.append(InputPartition((int(pid_str), dirs[int(pid_str)], lo, hi)))
         return out
+
+    def read(self, partition: InputPartition):
+        pid, part_dir, lo, hi = partition.value
+        return _read_range(pid, part_dir, lo, hi)
+
+    def commit(self, end: dict) -> None:
+        pass  # segments are immutable; nothing to release
 
 
 def register_kafka_log(spark) -> None:
@@ -210,17 +259,22 @@ def register_kafka_log(spark) -> None:
         pass  # already registered on this session
 
 
-def write_trade_log(path: str, n_rows: int, segment_rows: int = 2500) -> None:
+def write_trade_log(
+    path: str, n_rows: int, segment_rows: int = 2500, n_partitions: int = 1
+) -> None:
     """Build a deterministic trade log from the public generator recipe
-    (sources/trade_gen.trade_row): n_rows JSON envelopes split into
-    fixed-size sealed segments. Offsets equal seq by construction —
-    what a single-partition broker topic fed by the reference's
+    (sources/trade_gen.trade_row): n_rows JSON envelopes, round-robin
+    over ``n_partitions`` (seq = offset * n_partitions + partition, so
+    every (partition, offset) maps to one seq), split into fixed-size
+    sealed segments. What a broker topic fed by the reference's
     old/gen.py producer would contain."""
     from kafka_flink_spark.sources.trade_gen import trade_row
 
-    for base in range(0, n_rows, segment_rows):
+    for pid in range(n_partitions):
+        part_dir = path if n_partitions == 1 else f"{path}/{_PART_PREFIX}{pid}"
+        seqs = range(pid, n_rows, n_partitions)
         values = []
-        for seq in range(base, min(base + segment_rows, n_rows)):
+        for seq in seqs:
             seq_, ts_ms, instrument_id, product, price, qty = trade_row(seq, 2000, 100)
             values.append(
                 json.dumps(
@@ -235,4 +289,8 @@ def write_trade_log(path: str, n_rows: int, segment_rows: int = 2500) -> None:
                     separators=(",", ":"),
                 )
             )
-        append_segment(path, values)
+            if len(values) == segment_rows:
+                append_segment(part_dir, values)
+                values = []
+        if values:
+            append_segment(part_dir, values)

@@ -74,7 +74,11 @@ def test_latest_skips_existing_then_reads_only_appends(spark):
         import os
 
         if os.path.isdir(out):  # batch 0 may write an empty part file
-            n = spark.read.schema("offset long, value string").parquet(out).count()
+            n = (
+                spark.read.schema("partition int, offset long, value string")
+                .parquet(out)
+                .count()
+            )
             assert n == 0, "latest must not read pre-existing records"
 
         # Append after the stream has established its start position;
@@ -203,4 +207,68 @@ def test_e2e_producer_log_to_streaming_ohlcv(spark):
         got = sorted(streamed.collect(), key=key)
         want = sorted(expected.collect(), key=key)
         assert len(got) == len(want) > 0
+        assert got == want
+
+
+def test_multi_partition_topic_parallel_read(spark):
+    """Kafka-partitioned layout (partition=N dirs): per-partition
+    offset dicts, one executor split per advancing partition per
+    micro-batch, and the (partition, offset) -> seq round-robin
+    mapping of write_trade_log holds exactly."""
+    from kafka_flink_spark.sources.trade_gen import trade_row
+
+    register_kafka_log(spark)
+    with tempfile.TemporaryDirectory(prefix="klog_mp_") as tmp:
+        log, ckpt, out = f"{tmp}/topic", f"{tmp}/ckpt", f"{tmp}/out"
+        write_trade_log(log, 1000, segment_rows=200, n_partitions=4)
+        for pid in range(4):
+            assert end_offset(f"{log}/partition={pid}") == 250
+
+        # Streaming: each micro-batch plans one split per partition —
+        # capture the task parallelism from inside foreachBatch.
+        n_splits = []
+
+        stream = (
+            spark.readStream.format("kafka_log")
+            .option("path", log)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+
+        def write_batch(batch, batch_id):
+            n_splits.append(batch.rdd.getNumPartitions())
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert n_splits and n_splits[0] == 4, n_splits
+
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1000
+        for r in rows[:50]:
+            seq = r.offset * 4 + r.partition
+            rec = json.loads(r.value)
+            assert rec["seq"] == seq
+            assert rec["product"] == trade_row(seq, 2000, 100)[3]
+
+        # Batch path over the same partitioned topic: per-partition
+        # JSON offset dict restricts each partition independently.
+        df = (
+            spark.read.format("kafka_log")
+            .option("path", log)
+            .option("startingOffset", '{"0": 240, "2": 245}')
+            .load()
+        )
+        got = {(r.partition, r.offset) for r in df.collect()}
+        want = (
+            {(0, o) for o in range(240, 250)}
+            | {(1, o) for o in range(250)}
+            | {(2, o) for o in range(245, 250)}
+            | {(3, o) for o in range(250)}
+        )
         assert got == want
