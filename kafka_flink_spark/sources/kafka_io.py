@@ -20,6 +20,14 @@ Scale notes:
 * The sink pre-serializes to a single ``value`` column; key selection
   (``key_col``) controls Kafka partition routing — keyed by ``product``
   it preserves the reference's per-key ordering contract (G1).
+
+The broker-dependent pieces of this module (connection, offsets) are
+option pass-throughs that the sandbox cannot execute; the SEMANTICS
+behind them — per-partition offsets, ``startingOffsets``
+earliest/latest, checkpoint-beats-start-position, exact offset-range
+replay — are executed and pinned broker-free by the segment-log
+source in ``sources/kafka_log.py`` (query ``s11``,
+``tests/test_kafka_log.py``).
 """
 
 from __future__ import annotations
