@@ -150,7 +150,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d7_dedup_clusters",
     "pipe3_leakage_safe_split",
     "gr1_pagerank_copurchase",
-    "gr2_triangle_count",
+    # s12 (S7 streaming-generator replay, new) takes gr2's re-attest
+    # slot: gr2's round-5 change was a physical-only localCheckpoint
+    # pin (identical results), so its r4 green row stands.
+    "s12_streaming_generator_replay",
     "pipe4_quality_dedup_corpus",
     "t28_url_dedup",
     # s11 (S2/S3 offset semantics, new this round) takes e10's

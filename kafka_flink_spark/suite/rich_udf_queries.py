@@ -444,3 +444,38 @@ def s11_kafka_log_offset_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "product string, price double, qty long",
         ).alias("r"),
     ).select("offset", "r.*")
+
+
+@register(
+    "s12_streaming_generator_replay",
+    oracle="""
+SELECT seq,
+       1700000000000 + seq AS ts_ms,
+       'Instrument_' || CAST(CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 100 AS VARCHAR)
+           AS instrument_id,
+       'Product_' || CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 2000 AS VARCHAR)
+           AS product,
+       (CAST(('0x' || substr(h, 13, 8)) AS BIGINT) % 999000) / 1000.0 + 1.0 AS price,
+       CAST(('0x' || substr(h, 21, 4)) AS BIGINT) % 100 + 1 AS qty
+FROM (SELECT seq, md5('trade:' || CAST(seq AS VARCHAR)) AS h
+      FROM range(5000) t(seq))
+""",
+    doc="S7: the in-pipeline mock generator executed on the STREAMING "
+    "path — readStream.format('trade_gen') (the Python DataSource's "
+    "stream reader, offset = global seq) replayed to completion via "
+    "availableNow into a memory sink. Because every field is an md5 "
+    "slice of seq and the stream's first batch covers seqs "
+    "[0, rowsPerBatch), the streamed relation is bit-identical to "
+    "the oracle's regeneration — the generator is its own "
+    "write-ahead log (reference old/gen.py mock producer; S5's "
+    "batch twin is s10).",
+)
+def s12_streaming_generator_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.trade_gen import register_trade_gen
+    from kafka_flink_spark.streaming.candles_stream import run_available_now
+
+    register_trade_gen(spark)
+    stream = (
+        spark.readStream.format("trade_gen").option("rowsPerBatch", "5000").load()
+    )
+    return run_available_now(stream, "append")
