@@ -149,10 +149,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d5_simhash_near_pairs",
     "d7_dedup_clusters",
     "pipe3_leakage_safe_split",
-    "gr1_pagerank_copurchase",
-    # s12 (S7 streaming-generator replay, new) takes gr2's re-attest
-    # slot: gr2's round-5 change was a physical-only localCheckpoint
-    # pin (identical results), so its r4 green row stands.
+    # io16/s12 (K4 JDBC roundtrip; S7 streaming-generator replay —
+    # both new) take gr1/gr2's re-attest slots: the graph ops'
+    # round-5 change was a physical-only localCheckpoint pin
+    # (identical results), so their r4 green rows stand and BENCH_r05
+    # carries their perf re-measure.
+    "io16_jdbc_roundtrip",
     "s12_streaming_generator_replay",
     "pipe4_quality_dedup_corpus",
     "t28_url_dedup",

@@ -747,3 +747,34 @@ def _bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge hint: keep the sort-merge strategy even where the fixture
     # side is small enough to broadcast — the co-location is the point.
     return ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+
+
+@register(
+    "io16_jdbc_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_acctbal > 0
+""",
+    doc="K4's JDBC path against a REAL database: positive-balance "
+    "customers written to an embedded Derby table (the RDBMS that "
+    "ships with Spark; mode=overwrite) and read back via "
+    "spark.read.jdbc — the same write/read machinery the streaming "
+    "foreachBatch JDBC sink uses per micro-batch "
+    "(tests/test_streaming.py::test_jdbc_sink_to_embedded_derby pins "
+    "that form end-to-end; the reference left JDBC as a commented "
+    "Postgres placeholder). At scale the JDBC read partitions on a "
+    "numeric column (partitionColumn/lowerBound/upperBound) — here "
+    "the table is dimension-sized, one partition is the right plan.",
+)
+def io16_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = "jdbc:derby:memory:io16db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    c.write.jdbc(url, "io16_customer", mode="overwrite", properties=props)
+    return spark.read.jdbc(url, "io16_customer", properties=props).toDF(
+        "c_custkey", "c_name", "acctbal"
+    )
