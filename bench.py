@@ -210,9 +210,18 @@ def _streaming_rate_fresh_session(spark) -> int:
 
 
 def _streaming_rate(spark) -> int:
-    """Streaming OHLCV throughput (ev/s) on a 200k-event / 2k-key
+    """Streaming OHLCV throughput (ev/s) on a 1M-event / 2k-key
     replay — the reference's design envelope is 2k ev/s (BASELINE.md);
-    report the measured multiple-of-envelope alongside query timings."""
+    report the measured multiple-of-envelope alongside query timings.
+
+    Replay size matters to what the number MEANS: an availableNow
+    replay pays ~1.3 s of fixed per-query overhead (micro-batch
+    planning, checkpoint setup, state-store open) regardless of event
+    count, so a 200k replay (~2.7 s wall) reports ~73k ev/s while the
+    SAME pipeline at 1M events reports ~125k — the fixed cost is half
+    the small replay's wall. 1M events makes the measurement
+    steady-state-dominated, which is the regime a resident streaming
+    job actually runs in."""
     import shutil
     import tempfile
 
@@ -220,7 +229,7 @@ def _streaming_rate(spark) -> int:
 
     from kafka_flink_spark.streaming.candles_stream import ohlcv_stream, run_available_now
 
-    n = 200_000
+    n = 1_000_000
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         (
@@ -254,11 +263,16 @@ def _streaming_rate(spark) -> int:
             run_available_now(ohlcv_stream(stream, "1 minute"), "update").count()
 
         # First streaming query in a session pays ~6s of one-time
-        # engine init (micro-batch machinery, state-store classes);
-        # warm once, then report the MEDIAN of three measured replays —
-        # single replays vary ±25% run-to-run (state-store and GC
-        # timing), which previously dominated round-over-round deltas.
-        replay()
+        # engine init (micro-batch machinery, state-store classes) and
+        # the next one still climbs while the JVM JIT-compiles the
+        # state-store/agg hot loops (measured ramp at 1M events:
+        # 110k -> 109k -> 125k -> 133k ev/s, flat after). Warm TWO
+        # replays so the measured window sits on the plateau, then
+        # report the MEDIAN of three measured replays — single replays
+        # vary ±25% run-to-run (state-store and GC timing), which
+        # previously dominated round-over-round deltas.
+        for _ in range(2):
+            replay()
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()
