@@ -120,10 +120,20 @@ def append_segment(part_dir: str, values: list[str]) -> int:
 
 
 def _read_range(pid: int, part_dir: str, lo: int, hi: int):
-    """Yield (partition, offset, value) for offsets in [lo, hi)."""
-    for base, file_path in _segments(part_dir):
+    """Yield (partition, offset, value) for offsets in [lo, hi).
+
+    Segments whose whole extent sits below ``lo`` are skipped without
+    opening them (a segment's extent ends at its successor's base) —
+    a tailing stream on a long-history topic must not re-scan the
+    history every micro-batch. Only the segment CONTAINING ``lo`` is
+    line-skipped from its start; that is the line-addressed format's
+    floor."""
+    segs = _segments(part_dir)
+    for i, (base, file_path) in enumerate(segs):
         if base >= hi:
             break
+        if i + 1 < len(segs) and segs[i + 1][0] <= lo:
+            continue  # entire segment below the requested range
         with open(file_path, encoding="utf-8") as f:
             for offset, line in enumerate(f, start=base):
                 if offset >= hi:

@@ -272,3 +272,22 @@ def test_multi_partition_topic_parallel_read(spark):
             | {(3, o) for o in range(250)}
         )
         assert got == want
+
+
+def test_read_range_skips_segments_below_range():
+    """A tailing reader must not OPEN history segments below the
+    requested range: plant a poison segment (a directory named like a
+    segment — opening it raises) below ``lo`` and read past it."""
+    import os
+
+    from kafka_flink_spark.sources.kafka_log import _read_range, _segment_name
+
+    with tempfile.TemporaryDirectory() as d:
+        os.mkdir(os.path.join(d, _segment_name(0)))  # poison: offsets 0..2499
+        append_segment_at = os.path.join(d, _segment_name(2500))
+        with open(append_segment_at, "w", encoding="utf-8") as f:
+            for i in range(2500, 2600):
+                f.write(json.dumps({"n": i}, separators=(",", ":")) + "\n")
+        rows = list(_read_range(7, d, 2510, 2520))
+        assert [o for _, o, _ in rows] == list(range(2510, 2520))
+        assert all(pid == 7 for pid, _, _ in rows)
