@@ -42,7 +42,20 @@ def salted_join(
     reducer becomes ``num_salts`` evenly-loaded ones. Replication cost
     is |small| × num_salts — use when |small| is dimension-sized and
     the skew is fact-sided (the common case).
+
+    Only inner and left-sided joins are accepted: in a right/full
+    join an unmatched SMALL-side row survives once per salt replica —
+    ``num_salts`` duplicates. For right-skewed input flip the
+    arguments and use the mirrored left join.
     """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti"
+    ):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: a "
+            "right/full join would duplicate unmatched small-side rows "
+            "once per salt replica; flip the sides instead"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts))
     left = skewed.withColumn(_SALT, salt)
     right = small.withColumn(

@@ -665,3 +665,20 @@ def test_bucketed_join_has_no_exchange(spark):
 
     full = spark_queries()["io15_bucketed_colocated_join"](spark, SF_SMALL)
     assert count_exchanges(full) == 1, count_exchanges(full)
+
+
+def test_salted_join_rejects_right_sided_joins(spark):
+    """Right/full joins would emit unmatched small-side rows once per
+    salt replica — the operator must refuse them loudly."""
+    import pytest
+
+    from kafka_flink_spark.operators.skew import salted_join
+
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(a, b, "k", how="right")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(a, b, "k", how="full_outer")
+    # the left family stays accepted
+    assert salted_join(a, b, "k", how="left_semi").count() == 5
