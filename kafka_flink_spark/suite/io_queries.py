@@ -778,3 +778,151 @@ def io16_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.jdbc(url, "io16_customer", properties=props).toDF(
         "c_custkey", "c_name", "acctbal"
     )
+
+
+@register(
+    "io17_cdc_changelog_apply",
+    oracle="""
+WITH chg AS (
+    SELECT o_orderkey, 1 AS version, 'I' AS op, 'NEW' AS status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) + 1000
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', NULL, NULL
+    FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+    SELECT o_orderkey,
+           max_by(op, version) AS op,
+           max_by(status, version) AS status,
+           max_by(price_cents, version) AS price_cents,
+           CAST(count(*) AS BIGINT) AS n_versions
+    FROM chg GROUP BY o_orderkey
+)
+SELECT o_orderkey, status, price_cents, n_versions
+FROM latest WHERE op <> 'D'
+""",
+    doc="CDC changelog materialization (the Debezium / Kafka "
+    "upsert-topic pattern): a keyed change log of I/U/D records is "
+    "compacted to current table state — last-version-wins per key, "
+    "deletes drop the key. The changelog is synthesized "
+    "deterministically from orders (v1 INSERT for every key, v2 "
+    "UPDATE for keys %3, v3 DELETE for keys %7) so both engines "
+    "replay the identical log. Spark-first shape: compaction is an "
+    "AGGREGATION (max_by over version, one shuffle with map-side "
+    "partial combine), not a window sort — at 100 TB of changelog "
+    "the partial aggregate collapses each key's versions before the "
+    "exchange, where row_number()-over-window would shuffle and "
+    "sort every change record. Money stays in integer cents "
+    "(engine-order-free). The streaming twin of this compaction is "
+    "w22's dropDuplicatesWithinWatermark; the table-maintenance "
+    "twin is io6's merge_into.",
+)
+def io17_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        F.lit("NEW").alias("status"),
+        cents.alias("price_cents"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        (cents + 1000).alias("price_cents"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("price_cents"),
+    )
+    chg = ins.unionByName(upd).unionByName(dels)
+    latest = chg.groupBy("o_orderkey").agg(
+        F.max_by("op", "version").alias("op"),
+        F.max_by("status", "version").alias("status"),
+        F.max_by("price_cents", "version").alias("price_cents"),
+        F.count("*").alias("n_versions"),
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "o_orderkey", "status", "price_cents", "n_versions"
+    )
+
+
+@register(
+    "io18_scd2_dimension_build",
+    oracle="""
+WITH hist AS (
+    SELECT o_custkey, o_orderdate, max(o_orderpriority) AS segment
+    FROM orders GROUP BY 1, 2
+),
+marked AS (
+    SELECT o_custkey, o_orderdate, segment,
+           lag(segment) OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+               AS prev_segment
+    FROM hist
+),
+changes AS (
+    SELECT o_custkey, o_orderdate, segment FROM marked
+    WHERE prev_segment IS NULL OR segment <> prev_segment
+)
+SELECT o_custkey AS custkey, segment,
+       strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+       strftime(lead(o_orderdate)
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                '%Y-%m-%d') AS effective_to,
+       CAST(lead(o_orderdate)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL
+            AS BIGINT) AS is_current
+FROM changes
+""",
+    doc="SCD Type 2 dimension build: a keyed attribute-change history "
+    "is compressed to validity intervals — consecutive identical "
+    "values collapse, each surviving change opens an interval that "
+    "the NEXT change closes (effective_from / effective_to, open "
+    "interval = current row). History synthesized deterministically "
+    "from orders (customer's segment = max order priority per order "
+    "date). Plan shape: the history pre-aggregation exchanges on "
+    "(key, ts); after that, ONE exchange on the key alone feeds "
+    "BOTH window passes — the change filter between the lag-compare "
+    "and the lead-close preserves hash partitioning, so the second "
+    "window adds only a sort, never a reshuffle (2 exchanges total, "
+    "gated in tests/test_plans.py). At 100 TB of history the "
+    "windowed stage shuffles only (key, ts, attr) triples, and "
+    "intervals never materialize more rows than changes. Dates "
+    "leave as formatted "
+    "strings and the current-row flag as 0/1 so the cross-engine "
+    "hash ignores timestamp-NULL representation quirks.",
+)
+def io18_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderpriority").alias("segment"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changes = hist.withColumn("prev_segment", F.lag("segment").over(w)).filter(
+        F.col("prev_segment").isNull()
+        | (F.col("segment") != F.col("prev_segment"))
+    )
+    closed = changes.withColumn("end_ts", F.lead("o_orderdate").over(w))
+    return closed.select(
+        F.col("o_custkey").alias("custkey"),
+        "segment",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format("end_ts", "yyyy-MM-dd").alias("effective_to"),
+        F.col("end_ts").isNull().cast("long").alias("is_current"),
+    )

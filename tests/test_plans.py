@@ -682,3 +682,37 @@ def test_salted_join_rejects_right_sided_joins(spark):
         salted_join(a, b, "k", how="full_outer")
     # the left family stays accepted
     assert salted_join(a, b, "k", how="left_semi").count() == 5
+
+
+def test_cdc_apply_is_aggregation_not_window_sort(spark):
+    """io17's compaction claim: last-version-wins runs as ONE exchange
+    with map-side partial aggregation (max_by), zero Window operators
+    — a row_number() formulation would shuffle and sort every change
+    record."""
+    from kafka_flink_spark.suite.io_queries import io17_cdc_changelog_apply
+
+    plan = (
+        io17_cdc_changelog_apply(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_scd2_windows_share_one_key_exchange(spark):
+    """io18's plan claim: 2 exchanges total — the (key, ts) history
+    pre-aggregation, then ONE key-partitioned exchange shared by both
+    window passes (the change filter preserves partitioning; the
+    lead-close adds only a sort)."""
+    from kafka_flink_spark.suite.io_queries import io18_scd2_dimension_build
+
+    plan = (
+        io18_scd2_dimension_build(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 2
