@@ -2641,3 +2641,44 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "g22_hot_key_distinct_twophase",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Exact two-phase distinct count over HOT grouping keys "
+    "(operators/skew.two_phase_agg): 5 priority values over the whole "
+    "orders table means a naive count(DISTINCT) funnels everything "
+    "into 5 reducers. Phase 1 groups on (priority, salt) — the salt "
+    "is a deterministic hash of the projected (priority, custkey) "
+    "row, so EVERY occurrence of a given custkey within a priority "
+    "lands in the SAME salt bucket; per-bucket distinct sets are "
+    "therefore disjoint and phase 2's sum-of-counts is exact, not "
+    "approximate. The disjointness precondition is structural: "
+    "project the frame to (keys, distinct-col) BEFORE salting so the "
+    "whole-row hash depends on nothing else. At 100 TB this turns 5 "
+    "distinct-state reducers into 5 × num_salts bounded ones; plain "
+    "counts ride along in the same pass (sum-of-counts algebra).",
+)
+def g22_hot_key_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.skew import two_phase_agg
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return two_phase_agg(
+        o,
+        keys=["o_orderpriority"],
+        partial_aggs=[
+            F.count_distinct("o_custkey").alias("_nd"),
+            F.count("*").alias("_n"),
+        ],
+        final_aggs=[
+            F.sum("_nd").alias("n_customers"),
+            F.sum("_n").alias("n_orders"),
+        ],
+        num_salts=16,
+    )
