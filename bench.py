@@ -92,6 +92,9 @@ R5_OPS = (
     "pipe7_web_corpus_pipeline",
     "io15_bucketed_colocated_join",
     "j12_salted_skew_join",
+    "io17_cdc_changelog_apply",
+    "io18_scd2_dimension_build",
+    "g22_hot_key_distinct_twophase",
 )
 
 

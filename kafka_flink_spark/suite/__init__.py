@@ -148,7 +148,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "d3_minhash_lsh_pairs",
     "d5_simhash_near_pairs",
     "d7_dedup_clusters",
-    "pipe3_leakage_safe_split",
     # io16/s12 (K4 JDBC roundtrip; S7 streaming-generator replay —
     # both new) take gr1/gr2's re-attest slots: the graph ops'
     # round-5 change was a physical-only localCheckpoint pin
@@ -156,8 +155,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # carries their perf re-measure.
     "io16_jdbc_roundtrip",
     "s12_streaming_generator_replay",
-    "pipe4_quality_dedup_corpus",
-    "t28_url_dedup",
     # s11 (S2/S3 offset semantics, new this round) takes e10's
     # re-attest slot: e10's round-5 change was a default-preserving
     # parameterization on both sides, so its r4 green row stands.
@@ -176,6 +173,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # from r4 stands and neither its code nor check strength changed.
     "io15_bucketed_colocated_join",
     "j12_salted_skew_join",
+    # late round-5 additions (CDC changelog apply, SCD2 build, salted
+    # two-phase exact distinct) take the pipe3/pipe4/t28 re-attest
+    # slots: pipe4's round-5 change is physical-only (multi-consumer
+    # persist pin, r4 green row stands), pipe3's exact-cap pin is a
+    # no-op at sf0.01 bucket sizes (r2 green row stands), and t28's
+    # regex widening is mirrored verbatim on both engine and oracle
+    # sides (sim-green) — never-checked new queries outrank all three.
+    "io17_cdc_changelog_apply",
+    "io18_scd2_dimension_build",
+    "g22_hot_key_distinct_twophase",
     # ---- 50-query budget line (round 5): exactly 50 names ----
 )
 
