@@ -65,6 +65,13 @@ def gap_fill(
     ``zero_fill`` columns with 0, and flag synthesized rows in
     ``gap_flag``."""
     keys = list(key_cols)
+    # ``aggregated`` is consumed from TWO plan positions (the span agg
+    # feeding the grid, and the join probe); exchange reuse across the
+    # two is not guaranteed, so without a pin the upstream plan — at
+    # 100 TB, the raw-table scan + aggregation — executes twice. The
+    # relation is result-sized (one row per key×bucket), so pinning it
+    # is cheap and bounds the expensive upstream to exactly one run.
+    aggregated = aggregated.localCheckpoint()
     marked = aggregated.withColumn(_PRESENT, F.lit(True))
     filled = time_grid(aggregated, keys, ts_col, step).join(
         marked, on=[*keys, ts_col], how="left"
@@ -79,3 +86,63 @@ def gap_fill(
     for c in zero_fill:
         filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return filled.withColumn(gap_flag, F.col(_PRESENT).isNull()).drop(_PRESENT)
+
+
+def interpolate_linear(
+    filled: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in ``value_col`` between the
+    nearest known neighbours (pandas ``interpolate(method="time")``
+    semantics): a gap row at time ``t`` between known points
+    ``(t0, v0)`` and ``(t1, v1)`` gets ``v0 + (v1-v0)·(t-t0)/(t1-t0)``.
+    Leading gaps take the first known value (backfill), trailing gaps
+    the last (forward-fill). Known rows pass through untouched.
+
+    Distinct from :func:`gap_fill`'s LOCF: LOCF repeats the last close
+    through a quiet period (right for "price still holds"); linear
+    interpolation is the standard treatment for sensor/metric series
+    where the quantity moves continuously through the gap.
+
+    Plan shape: both the backward (last known preceding) and forward
+    (first known following) scans are window expressions over the SAME
+    ``(key, ts)`` partitioning/ordering, so Catalyst plans them into a
+    single Window operator fed by one exchange+sort of grid-sized rows
+    (span/step per key, independent of raw event count) — the same
+    single-shuffle bound as gap_fill. No Python, no HOF lambdas; the
+    lerp arithmetic is pure codegen."""
+    keys = list(key_cols)
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    known_ts = F.when(v.isNotNull(), F.col(ts_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(back)
+    prev_t = F.last(known_ts, ignorenulls=True).over(back)
+    next_v = F.first(value_col, ignorenulls=True).over(fwd)
+    next_t = F.first(known_ts, ignorenulls=True).over(fwd)
+    # (t - t0) / (t1 - t0) over exact integer microseconds; the lerp is
+    # written prev + (next - prev) * frac so the oracle can mirror the
+    # identical IEEE operand order.
+    frac = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_t)).cast("double")
+        / (F.unix_micros(next_t) - F.unix_micros(prev_t)).cast("double")
+    )
+    lerp = prev_v + (next_v - prev_v) * frac
+    out = (
+        F.when(v.isNotNull(), v)
+        .when(prev_t.isNull(), next_v)  # leading gap: backfill
+        .when(next_t.isNull(), prev_v)  # trailing gap: forward-fill
+        .otherwise(lerp)
+    )
+    return filled.withColumn(out_col or value_col, out)

@@ -1,0 +1,113 @@
+"""Exponentially weighted moving average (EWMA) as a window operator.
+
+The reference has no smoothing operator at all (its OHLC jobs emit raw
+window aggregates, ``5_ohlc.py:27-112``); EWMA is the standard next
+step every metrics/quant consumer applies, and pandas ships it as
+``Series.ewm(alpha).mean()``. This is that operator, distributed.
+
+Semantics: pandas ``ewm(alpha, adjust=True)`` —
+
+    s_n = Σ_{j=0..n-1} (1-α)^j · x_{n-j}  /  Σ_{j=0..n-1} (1-α)^j
+
+TRUNCATED at ``max_lags`` terms: weights decay geometrically, so the
+dropped tail's relative contribution is bounded by (1-α)^max_lags
+(α=0.3, K=48 → 3.8e-8; the output is rounded to 6 decimals, below
+that bound's reach for values in the fixture range). Truncation is
+what makes the operator SCALE-SAFE: the exact recursive form needs
+either a sequential scan per key (not distributed) or unbounded
+(1-α)^(-i) rescaling that overflows doubles after ~2 000 rows; the
+truncated form is a fixed bank of ``lag()`` expressions over one
+window — bounded memory, any series length, no overflow.
+
+Plan shape: ``row_number`` + K ``lag()`` expressions share one
+``(key, order)`` window spec, so Catalyst plans a SINGLE Window
+operator fed by one exchange+sort — the aggregate-sized rows shuffle
+once, the weight arithmetic is pure codegen projection. No Python, no
+HOF lambdas (the per-row loop is unrolled at PLAN BUILD time into K
+column expressions, not interpreted per row).
+
+Cross-engine determinism (for the DuckDB oracle): the weights and the
+prefix-sum denominators are baked as ``repr()`` round-trip double
+LITERALS shared by both engines via :func:`ewma_weights`; numerator
+terms are summed left-to-right in lag order on both sides, so every
+intermediate is the identical IEEE double and the rounded output
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ewma_weights(alpha: float, max_lags: int) -> tuple[list[float], list[float]]:
+    """(weights, denoms): ``weights[j] = (1-α)^j`` for j in
+    [0, max_lags) and ``denoms[n-1] = Σ_{j<n} weights[j]`` — the
+    adjust=True normalizer for a row with ``min(row_number, K)``
+    available terms. Both engines consume these as literals."""
+    w: list[float] = []
+    acc = 1.0
+    for _ in range(max_lags):
+        w.append(acc)
+        acc *= 1.0 - alpha
+    denoms: list[float] = []
+    s = 0.0
+    for x in w:
+        s += x
+        denoms.append(s)
+    return w, denoms
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Column,
+    value_col: str,
+    alpha: float = 0.3,
+    max_lags: int = 48,
+    out_col: str = "ewma",
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``out_col`` = truncated adjust=True EWMA of
+    ``value_col`` per key, ordered by ``order_col``. ``value_col``
+    must be non-null (aggregate a dense series first — e.g. the
+    gap-filled closes from ``operators/resample``)."""
+    weights, denoms = ewma_weights(alpha, max_lags)
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    num: Column = F.col(value_col) * F.lit(weights[0])
+    for j in range(1, max_lags):
+        num = num + F.coalesce(F.lag(value_col, j).over(w), F.lit(0.0)) * F.lit(
+            weights[j]
+        )
+    rn = F.row_number().over(w)
+    denom = F.element_at(
+        F.array(*[F.lit(d) for d in denoms]), F.least(rn, F.lit(max_lags))
+    )
+    return df.withColumn(out_col, F.round(num / denom, round_to))
+
+
+def ewma_oracle_sql(
+    value_expr: str,
+    partition_by: str,
+    order_by: str,
+    alpha: float = 0.3,
+    max_lags: int = 48,
+    round_to: int = 6,
+) -> str:
+    """The DuckDB expression computing the identical truncated EWMA:
+    same literals (``repr`` round-trip), same left-to-right summation
+    order, same least(row_number, K) denominator lookup."""
+    weights, denoms = ewma_weights(alpha, max_lags)
+    over = f"OVER (PARTITION BY {partition_by} ORDER BY {order_by})"
+    terms = [f"({value_expr}) * {weights[0]!r}"]
+    terms += [
+        f"coalesce(lag({value_expr}, {j}) {over}, 0.0) * {weights[j]!r}"
+        for j in range(1, max_lags)
+    ]
+    num = " + ".join(terms)
+    denom_list = ", ".join(repr(d) for d in denoms)
+    denom = f"list_extract([{denom_list}], least(row_number() {over}, {max_lags}))"
+    return f"round(({num}) / {denom}, {round_to})"

@@ -694,3 +694,138 @@ def e12_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_us") - F.col("c_us")).cast("long").alias("us_click_to_purchase"),
         )
     )
+
+
+_HOURLY_CLOSE_CTE = f"""
+ranked AS (
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+), c AS (
+    SELECT event_type, ws,
+           max(CASE WHEN rn = 1 THEN value END) AS close
+    FROM ranked GROUP BY 1, 2
+)"""
+
+
+@register(
+    "e13_linear_interpolation",
+    oracle=f"""
+WITH {_HOURLY_CLOSE_CTE},
+spans AS (
+    SELECT event_type, min(ws) AS t0, max(ws) AS t1 FROM c GROUP BY 1
+), grid AS (
+    SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ws
+    FROM spans
+), joined AS (
+    SELECT g.event_type, g.ws, c.close, c.ws IS NULL AS is_gap
+    FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.ws = g.ws
+), nav AS (
+    SELECT event_type, ws, close, is_gap,
+           last_value(close IGNORE NULLS) OVER wb AS prev_v,
+           last_value(CASE WHEN close IS NOT NULL THEN ws END IGNORE NULLS)
+               OVER wb AS prev_t,
+           first_value(close IGNORE NULLS) OVER wf AS next_v,
+           first_value(CASE WHEN close IS NOT NULL THEN ws END IGNORE NULLS)
+               OVER wf AS next_t
+    FROM joined
+    WINDOW wb AS (PARTITION BY event_type ORDER BY ws
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY ws
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(ws, '{_FMT_DUCK}') AS window_start,
+       round(CASE WHEN close IS NOT NULL THEN close
+                  WHEN prev_t IS NULL THEN next_v
+                  WHEN next_t IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) *
+                       (CAST(epoch_us(ws) - epoch_us(prev_t) AS DOUBLE) /
+                        CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+             END, 6) AS close_interp,
+       is_gap
+FROM nav
+""",
+    doc="Linear interpolation of gap buckets in the hourly close "
+    "series (operators/resample.interpolate_linear): the dense "
+    "per-key grid from gap_fill, with missing closes LERPed between "
+    "the nearest known neighbours in time — the pandas "
+    "interpolate(method='time') semantics, distinct from "
+    "e4_gapfill_hourly's LOCF. Both the backward and forward known- "
+    "neighbour scans are window expressions over one (key, ts) "
+    "ordering, so the whole fill is a single Window operator over one "
+    "exchange of grid-sized rows (span/step per key, independent of "
+    "event count). The lerp fraction is computed over exact integer "
+    "microseconds and the lerp operand order is mirrored verbatim in "
+    "the oracle, so the IEEE doubles agree bit-for-bit before the "
+    "shared round(6).",
+)
+def e13_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.resample import gap_fill, interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ws")
+    ).agg(F.max_by("value", F.struct(F.unix_micros("ts"), "event_id")).alias("close"))
+    filled = gap_fill(candles, key_cols=["event_type"], ts_col="ws", step="1 hour")
+    interp = interpolate_linear(
+        filled, key_cols=["event_type"], ts_col="ws", value_col="close",
+        out_col="close_interp",
+    )
+    return interp.select(
+        "event_type",
+        F.date_format("ws", _FMT).alias("window_start"),
+        F.round("close_interp", 6).alias("close_interp"),
+        "is_gap",
+    )
+
+
+def _e14_oracle() -> str:
+    from kafka_flink_spark.operators.timeseries import ewma_oracle_sql
+
+    expr = ewma_oracle_sql(
+        "close", partition_by="event_type", order_by="ws", alpha=0.3, max_lags=48
+    )
+    return f"""
+WITH {_HOURLY_CLOSE_CTE}
+SELECT event_type, strftime(ws, '{_FMT_DUCK}') AS window_start,
+       close, {expr} AS close_ewma
+FROM c
+"""
+
+
+@register(
+    "e14_ewma_smoothing",
+    oracle=_e14_oracle(),
+    doc="Truncated exponentially weighted moving average (pandas "
+    "ewm(alpha=0.3, adjust=True) semantics, 48-lag truncation) of the "
+    "hourly close per event_type — operators/timeseries.ewma. The "
+    "exact recursive EWMA is either sequential per key or overflows "
+    "double range under window rescaling; the truncated form is a "
+    "fixed bank of 48 lag() expressions sharing ONE window spec, so "
+    "the whole operator is a single Window node over a single "
+    "exchange of aggregate-sized rows, with the weight arithmetic in "
+    "codegen (the per-row loop is unrolled at plan build, never "
+    "interpreted). Dropped-tail error < 0.7^48 ~ 3.8e-8, below the "
+    "shared round(6). Weights and prefix-sum denominators are repr() "
+    "round-trip literals consumed by BOTH engines, numerator terms "
+    "sum left-to-right in lag order on both sides — bit-identical "
+    "IEEE doubles before rounding.",
+)
+def e14_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ws")
+    ).agg(F.max_by("value", F.struct(F.unix_micros("ts"), "event_id")).alias("close"))
+    out = ewma(
+        candles, key_cols=["event_type"], order_col="ws", value_col="close",
+        alpha=0.3, max_lags=48, out_col="close_ewma",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ws", _FMT).alias("window_start"),
+        "close",
+        "close_ewma",
+    )

@@ -716,3 +716,43 @@ def test_scd2_windows_share_one_key_exchange(spark):
     )
     assert plan.count("Exchange") == 2
     assert plan.count("Window") == 2
+
+
+def test_ewma_single_window_operator(spark):
+    """e14's plan claim: the 48-lag truncated EWMA compiles to ONE
+    Window operator (all lag banks + row_number share a (key, order)
+    spec) over exactly two aggregate-sized exchanges — the hourly
+    close agg on (key, bucket) and the window's key partitioning. The
+    per-row weight loop must be unrolled into the plan, never an
+    interpreted HOF."""
+    from kafka_flink_spark.suite.events_queries import e14_ewma_smoothing
+
+    plan = (
+        e14_ewma_smoothing(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert plan.count("Exchange") == 2
+    assert "lambdafunction" not in plan.lower()
+
+
+def test_interpolation_single_window_pass(spark):
+    """e13's plan claim: the backward (prev known) and forward (next
+    known) neighbour scans plan into ONE Window operator — Catalyst
+    groups frames sharing a (partition, order) — and the gap_fill
+    input is pinned (localCheckpoint), so the events scan+agg appears
+    ZERO times in the executed plan (it ran exactly once at pin
+    time)."""
+    from kafka_flink_spark.suite.events_queries import e13_linear_interpolation
+
+    plan = (
+        e13_linear_interpolation(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 0
+    # one Window for LOCF/interp nav; gap_fill itself adds none
+    assert plan.count("Window") == 1
