@@ -908,18 +908,21 @@ def stratified_exact_sample(
 
 
 def _token_window_hashes(
-    df: DataFrame, k: int, col: str, id_col: str
+    df: DataFrame, k: int, col: str, id_col: str, carry_cols: tuple = ()
 ) -> "tuple[DataFrame, DataFrame]":
     """Shared ExactSubstr machinery: the exploded token stream
     (id, pos, tok) and the full-window hash rows (id, pos, wh) built
     with k-1 ``lead``s sharing one per-doc sort + a native md5 — all
-    whole-stage codegen."""
+    whole-stage codegen. ``carry_cols`` rides extra per-doc columns
+    (e.g. a grouping key) through both outputs so callers don't pay a
+    join to re-attach them."""
     from pyspark.sql.window import Window
 
+    carry = list(carry_cols)
     toks = F.split(F.col(col), " ")
     tok_rows = df.select(
-        F.col(id_col), F.posexplode(toks).alias("pos0", "tok")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+        F.col(id_col), *carry, F.posexplode(toks).alias("pos0", "tok")
+    ).select(id_col, *carry, (F.col("pos0") + 1).alias("pos"), "tok")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     gram = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", j).over(w_doc) for j in range(1, k)]
@@ -928,7 +931,7 @@ def _token_window_hashes(
         tok_rows.withColumn("_last", F.lead("tok", k - 1).over(w_doc))
         .withColumn("wh", md5_long_gram(gram))
         .filter(F.col("_last").isNotNull())
-        .select(id_col, "pos", "wh")
+        .select(id_col, *carry, "pos", "wh")
     )
     return tok_rows, wins
 
@@ -1006,6 +1009,116 @@ def duplicated_window_spans(
                 / F.greatest(F.col("n_tokens"), F.lit(1)),
                 6,
             ).alias("dup_ratio"),
+        )
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    k: int = 2,
+    min_frac: float = 0.15,
+    col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Domain-conditioned boilerplate detection (the CCNet / trafilatura
+    cleanup stage, re-expressed relationally): a word ``k``-gram is
+    BOILERPLATE within its ``group_col`` (site / crawl source) when it
+    occurs in at least ``ceil(min_frac × docs_in_group)`` distinct
+    documents of that group — headers, footers, nav strings, cookie
+    banners repeat across a site's pages but not across the web. Per
+    document, boilerplate k-gram occurrences are merged into maximal
+    spans and the covered-token count reported, so a downstream filter
+    can drop or trim high-boilerplate pages.
+
+    Distinct from :func:`duplicated_window_spans` (corpus-global
+    "appears twice anywhere" — the ExactSubstr signal): boilerplate is
+    group-RELATIVE frequency, so a string shared by 2 of a site's 10k
+    pages is dup but not boilerplate, while one on 40% of them is
+    boilerplate even if each occurrence differs elsewhere.
+
+    Scale design: the k-gram stream reuses the ExactSubstr machinery
+    (exploded tokens + k−1 ``lead``s over ONE per-doc sort — all
+    codegen, the t23 lesson). Group-relative frequency needs distinct
+    docs per (group, gram-hash): the exchange payload is (group,
+    60-bit hash, doc_id) — never text. Per-group doc counts are a
+    group-cardinality-sized aggregate (broadcast). The boiler set
+    joins back semi-style on (group, hash), and the span-union window
+    reuses the per-doc partitioning the leads established. Total: the
+    one token-scale exchange every substring-granularity op pays, plus
+    two hash-sized ones.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+    # The window-hash stream is consumed from TWO plan positions (the
+    # group-frequency aggregation and the span flag join); recomputing
+    # it would pay the token-scale exchange + per-doc sort twice, so
+    # pin it once (the round-5 multi-consumer convention). The group
+    # key rides through the helper — no join to re-attach it.
+    _, wins = _token_window_hashes(df, k, col, id_col, carry_cols=(group_col,))
+    wins = wins.localCheckpoint()
+
+    group_sizes = base.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    # group_sizes is one row per group — broadcast. The boiler set is
+    # NOT force-broadcast: per group it is bounded (incidences /
+    # (min_frac × docs) ≈ shingles-per-doc / min_frac rows), but it
+    # grows with group count, so AQE picks broadcast while it fits and
+    # falls back to the co-partitioned (group, hash) shuffle join when
+    # a 100 TB crawl's domain count outgrows it.
+    boiler = (
+        wins.select(group_col, "wh", id_col)
+        .distinct()
+        .groupBy(group_col, "wh")
+        .agg(F.count("*").alias("_df"))
+        .join(F.broadcast(group_sizes), group_col)
+        .filter(F.col("_df") >= F.ceil(F.lit(min_frac) * F.col("_n_docs")))
+        .select(group_col, "wh")
+    )
+    flagged = wins.join(boiler, [group_col, "wh"], "left_semi")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + (k - 1)
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    contrib = F.greatest(
+        end - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("pos") - 1),
+        F.lit(0),
+    )
+    per_doc = (
+        flagged.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_boiler_windows"),
+            F.sum("contrib").cast("long").alias("boiler_tokens"),
+        )
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            F.coalesce("n_boiler_windows", F.lit(0))
+            .cast("long")
+            .alias("n_boiler_windows"),
+            F.coalesce("boiler_tokens", F.lit(0)).cast("long").alias("boiler_tokens"),
+            F.round(
+                F.coalesce("boiler_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("boiler_ratio"),
         )
     )
 

@@ -3168,3 +3168,60 @@ LIMIT 50
 )
 def t33_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.weighted_priority_sample(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "t34_boilerplate_removal",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, source, i AS pos,
+           {_md5l("array_to_string(w[i:i+1], ' ')")} AS wh
+    FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+          FROM t WHERE len(w) >= 2)
+),
+ns AS (SELECT source, count(DISTINCT doc_id) AS nd FROM t GROUP BY 1),
+f AS (SELECT source, wh, count(DISTINCT doc_id) AS df FROM wins GROUP BY 1, 2),
+boiler AS (
+    SELECT f.source, f.wh FROM f JOIN ns USING (source)
+    WHERE f.df >= ceil(0.15 * nd)
+),
+fl AS (
+    SELECT w.doc_id, w.pos, w.pos + 1 AS e,
+           max(w.pos + 1) OVER (PARTITION BY w.doc_id ORDER BY w.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM wins w JOIN boiler b ON w.source = b.source AND w.wh = b.wh
+),
+agg AS (
+    SELECT doc_id, count(*) AS nbw,
+           sum(greatest(e - greatest(coalesce(prev_end, 0), pos - 1), 0)) AS bt
+    FROM fl GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nbw, 0) AS BIGINT) AS n_boiler_windows,
+       CAST(coalesce(bt, 0) AS BIGINT) AS boiler_tokens,
+       round(coalesce(bt, 0) * 1.0 / greatest(len(w), 1), 6) AS boiler_ratio
+FROM t LEFT JOIN agg USING (doc_id)
+""",
+    doc="Domain-conditioned boilerplate detection (the CCNet/"
+    "trafilatura cleanup stage): a word 2-gram is boilerplate within "
+    "its crawl source when it appears in >= ceil(15% x source's docs) "
+    "distinct documents — headers/footers/nav repeat across a site's "
+    "pages but not across the web. Per doc, boilerplate occurrences "
+    "merge into maximal spans (the t23 interval-union window) and the "
+    "covered-token count + ratio is reported. Distinct from t23's "
+    "corpus-global 'appears twice anywhere': boilerplate is group-"
+    "RELATIVE frequency. Params (k=2, 15%) sized to the synthetic "
+    "fixture's vocabulary (its max per-source 2-gram doc-frequency is "
+    "~0.28; real crawls run k=5..13, 30-60%). Scale shape: exploded "
+    "tokens + lead over ONE per-doc sort (codegen, the t23 lesson); "
+    "the frequency exchanges carry (source, 60-bit hash, doc_id) — "
+    "never text; the boiler set semi-joins back and the span-union "
+    "window reuses the per-doc partitioning. operators/text."
+    "boilerplate_spans.",
+)
+def t34_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.boilerplate_spans(
+        load_table(spark, sf_dir, "documents"), k=2, min_frac=0.15
+    )

@@ -756,3 +756,23 @@ def test_interpolation_single_window_pass(spark):
     assert plan.count("Scan parquet") == 0
     # one Window for LOCF/interp nav; gap_fill itself adds none
     assert plan.count("Window") == 1
+
+
+def test_boilerplate_spans_pinned_single_window(spark):
+    """t34's plan claim: the token-window hash stream is pinned
+    (localCheckpoint) before its two consumers, so the residual plan
+    holds exactly ONE Window operator (the span interval-union) and
+    the raw text is never re-exploded; the group key rides through
+    the helper, so no join re-attaches it (2 pruned scans: the base
+    doc dim + group sizes, not 6)."""
+    from kafka_flink_spark.suite.llm_queries import t34_boilerplate_removal
+
+    plan = (
+        t34_boilerplate_removal(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert plan.count("Scan parquet") <= 2
+    assert "lambdafunction" not in plan.lower()
