@@ -95,6 +95,9 @@ R5_OPS = (
     "io17_cdc_changelog_apply",
     "io18_scd2_dimension_build",
     "g22_hot_key_distinct_twophase",
+    "e13_linear_interpolation",
+    "e14_ewma_smoothing",
+    "t34_boilerplate_removal",
 )
 
 
