@@ -215,3 +215,73 @@ def connected_components(
         .cast("long")
         .alias("component_size"),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan/Albert/Kumara 2007, made deterministic): every node
+    starts as its own label; each round, every node adopts the most
+    frequent label among its neighbors AND itself (the self-inclusive
+    vote), ties broken toward the SMALLEST label; nodes with no
+    neighbors keep their current label. Fixed ``iterations`` of fully
+    synchronous updates + the min tie-break make the algorithm order-
+    independent and therefore oracle-checkable. Classic LPA randomizes
+    update order to break the synchronous scheme's bipartite
+    OSCILLATION (a star's hub and leaves swap labels forever); the
+    self-vote is the deterministic fix — the hub's own label anchors
+    the tie and the star stabilizes on it in one round.
+
+    Pregel cost model, same as :func:`pagerank`: per round ONE
+    edge-keyed join (neighbor label lookup) + one (node, label) count
+    + one per-node argmax — all map-side combinable — with lineage
+    truncated by ``localCheckpoint`` so the plan never grows with the
+    round count. Edges must list both orientations (symmetric input,
+    as the co-purchase builder emits); the argmax is min over a
+    (-count, label) struct, an integer-exact total order — no floats
+    anywhere, bit-reproducible under any partitioning.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    # Pin the (possibly expensive) caller-derived relations: each is
+    # read once per round.
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = nodes.select(F.col(id_col)).localCheckpoint()
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("label"))
+    for _ in range(iterations):
+        msgs = edges.join(
+            labels.select(F.col(id_col).alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias(id_col), "label").unionByName(labels)
+        best = (
+            msgs.groupBy(id_col, "label")
+            .agg(F.count("*").alias("_n"))
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct((-F.col("_n")).alias("neg"), F.col("label"))
+                ).alias("_s")
+            )
+            .select(F.col(id_col), F.col("_s.label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("_new", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    from pyspark.sql.window import Window
+
+    return labels.select(
+        F.col(id_col),
+        F.col("label").alias("community_id"),
+        F.count("*")
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("community_size"),
+    )

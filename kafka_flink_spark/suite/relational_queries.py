@@ -2682,3 +2682,82 @@ def g22_hot_key_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         num_salts=16,
     )
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    levels = []
+    for k in range(iters):
+        levels.append(
+            f"""m{k + 1} AS (
+    SELECT id, label, count(*) AS n FROM (
+        SELECT e.src AS id, l.label FROM edges e JOIN l{k} l ON e.dst = l.id
+        UNION ALL SELECT id, label FROM l{k}
+    ) GROUP BY 1, 2
+),
+p{k + 1} AS (
+    SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+        FROM m{k + 1}
+    ) WHERE rn = 1
+),
+l{k + 1} AS (
+    SELECT nd.id, coalesce(p.label, l.label) AS label
+    FROM nodes nd
+    JOIN l{k} l ON l.id = nd.id
+    LEFT JOIN p{k + 1} p ON p.id = nd.id
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+l0 AS (SELECT id, id AS label FROM nodes),
+{chain}
+SELECT id AS part_id,
+       CAST(label AS BIGINT) AS community_id,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{iters}
+"""
+
+
+@register(
+    "gr4_label_propagation",
+    oracle=_lpa_oracle(2),
+    doc="Label-propagation community detection over the part "
+    "co-purchase graph (LPA, Raghavan et al. 2007) — 2 fully "
+    "synchronous SELF-INCLUSIVE rounds with min-label tie-break, "
+    "which make the normally order-randomized algorithm "
+    "deterministic (the self-vote anchors the synchronous scheme's "
+    "bipartite oscillation) and oracle-checkable via unrolled SQL "
+    "(the gr1 technique). "
+    "operators/graph.label_propagation: per round one edge-keyed "
+    "join + a (node, label) count + an integer-exact argmax (min "
+    "over a (-count, label) struct), lineage truncated per round — "
+    "the same Pregel cost model as PageRank, no floats anywhere. "
+    "Completes the graph family: ranking (gr1), motifs (gr2), "
+    "connectivity (gr3), communities (gr4).",
+)
+def gr4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    lp = label_propagation(nodes, edges, "id", iterations=2)
+    return lp.select(
+        F.col("id").alias("part_id"), "community_id", "community_size"
+    )

@@ -86,3 +86,45 @@ def test_connected_components_relay_nodes(spark):
     rows = connected_components(nodes_df, edges_df, "id").collect()
     got = {r.id: (r.component_id, r.component_size) for r in rows}
     assert got == {1: (1, 2), 3: (1, 2), 5: (5, 1), 9: (9, 1)}
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    min-tie-break rounds each triangle converges to its smallest
+    member's label and the bridge does not merge them; an isolated
+    node keeps its own label."""
+    from kafka_flink_spark.operators.graph import label_propagation
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    und = tri1 + tri2 + bridge
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    rows = label_propagation(nodes, edges, "id", iterations=2).collect()
+    got = {r.id: (r.community_id, r.community_size) for r in rows}
+    # round 1 (self-inclusive, all-ties -> min): tri1 members all
+    # adopt 0; n3 sees {3,4,5,2} -> 2, n4/n5 see {4,3,5}/{5,3,4} -> 3.
+    # round 2: tri1 stays 0 (n2's 0s outvote n3's single 2); n3 sees
+    # label 3 twice (n4, n5) vs 2/0 once -> 3; n4/n5 hold 3.
+    assert got[6] == (6, 1)  # isolated
+    assert {got[i] for i in (0, 1, 2)} == {(0, 3)}
+    assert {got[i] for i in (3, 4, 5)} == {(3, 3)}
+
+
+def test_label_propagation_star_adopts_hub(spark):
+    """A star: after round 1 every leaf holds the hub's label (its
+    only neighbor); round 2 leaves it converged — one community."""
+    from kafka_flink_spark.operators.graph import label_propagation
+
+    leaves = [1, 2, 3, 4]
+    und = [(0, x) for x in leaves]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    rows = label_propagation(nodes, edges, "id", iterations=2).collect()
+    got = {r.id: r.community_id for r in rows}
+    assert set(got.values()) == {0}
