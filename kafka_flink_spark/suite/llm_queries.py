@@ -3306,3 +3306,38 @@ def d10_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "d11_prefix_filter_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(c * 1.0 / (na + nb - c), 6) AS jaccard
+FROM common
+WHERE round(c * 1.0 / (na + nb - c), 6) >= 0.5
+""",
+    doc="Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. "
+    "2006): shingles ordered rarest-first by global document "
+    "frequency; at threshold tau only each doc's first "
+    "|S|-ceil(tau|S|)+1 shingles probe the join — LOSSLESS for "
+    "J >= tau (no shared prefix element bounds the intersection "
+    "below tau), so the oracle is simply the exact inverted-index "
+    "answer. The technique the d2 docstring names as the standard "
+    "scale mitigation, now implemented and evidenced: the plain "
+    "join's cost is quadratic in the hottest shingle's posting "
+    "list; the prefix order pushes frequent shingles out of the "
+    "probe set, bounding the join by rare-token lists "
+    "(operators/dedup.ngram_jaccard_pairs_prefix; candidate-"
+    "reduction measured in SCALING.md).",
+)
+def d11_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.5
+    )
