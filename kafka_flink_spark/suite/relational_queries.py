@@ -2761,3 +2761,46 @@ def gr4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.select(
         F.col("id").alias("part_id"), "community_id", "community_size"
     )
+
+
+@register(
+    "g23_pareto_frontier",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+           p_size
+    FROM part
+)
+SELECT q.p_partkey, q.price_cents, q.p_size
+FROM p q
+WHERE NOT EXISTS (
+    SELECT 1 FROM p d
+    WHERE d.price_cents <= q.price_cents AND d.p_size >= q.p_size
+      AND (d.price_cents < q.price_cents OR d.p_size > q.p_size)
+)
+""",
+    doc="2D skyline / Pareto frontier over part (minimize price, "
+    "maximize size): the parts for which no other part is both "
+    "cheaper-or-equal and larger-or-equal with one strict — the "
+    "classic dominance query (SKYLINE OF). operators/skyline."
+    "skyline_2d: the single-machine sort + running-min identity "
+    "distributed as equal-width value buckets (one broadcast span "
+    "row), a bucket-parallel RANGE-frame prev-min window, and a "
+    "B-row exclusive cumulative-min handoff broadcast back — one "
+    "shuffle of the rows, no self-join, where the naive NOT EXISTS "
+    "plan (the oracle, fine at fixture scale) is quadratic. "
+    "Duplicate (price, size) points co-survive on both engines.",
+)
+def g23_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    sky = skyline_2d(
+        p.withColumn("_negsize", -F.col("p_size")), "price_cents", "_negsize"
+    )
+    return sky.select("p_partkey", "price_cents", "p_size")
