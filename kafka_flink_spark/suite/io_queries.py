@@ -1035,3 +1035,83 @@ def io19_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         .unionByName(from_o_delta)
         .unionByName(from_c_delta)
     )
+
+
+@register(
+    "io20_snapshot_diff",
+    oracle="""
+WITH o_all AS (
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+),
+snap0 AS (SELECT * FROM o_all WHERE o_orderkey % 10 < 8),
+snap1 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 1000
+                ELSE price_cents END AS price_cents
+    FROM o_all
+    WHERE o_orderkey % 10 < 8 AND o_orderkey % 9 <> 0
+    UNION ALL
+    SELECT o_orderkey, price_cents FROM o_all WHERE o_orderkey % 10 >= 8
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.price_cents AS old_price_cents,
+       b.price_cents AS new_price_cents
+FROM snap0 a FULL OUTER JOIN snap1 b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.price_cents <> b.price_cents
+""",
+    doc="Snapshot diff / change data feed (the Delta Lake CDF shape, "
+    "time-travel diff between two table versions): a keyed FULL "
+    "OUTER join of the two snapshots classifies every key as "
+    "insert / delete / update (unchanged rows are dropped in the "
+    "same pass — no second scan), carrying old and new values for "
+    "downstream CDC consumers. Deterministic snapshots derived from "
+    "orders (deletes %9, price updates %7, inserts %10>=8 — the "
+    "io19 recipe family). ONE co-partitioned join on the key is the "
+    "entire plan; at 100 TB both snapshot scans prune to (key, "
+    "compared columns) and the join is the inherent cost of a diff "
+    "— no window, no sort, no driver state. Money in integer "
+    "cents.",
+)
+def io20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_all = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    snap0 = o_all.filter(F.col("o_orderkey") % 10 < 8)
+    snap1 = (
+        o_all.filter(
+            ((F.col("o_orderkey") % 10) < 8) & (F.col("o_orderkey") % 9 != 0)
+        )
+        .withColumn(
+            "price_cents",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("price_cents") + 1000
+            ).otherwise(F.col("price_cents")),
+        )
+        .unionByName(o_all.filter(F.col("o_orderkey") % 10 >= 8))
+    )
+    a = snap0.select(
+        F.col("o_orderkey").alias("_ka"), F.col("price_cents").alias("old_price_cents")
+    )
+    b = snap1.select(
+        F.col("o_orderkey").alias("_kb"), F.col("price_cents").alias("new_price_cents")
+    )
+    j = a.join(b, a._ka == b._kb, "full_outer")
+    return j.filter(
+        F.col("_ka").isNull()
+        | F.col("_kb").isNull()
+        | (F.col("old_price_cents") != F.col("new_price_cents"))
+    ).select(
+        F.coalesce("_ka", "_kb").alias("o_orderkey"),
+        F.when(F.col("_ka").isNull(), "insert")
+        .when(F.col("_kb").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_price_cents",
+        "new_price_cents",
+    )
