@@ -285,3 +285,66 @@ def label_propagation(
         .cast("long")
         .alias("community_size"),
     )
+
+
+_BFS_INF = 1 << 40
+
+
+def bfs_levels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    id_col: str = "id",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: per node, the hop distance to the nearest
+    source (0 for sources themselves), NULL if unreached within
+    ``max_hops`` — the path-finding primitive (impact radius, blast
+    zone, friend-of-friend reach). ``sources`` is a one-column
+    DataFrame of ``id_col`` seeds; edges must list both orientations.
+
+    Same Pregel loop as :func:`pagerank` / :func:`label_propagation`:
+    per round ONE edge-keyed join + a min-aggregate (map-side
+    combinable) + a least() merge with the standing distances,
+    lineage truncated per round. The frontier never materializes
+    separately — min(dist)+1 over neighbors is monotone, so re-
+    relaxing settled nodes is a no-op the aggregate absorbs. Integer
+    distances end-to-end; the unreachable sentinel stays internal
+    (NULL leaves the operator)."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    dist = (
+        nodes.select(F.col(id_col))
+        .join(
+            sources.select(F.col(id_col)).withColumn("_d", F.lit(0)),
+            id_col,
+            "left",
+        )
+        .select(F.col(id_col), F.col("_d").cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        nbr = (
+            edges.join(
+                dist.filter(F.col("dist").isNotNull()).select(
+                    F.col(id_col).alias("dst"), "dist"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias(id_col))
+            .agg((F.min("dist") + 1).alias("_nb"))
+        )
+        dist = (
+            dist.join(nbr, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.nullif(
+                    F.least(
+                        F.coalesce("dist", F.lit(_BFS_INF)),
+                        F.coalesce("_nb", F.lit(_BFS_INF)),
+                    ),
+                    F.lit(_BFS_INF),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist

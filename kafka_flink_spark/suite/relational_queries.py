@@ -2804,3 +2804,82 @@ def g23_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("_negsize", -F.col("p_size")), "price_cents", "_negsize"
     )
     return sky.select("p_partkey", "price_cents", "p_size")
+
+
+def _bfs_oracle(hops: int = 3) -> str:
+    inf = 1 << 40
+    levels = []
+    for k in range(hops):
+        levels.append(
+            f"""nb{k + 1} AS (
+    SELECT e.src AS id, min(d.dist) + 1 AS nb
+    FROM edges e JOIN d{k} d ON e.dst = d.id
+    WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d{k + 1} AS (
+    SELECT d.id,
+           nullif(least(coalesce(d.dist, {inf}), coalesce(n.nb, {inf})), {inf})
+               AS dist
+    FROM d{k} d LEFT JOIN nb{k + 1} n ON n.id = d.id
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+seed AS (
+    SELECT DISTINCT l_partkey AS id FROM lineitem
+    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+),
+d0 AS (
+    SELECT n.id, CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+    FROM nodes n LEFT JOIN seed s ON s.id = n.id
+),
+{chain}
+SELECT id AS part_id, CAST(dist AS BIGINT) AS hops FROM d{hops}
+"""
+
+
+@register(
+    "gr5_bfs_levels",
+    oracle=_bfs_oracle(3),
+    doc="Multi-source BFS hop distances over the part co-purchase "
+    "graph, seeded by the parts of the FIRST order (min orderkey): "
+    "per part, hops to the nearest seed within 3 rounds, NULL if "
+    "unreached — the path-finding primitive (impact radius / blast "
+    "zone). operators/graph.bfs_levels: the gr1/gr4 Pregel loop — "
+    "per round one edge-keyed join + a map-side-combinable min "
+    "aggregate + a least() merge, lineage truncated per round; the "
+    "frontier never materializes separately because min(dist)+1 is "
+    "monotone (re-relaxing settled nodes is absorbed by the "
+    "aggregate). Integer distances, unrolled-SQL oracle. The graph "
+    "family is now ranking (gr1), motifs (gr2), connectivity (gr3), "
+    "communities (gr4), paths (gr5).",
+)
+def gr5_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import bfs_levels
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    first_order = li.agg(F.min("l_orderkey").alias("k"))
+    seed = (
+        li.join(F.broadcast(first_order), li.l_orderkey == F.col("k"))
+        .select(F.col("l_partkey").alias("id"))
+        .distinct()
+    )
+    d = bfs_levels(nodes, edges, seed, "id", max_hops=3)
+    return d.select(F.col("id").alias("part_id"), F.col("dist").alias("hops"))

@@ -128,3 +128,23 @@ def test_label_propagation_star_adopts_hub(spark):
     rows = label_propagation(nodes, edges, "id", iterations=2).collect()
     got = {r.id: r.community_id for r in rows}
     assert set(got.values()) == {0}
+
+
+def test_bfs_levels_hand_graph(spark):
+    """Chain 0-1-2-3-4 seeded at 0: hops = index, capped at
+    max_hops=3 (node 4 unreached -> NULL); a second seed at 4 pulls
+    it to 0 and meets in the middle."""
+    from kafka_flink_spark.operators.graph import bfs_levels
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    seed0 = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in bfs_levels(nodes, edges, seed0, "id", 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None}
+
+    seeds = spark.createDataFrame([(0,), (4,)], "id long")
+    got2 = {r.id: r.dist for r in bfs_levels(nodes, edges, seeds, "id", 3).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
