@@ -98,6 +98,13 @@ R5_OPS = (
     "e13_linear_interpolation",
     "e14_ewma_smoothing",
     "t34_boilerplate_removal",
+    "d10_lsh_recall_eval",
+    "d11_prefix_filter_jaccard",
+    "gr4_label_propagation",
+    "gr5_bfs_levels",
+    "io19_incremental_join_maintenance",
+    "io20_snapshot_diff",
+    "g23_pareto_frontier",
 )
 
 
