@@ -375,3 +375,151 @@ def test_connected_components_matches_union_find(spark, edges, extra_nodes):
     rows = connected_components(nodes_df, edges_df, "id").collect()
     got = {r.id: (r.component_id, r.component_size) for r in rows}
     assert got == want
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # x (small range: ties likely)
+        st.integers(min_value=0, max_value=20),  # y
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(points=points_strategy, buckets=st.sampled_from([1, 3, 64]))
+@SET
+def test_skyline_matches_bruteforce(spark, points, buckets):
+    """skyline_2d == brute-force dominance filter for any point set
+    and any bucket count (including B=1, the degenerate single-bucket
+    path, and B=64 >> n, mostly-empty buckets)."""
+    from kafka_flink_spark.operators.skyline import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y", num_buckets=buckets).collect())
+
+    def dominated(q):
+        return any(
+            p[1] <= q[1] and p[2] <= q[2] and (p[1] < q[1] or p[2] < q[2])
+            for p in rows
+        )
+
+    want = sorted(r[0] for r in rows if not dominated(r))
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy)
+@SET
+def test_prefix_filter_matches_plain_jaccard(spark, docs):
+    """ngram_jaccard_pairs_prefix == ngram_jaccard_pairs at the same
+    threshold on adversarial tiny-alphabet docs (heavy shingle
+    sharing, repeated shingles, empty/short docs) — the losslessness
+    guarantee, exercised where prefixes are only 1-2 shingles."""
+    from kafka_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(df, min_jaccard=0.5).collect()
+    }
+    assert pref == plain
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(edges=edges_strategy, iters=st.sampled_from([1, 2, 3]))
+@SET
+def test_label_propagation_matches_reference(spark, edges, iters):
+    """Self-inclusive synchronous LPA == a pure-Python round-for-round
+    simulation on random small graphs (self-loops and duplicate edges
+    tolerated the same way on both sides)."""
+    from kafka_flink_spark.operators.graph import label_propagation
+
+    und = [(a, b) for a, b in edges if a != b]
+    sym = list({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    nodes = list(range(10))
+    if sym:
+        edf = spark.createDataFrame(sym, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {
+        r.id: r.community_id
+        for r in label_propagation(ndf, edf, "id", iterations=iters).collect()
+    }
+
+    nbrs = defaultdict(set)
+    for a, b in sym:
+        nbrs[a].add(b)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            votes = defaultdict(int)
+            votes[lab[n]] += 1
+            for m in nbrs[n]:
+                votes[lab[m]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        lab = nxt
+    assert got == lab
+
+
+@given(edges=edges_strategy, seeds=st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3))
+@SET
+def test_bfs_levels_matches_reference(spark, edges, seeds):
+    """bfs_levels == plain Python BFS truncated at max_hops."""
+    from kafka_flink_spark.operators.graph import bfs_levels
+
+    und = [(a, b) for a, b in edges if a != b]
+    sym = list({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    nodes = list(range(10))
+    edf = (
+        spark.createDataFrame(sym, "src long, dst long")
+        if sym
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "id long")
+    max_hops = 3
+    got = {
+        r.id: r.dist
+        for r in bfs_levels(ndf, edf, sdf, "id", max_hops=max_hops).collect()
+    }
+
+    nbrs = defaultdict(set)
+    for a, b in sym:
+        nbrs[a].add(b)
+    dist = {n: (0 if n in seeds else None) for n in nodes}
+    frontier = set(seeds)
+    for d in range(1, max_hops + 1):
+        frontier = {
+            m for n in frontier for m in nbrs[n] if dist[m] is None
+        }
+        for m in frontier:
+            dist[m] = d
+    assert got == dist
