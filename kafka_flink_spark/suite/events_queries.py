@@ -829,3 +829,58 @@ def e14_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "close_ewma",
     )
+
+
+@register(
+    "e15_attribution_touch",
+    oracle="""
+WITH ordered AS (
+    SELECT event_id, user_id, ts, event_type,
+           first_value(event_type) OVER w AS first_touch,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, first_touch, last_touch
+FROM ordered WHERE event_type = 'purchase'
+""",
+    doc="Marketing attribution (first-touch / last-touch): for every "
+    "purchase, the user's FIRST event type ever (first-touch channel) "
+    "and the latest non-purchase event type strictly before the "
+    "purchase (last-touch; NULL when the purchase is the user's first "
+    "action). Both attributions are window expressions over ONE "
+    "(user, ts, event_id) ordering — a single Window operator over a "
+    "single user-keyed exchange; the purchase filter runs after, "
+    "preserving partitioning. Deterministic tie order (ts, event_id) "
+    "on both engines.",
+)
+def e15_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last(non_purchase, ignorenulls=True).over(w_prev).alias("last_touch"),
+    )
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "first_touch", "last_touch"
+    )

@@ -3341,3 +3341,56 @@ def d11_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), min_jaccard=0.5
     )
+
+
+@register(
+    "t35_token_entropy",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT doc_id,
+           sum(c) AS n,
+           count(*) AS n_types,
+           sum(c * ln(c)) AS slc
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(ln(n) - slc / n, 6) AS token_entropy,
+       round(n_types * 1.0 / n, 6) AS type_token_ratio
+FROM agg
+""",
+    doc="Per-document token Shannon entropy + type-token ratio — the "
+    "lexical-diversity quality signals (low entropy = spam/keyword-"
+    "stuffing/repetition; complements t11's dup-share and t29's "
+    "Gopher rules). H = ln(n) - sum(c*ln(c))/n computed in that "
+    "exact algebraic form on BOTH engines (one ln per distinct "
+    "token, errors ~1 ulp absorbed by the shared round(6)). Plan: "
+    "explode -> (doc, token) count -> per-doc aggregate, two "
+    "map-side-combinable exchanges whose payload is (doc, token "
+    "hash-sized) rows; nothing corpus-quadratic, no Python.",
+)
+def t35_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("slc"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.log("n") - F.col("slc") / F.col("n"), 6).alias("token_entropy"),
+        F.round(F.col("n_types") * F.lit(1.0) / F.col("n"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
