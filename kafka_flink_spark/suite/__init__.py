@@ -186,6 +186,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 50-query budget line (round 5): exactly 50 names ----
 )
 
+# Round-6 rotation plan (do NOT reorder the active tuple above this
+# round): lead with the session-4 additions, none of which have a
+# driver row yet — e13_linear_interpolation, e14_ewma_smoothing,
+# t34_boilerplate_removal, d10_lsh_recall_eval,
+# d11_prefix_filter_jaccard, gr4_label_propagation, gr5_bfs_levels,
+# io19_incremental_join_maintenance, io20_snapshot_diff,
+# g23_pareto_frontier, t35_token_entropy, e15_attribution_touch —
+# then the three re-attests round 5 displaced (pipe3, pipe4, t28),
+# then spare slots re-attest the oldest green rows (r1/r2-era
+# candles/relational) so cumulative evidence stays fresh.
+
 
 def all_queries() -> dict[str, Query]:
     _load()
