@@ -776,3 +776,56 @@ def test_boilerplate_spans_pinned_single_window(spark):
     assert plan.count("Window") == 1, plan.count("Window")
     assert plan.count("Scan parquet") <= 2
     assert "lambdafunction" not in plan.lower()
+
+
+def test_snapshot_diff_single_join_no_window(spark):
+    """io20's plan claim: the diff is ONE full-outer key join — no
+    window, no sort-based dedup, no second scan for the unchanged-row
+    filter (it rides the join output)."""
+    from kafka_flink_spark.suite.io_queries import io20_snapshot_diff
+
+    plan = (
+        io20_snapshot_diff(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert plan.count("Window") == 0
+
+
+def test_skyline_no_cartesian_no_selfjoin(spark):
+    """g23's plan claim: the skyline never self-joins the data — no
+    CartesianProduct, no NestedLoop except the two broadcast handoffs
+    (span row + B-row cumulative-min), and exactly two Windows (the
+    bucket prev-min/same-x pass and the handoff's cumulative min)."""
+    from kafka_flink_spark.suite.relational_queries import g23_pareto_frontier
+
+    plan = (
+        g23_pareto_frontier(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_incremental_join_reuses_pinned_view(spark):
+    """io19's plan claim: the maintenance path reads the PINNED J0
+    (zero scans of the base join's inputs under the stable branch) —
+    the residual plan scans orders/customer only for the delta-sized
+    branches."""
+    from kafka_flink_spark.suite.io_queries import io19_incremental_join_maintenance
+
+    plan = (
+        io19_incremental_join_maintenance(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # delta branches: c1 (customer x2: anti + delta), o1_unchanged
+    # (orders), from_o_delta probes pinned o_delta — the base join
+    # itself contributes ZERO scans (it lives in the checkpoint).
+    assert plan.count("Scan parquet") <= 4
+    assert "ScanExistingRDD" in plan or "Scan ExistingRDD" in plan
