@@ -30,7 +30,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def main() -> None:
     from kafka_flink_spark.operators.graph import (
+        bfs_levels,
         connected_components,
+        label_propagation,
         pagerank,
         triangle_count,
     )
@@ -70,6 +72,26 @@ def main() -> None:
         cc.groupBy("component_id").count().orderBy(F.desc("count")).limit(3).collect()
     )
     print("largest components:", [(r.component_id, r["count"]) for r in comp_sizes])
+
+    # 4b. communities (self-inclusive deterministic LPA) and hop
+    # distances from the first order's parts — the rest of the family
+    lp = label_propagation(nodes, edges, "id", iterations=2)
+    comm = (
+        lp.groupBy("community_id").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    print("largest communities:", [(r.community_id, r["count"]) for r in comm])
+
+    seed = (
+        li.join(
+            F.broadcast(li.agg(F.min("l_orderkey").alias("k"))),
+            li.l_orderkey == F.col("k"),
+        )
+        .select(F.col("l_partkey").alias("id"))
+        .distinct()
+    )
+    hops = bfs_levels(nodes, edges, seed, "id", max_hops=3)
+    hist = hops.groupBy("dist").count().orderBy("dist").collect()
+    print("BFS hop histogram:", [(r.dist, r["count"]) for r in hist])
 
     # 5. behavioral funnel over the event stream
     ev = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
