@@ -105,6 +105,10 @@ R5_OPS = (
     "io19_incremental_join_maintenance",
     "io20_snapshot_diff",
     "g23_pareto_frontier",
+    "e16_cep_followed_by",
+    "e17_ab_test_welch",
+    "fe1_decile_binning",
+    "fe2_target_encoding",
 )
 
 

@@ -884,3 +884,156 @@ def e15_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "first_touch", "last_touch"
     )
+
+
+@register(
+    "e16_cep_followed_by",
+    oracle="""
+WITH nxt AS (
+    SELECT event_id, user_id, ts, event_type,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+    FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CAST(next_purchase_us - epoch_us(ts) AS BIGINT) AS us_to_purchase,
+       CAST(CASE WHEN next_purchase_us - epoch_us(ts) <= 3600000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS matched
+FROM nxt
+WHERE event_type = 'click'
+""",
+    doc="CEP followed-by pattern (Flink CEP's `begin('click')."
+    "followedBy('purchase').within(1h)` — the event-pattern surface "
+    "the reference's ecosystem advertises, re-expressed relationally): "
+    "for EVERY click, the first purchase by the same user strictly "
+    "after it in (ts, event_id) row order, with the exact latency and "
+    "a within-1-hour match flag. One window function — min over the "
+    "FOLLOWING frame of the purchase-only timestamp — so the whole "
+    "pattern costs a single user-keyed exchange + per-partition sort; "
+    "no self-join, no per-event scan-ahead. followedBy (skip "
+    "intervening events) rather than next (strict adjacency); a "
+    "not-followed-by guard is the same window with a NOT filter. "
+    "Latency in integer microseconds on both engines; unmatched "
+    "clicks keep NULL latency and matched=0.",
+)
+def e16_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.withColumn(
+        "next_purchase_us",
+        F.min(F.when(F.col("event_type") == "purchase", us)).over(w),
+    )
+    diff = F.col("next_purchase_us") - us
+    return nxt.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("click_ts"),
+        diff.cast("long").alias("us_to_purchase"),
+        F.when(diff <= F.lit(3_600_000_000), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("matched"),
+    )
+
+
+@register(
+    "e17_ab_test_welch",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2
+               AS variant,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2)
+               AS revenue
+    FROM events GROUP BY user_id
+)
+SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+       CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS conv_a,
+       CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS conv_b,
+       round(sum(CASE WHEN variant = 0 THEN converted END) * 1.0 /
+             count(CASE WHEN variant = 0 THEN 1 END), 6) AS rate_a,
+       round(sum(CASE WHEN variant = 1 THEN converted END) * 1.0 /
+             count(CASE WHEN variant = 1 THEN 1 END), 6) AS rate_b,
+       round(avg(CASE WHEN variant = 0 THEN revenue END), 6) AS mean_rev_a,
+       round(avg(CASE WHEN variant = 1 THEN revenue END), 6) AS mean_rev_b,
+       round((avg(CASE WHEN variant = 1 THEN revenue END) -
+              avg(CASE WHEN variant = 0 THEN revenue END)) /
+             sqrt(var_samp(CASE WHEN variant = 0 THEN revenue END) /
+                  count(CASE WHEN variant = 0 THEN 1 END) +
+                  var_samp(CASE WHEN variant = 1 THEN revenue END) /
+                  count(CASE WHEN variant = 1 THEN 1 END)), 6) AS welch_t
+FROM per_user
+""",
+    doc="A/B experiment readout with a Welch two-sample t statistic: "
+    "users deterministically split by an md5 hash bit (the portable "
+    "hashing/bucketing primitive, functions/hashing.md5_long — the "
+    "real-world assignment mechanism, robust to user_id assignment "
+    "order unlike a modulo split), then per-variant conversion rates "
+    "and per-user revenue mean/variance folded into ONE conditional "
+    "aggregation over the per-user relation — no per-variant "
+    "self-join, no second pass over the event log. welch_t = "
+    "(mb-ma)/sqrt(va/na + vb/nb) with sample variances; var_samp over "
+    "the NULL-masked conditional column aggregates exactly the "
+    "variant's users on both engines. Scale: one user-keyed exchange "
+    "(partial-aggregable) + one scalar exchange; per-user revenue "
+    "rounded to cents before the moment sums so both engines feed "
+    "identical doubles into mean/variance.",
+)
+def e17_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .withColumn("variant", md5_long(F.col("user_id").cast("string")) % 2)
+    )
+    a = F.col("variant") == 0
+    b = F.col("variant") == 1
+    rev_a = F.when(a, F.col("revenue"))
+    rev_b = F.when(b, F.col("revenue"))
+    return per_user.agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(a, F.col("converted"))).cast("long").alias("conv_a"),
+        F.sum(F.when(b, F.col("converted"))).cast("long").alias("conv_b"),
+        F.round(
+            F.sum(F.when(a, F.col("converted"))) * F.lit(1.0) / F.count(F.when(a, 1)), 6
+        ).alias("rate_a"),
+        F.round(
+            F.sum(F.when(b, F.col("converted"))) * F.lit(1.0) / F.count(F.when(b, 1)), 6
+        ).alias("rate_b"),
+        F.round(F.avg(rev_a), 6).alias("mean_rev_a"),
+        F.round(F.avg(rev_b), 6).alias("mean_rev_b"),
+        F.round(
+            (F.avg(rev_b) - F.avg(rev_a))
+            / F.sqrt(
+                F.var_samp(rev_a) / F.count(F.when(a, 1))
+                + F.var_samp(rev_b) / F.count(F.when(b, 1))
+            ),
+            6,
+        ).alias("welch_t"),
+    )

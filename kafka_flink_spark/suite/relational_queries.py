@@ -2883,3 +2883,145 @@ def gr5_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = bfs_levels(nodes, edges, seed, "id", max_hops=3)
     return d.select(F.col("id").alias("part_id"), F.col("dist").alias("hops"))
+
+
+@register(
+    "fe1_decile_binning",
+    oracle="""
+WITH edges AS (
+    SELECT [round(e, 6) FOR e IN
+            quantile_cont(l_extendedprice,
+                          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS es
+    FROM lineitem
+),
+binned AS (
+    SELECT CAST(1 + CAST(l.l_extendedprice > es[1] AS INT) + CAST(l.l_extendedprice > es[2] AS INT) + CAST(l.l_extendedprice > es[3] AS INT) + CAST(l.l_extendedprice > es[4] AS INT) + CAST(l.l_extendedprice > es[5] AS INT) + CAST(l.l_extendedprice > es[6] AS INT) + CAST(l.l_extendedprice > es[7] AS INT) + CAST(l.l_extendedprice > es[8] AS INT) + CAST(l.l_extendedprice > es[9] AS INT) AS BIGINT) AS bin,
+           l.l_extendedprice, l.l_returnflag
+    FROM lineitem l, edges
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+           AS return_rate
+FROM binned
+GROUP BY bin
+""",
+    doc="Equal-frequency decile binning (ML feature discretization) "
+    "WITHOUT a global sort: the 9 interior decile edges come from one "
+    "exact-percentile aggregate (type-7 interpolation, the definition "
+    "Spark percentile and DuckDB quantile_cont share — g18's proven "
+    "portability), broadcast as a single row, and bin assignment is "
+    "nine codegen comparisons per row — where ntile() would range-"
+    "shuffle and totally sort the fact table, this plan touches it "
+    "with one scan + one bin-keyed exchange carrying 10 partial "
+    "aggregates. The 100 TB variant swaps the exact percentile for "
+    "approx_percentile and keeps the identical dataflow. Edges "
+    "rounded to 6 dp on both engines before comparison so the "
+    "interpolated boundary is the same double bit pattern on both "
+    "sides; bin = 1 + count(edges < price) is deterministic for "
+    "boundary-valued rows.",
+)
+def fe1_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_returnflag"
+    )
+    probs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    edges = li.agg(F.percentile("l_extendedprice", probs).alias("es_raw")).select(
+        F.transform(F.col("es_raw"), lambda e: F.round(e, 6)).alias("es")
+    )
+    p = F.col("l_extendedprice")
+    bin_expr = F.lit(1)
+    for i in range(9):
+        bin_expr = bin_expr + (p > F.col("es")[i]).cast("int")
+    return (
+        li.crossJoin(F.broadcast(edges))
+        .select(
+            bin_expr.cast("long").alias("bin"),
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(
+                F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+@register(
+    "fe2_target_encoding",
+    oracle="""
+WITH b AS (
+    SELECT p.p_brand,
+           count(*) AS n,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+),
+g AS (SELECT p_brand, n, r,
+             sum(n) OVER () AS n_all, sum(r) OVER () AS r_all
+      FROM b)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(r AS BIGINT) AS n_returns,
+       round(r * 1.0 / n, 6) AS raw_rate,
+       round((r + 50.0 * (r_all * 1.0 / n_all)) / (n + 50), 6) AS encoded_rate
+FROM g
+""",
+    doc="Smoothed target encoding (the categorical-feature workhorse "
+    "for tabular ML): per-brand return rate shrunk toward the global "
+    "rate with pseudo-count m=50 — enc = (r + m*g)/(n + m) — so rare "
+    "categories don't memorize noise. One broadcast dimension join "
+    "(part is the small side), ONE pass over the fact table: the "
+    "global rate derives from the already-aggregated per-brand "
+    "relation (sum of its n/r columns), not a second fact scan, and "
+    "joins back as a broadcast single row. At 100 TB this is a scan + "
+    "one brand-keyed partial-aggregable exchange; the leakage-safe "
+    "leave-one-out variant subtracts the row's own contribution from "
+    "the same two broadcast aggregates at apply time — identical "
+    "dataflow.",
+)
+def fe2_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r"),
+        )
+    )
+    # global totals as a window over the brand-count-sized aggregate:
+    # one pass, no second fact scan, no pin needed (25 rows move to
+    # one partition for the unpartitioned window — trivially cheap at
+    # category cardinality)
+    wall = Window.partitionBy()
+    g = b.select(
+        "p_brand",
+        "n",
+        "r",
+        F.sum("n").over(wall).alias("n_all"),
+        F.sum("r").over(wall).alias("r_all"),
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.col("r").cast("long").alias("n_returns"),
+        F.round(F.col("r") * F.lit(1.0) / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("r") + F.lit(50.0) * (F.col("r_all") * F.lit(1.0) / F.col("n_all")))
+            / (F.col("n") + F.lit(50)),
+            6,
+        ).alias("encoded_rate"),
+    )

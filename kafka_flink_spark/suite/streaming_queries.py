@@ -899,3 +899,71 @@ def w26_stream_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return run_available_now(top, "complete")
+
+
+@register(
+    "w27_stream_dynamic_gap_sessions",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts) + CASE WHEN event_type = 'view'
+                               THEN 1800000000 ELSE 7200000000 END AS end_us
+    FROM events
+),
+marked AS (
+    SELECT user_id, ts, event_id, end_us,
+           max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
+    FROM g
+),
+sess AS (
+    SELECT user_id, ts, end_us,
+           sum(CASE WHEN prev_end_us IS NULL
+                      OR epoch_us(ts) >= prev_end_us THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+done AS (
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(end_us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(end_us) AS end_us
+    FROM sess
+    GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events
+FROM done
+WHERE end_us <= (SELECT max(epoch_us(ts)) FROM events)
+""",
+    doc="STREAMING dynamic-gap session windows — e11's gap-expression "
+    "sessionization run as a real Structured Streaming job (watermark "
+    "+ session_window(gap expr) + append mode, availableNow replay to "
+    "a memory sink): short-dwell 'view' events extend a session 30 "
+    "minutes, engaged events 2 hours, merged under streaming state. "
+    "Append emits a session when the watermark (delay 0) passes its "
+    "end, so the oracle is the batch gaps-and-islands derivation "
+    "restricted to sessions whose end <= the final watermark (= max "
+    "event time) — sessions still open at end-of-stream stay in "
+    "state, exactly the w12 convention. State is (users x open "
+    "sessions), watermark-bounded, independent of replay length.",
+)
+def w27_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import stream_events_raw
+
+    ev = stream_events_raw(spark, sf_dir).withWatermark("ts", "0 seconds")
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("2 hours")
+    )
+    sess = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(sess, "append")

@@ -72,7 +72,10 @@ def driver_canon_probe(pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+    # Usage: driver_sim.py [N|name1,name2,...] [sf_dir]
+    sel = sys.argv[1] if len(sys.argv) > 1 else str(10**9)
+    names_arg = None if sel.isdigit() else [s for s in sel.split(",") if s]
+    n = int(sel) if sel.isdigit() else 10**9
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     # Bare session, NO engine confs — the registered query wrappers
@@ -85,7 +88,13 @@ def main() -> None:
     from kafka_flink_spark.suite import all_queries
 
     qs = all_queries()
-    names = list(qs)[:n]
+    if names_arg:
+        missing = [m for m in names_arg if m not in qs]
+        if missing:
+            sys.exit(f"unknown query names: {missing}")
+        names = names_arg
+    else:
+        names = list(qs)[:n]
 
     duck = duckdb.connect()
     for t in TABLES:

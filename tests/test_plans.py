@@ -829,3 +829,47 @@ def test_incremental_join_reuses_pinned_view(spark):
     # itself contributes ZERO scans (it lives in the checkpoint).
     assert plan.count("Scan parquet") <= 4
     assert "ScanExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_cep_followed_by_single_exchange(spark):
+    """e16: the CEP followed-by pattern is ONE window function over a
+    user-keyed exchange — no self-join of clicks against purchases
+    (which would shuffle the event log twice and explode on hot
+    users). Exactly 1 exchange; no join operator in the plan."""
+    df = spark_queries()["e16_cep_followed_by"](spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_ab_test_single_pass_conditional_agg(spark):
+    """e17: both variants' moments come from ONE conditional
+    aggregation over the per-user relation — no per-variant
+    self-join. ≤2 hash exchanges (user agg + scalar agg) and no join
+    operator anywhere."""
+    df = spark_queries()["e17_ab_test_welch"](spark, SF_SMALL)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_decile_binning_no_global_sort(spark):
+    """fe1: equal-frequency binning must NOT plan a rangepartition +
+    global sort (the ntile shape): decile edges broadcast from one
+    percentile aggregate and bin assignment is codegen comparisons.
+    No RangePartitioning; the fact table crosses one broadcast
+    nested-loop (1-row edges) and one bin-keyed hash exchange."""
+    df = spark_queries()["fe1_decile_binning"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_target_encoding_single_fact_scan(spark):
+    """fe2: the global rate derives from the per-brand aggregate, not
+    a second scan of lineitem — exactly one lineitem scan in the
+    plan, and the dimension join broadcasts."""
+    df = spark_queries()["fe2_target_encoding"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert has_broadcast_join(df)
