@@ -109,6 +109,8 @@ R5_OPS = (
     "e17_ab_test_welch",
     "fe1_decile_binning",
     "fe2_target_encoding",
+    "gr6_kcore_peeling",
+    "qa3_psi_drift",
 )
 
 

@@ -348,3 +348,49 @@ def bfs_levels(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983 cores; the parallel
+    peel of Montresor et al. 2013): each round simultaneously deletes
+    every node whose degree within the currently-alive subgraph is
+    below ``k``; survivors of round r are scored by their degree
+    measured in round r-1's subgraph. A FIXED ``rounds`` count makes
+    the operator deterministic and oracle-checkable by unrolled SQL
+    (the gr1/gr4 technique); with rounds >= the peel depth the result
+    is the true k-core (the maximal subgraph with min degree >= k) —
+    the peel converges in O(peel-depth) synchronous rounds, typically
+    a handful on real graphs.
+
+    Same Pregel cost model as :func:`label_propagation`: per round two
+    semi-joins of the pinned edge list against the alive set + one
+    src-keyed count — map-side combinable, no floats, lineage
+    truncated per round with ``localCheckpoint`` so the plan is
+    round-count-independent. Edges must list both orientations
+    (symmetric input, as the co-purchase builder emits); degree is
+    out-degree over the symmetric list = undirected degree.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1: k={k} rounds={rounds}")
+    edges = edges.select("src", "dst").localCheckpoint()
+    alive = nodes.select(F.col(id_col)).localCheckpoint()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            edges.join(alive.select(F.col(id_col).alias("src")), "src")
+            .join(alive.select(F.col(id_col).alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias(id_col), F.col("deg"))
+            .localCheckpoint()
+        )
+    return alive.select(F.col(id_col), F.col("deg").cast("long").alias("core_degree"))

@@ -1037,3 +1037,133 @@ def e17_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+_PSI_BIN = " + ".join(f"CAST(t.value > es[{i}] AS INT)" for i in range(1, 10))
+
+
+@register(
+    "qa3_psi_drift",
+    oracle=f"""
+WITH span AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+tagged AS (
+    SELECT event_type, value,
+           CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM span)
+                THEN 0 ELSE 1 END AS period
+    FROM events
+),
+edges AS (
+    SELECT event_type,
+           [round(e, 6) FOR e IN
+            quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS es
+    FROM tagged WHERE period = 0 GROUP BY event_type
+),
+binned AS (
+    SELECT t.event_type, t.period,
+           CAST(1 + {_PSI_BIN} AS BIGINT) AS bin
+    FROM tagged t JOIN edges e ON t.event_type = e.event_type
+),
+counts AS (
+    SELECT event_type, bin,
+           count(CASE WHEN period = 0 THEN 1 END) AS c0,
+           count(CASE WHEN period = 1 THEN 1 END) AS c1
+    FROM binned GROUP BY 1, 2
+),
+spine AS (
+    SELECT e.event_type, CAST(g.b AS BIGINT) AS bin
+    FROM (SELECT event_type FROM edges) e, generate_series(1, 10) g(b)
+),
+filled AS (
+    SELECT s.event_type, s.bin,
+           coalesce(c.c0, 0) AS c0, coalesce(c.c1, 0) AS c1
+    FROM spine s LEFT JOIN counts c
+      ON c.event_type = s.event_type AND c.bin = s.bin
+),
+rated AS (
+    SELECT *,
+           sum(c0) OVER (PARTITION BY event_type) AS n0,
+           sum(c1) OVER (PARTITION BY event_type) AS n1
+    FROM filled
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_ref,
+       CAST(max(n1) AS BIGINT) AS n_cur,
+       round(sum(((c1 + 0.5) / (n1 + 5.0) - (c0 + 0.5) / (n0 + 5.0))
+                 * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c0 + 0.5) / (n0 + 5.0)))), 6)
+           AS psi
+FROM rated
+GROUP BY event_type
+""",
+    doc="Population Stability Index drift monitor (the standard "
+    "train/serving feature-drift check in ML observability): the "
+    "event timeline is split at its midpoint into reference and "
+    "current periods, the reference's per-event-type value deciles "
+    "become broadcast bin edges (fe1's no-global-sort technique), "
+    "both periods are binned by nine codegen comparisons, and "
+    "PSI = sum((p_cur - p_ref) * ln(p_cur/p_ref)) over the 10 bins "
+    "with +0.5 Laplace smoothing guarding empty bins. Drift triage "
+    "reads: <0.1 stable, 0.1-0.25 moderate, >0.25 action. One fact "
+    "scan feeds both the edge aggregate and the binning (edge "
+    "relation is category-sized and broadcast); bin totals via a "
+    "window over the 10-bins-per-type relation — nothing larger than "
+    "(types x 10) past the first aggregation; the same plan at 100 TB "
+    "swaps exact percentile for approx_percentile.",
+)
+def qa3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    us = F.unix_micros("ts")
+    span = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        F.when(us * 2 < F.col("lo") + F.col("hi"), 0).otherwise(1).alias("period"),
+    )
+    probs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    edges = (
+        tagged.filter(F.col("period") == 0)
+        .groupBy("event_type")
+        .agg(F.percentile("value", probs).alias("es_raw"))
+        .select(
+            "event_type",
+            F.transform(F.col("es_raw"), lambda e: F.round(e, 6)).alias("es"),
+        )
+    )
+    bin_expr = F.lit(1)
+    for i in range(9):
+        bin_expr = bin_expr + (F.col("value") > F.col("es")[i]).cast("int")
+    binned = tagged.join(F.broadcast(edges), "event_type").select(
+        "event_type", "period", bin_expr.cast("long").alias("bin")
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("period") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("period") == 1, 1)).alias("c1"),
+    )
+    spine = edges.select("event_type").crossJoin(
+        F.broadcast(
+            spark.range(1, 11).select(F.col("id").alias("bin"))
+        )
+    )
+    filled = (
+        spine.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    rated = filled.select(
+        "event_type",
+        "c0",
+        "c1",
+        F.sum("c0").over(w).alias("n0"),
+        F.sum("c1").over(w).alias("n1"),
+    )
+    r0 = (F.col("c0") + 0.5) / (F.col("n0") + 5.0)
+    r1 = (F.col("c1") + 0.5) / (F.col("n1") + 5.0)
+    return rated.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n_ref"),
+        F.max("n1").cast("long").alias("n_cur"),
+        F.round(F.sum((r1 - r0) * F.log(r1 / r0)), 6).alias("psi"),
+    )

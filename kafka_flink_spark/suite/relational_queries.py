@@ -3025,3 +3025,80 @@ def fe2_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("encoded_rate"),
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    lvls = []
+    for r in range(1, rounds + 1):
+        lvls.append(
+            f"""d{r} AS (
+    SELECT e.src AS id, count(*) AS deg FROM edges e
+    JOIN a{r - 1} s ON e.src = s.id
+    JOIN a{r - 1} t ON e.dst = t.id
+    GROUP BY 1
+),
+a{r} AS (SELECT id, deg FROM d{r} WHERE deg >= {k})"""
+        )
+    chain = ",\n".join(lvls)
+    return f"""
+WITH co AS (
+    SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (
+    SELECT src, dst FROM co GROUP BY src, dst HAVING count(*) >= 2
+),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+a0 AS (SELECT id FROM nodes),
+{chain}
+SELECT id AS part_id, CAST(deg AS BIGINT) AS core_degree
+FROM a{rounds}
+"""
+
+
+@register(
+    "gr6_kcore_peeling",
+    oracle=_kcore_oracle(3, 3),
+    doc="k-core peeling (Seidman 1983; parallel peel per Montresor et "
+    "al. 2013) over the SUPPORT-FILTERED co-purchase graph: parts are "
+    "linked only when they share >= 2 distinct orders (the support "
+    "threshold that turns the dense co-occurrence graph into the "
+    "meaningful affinity graph), then 3 synchronous rounds delete "
+    "every node with alive-degree < 3; survivors carry their last-"
+    "measured core degree. Fixed round count => deterministic and "
+    "unrolled-SQL-checkable (the gr1/gr4 technique); with rounds >= "
+    "peel depth this IS the 3-core. operators/graph.kcore: per round "
+    "two alive-set semi-joins of the pinned edge list + one map-side-"
+    "combinable degree count, lineage truncated per round — the same "
+    "Pregel cost model as gr1/gr4/gr5. Completes the graph family "
+    "with density decomposition: ranking (gr1), motifs (gr2), "
+    "connectivity (gr3), communities (gr4), paths (gr5), cores (gr6).",
+)
+def gr6_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        co.groupBy("src", "dst")
+        .agg(F.count("*").alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("src", "dst")
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    core = kcore(nodes, edges, "id", k=3, rounds=3)
+    return core.select(F.col("id").alias("part_id"), "core_degree")

@@ -148,3 +148,62 @@ def test_bfs_levels_hand_graph(spark):
     seeds = spark.createDataFrame([(0,), (4,)], "id long")
     got2 = {r.id: r.dist for r in bfs_levels(nodes, edges, seeds, "id", 3).collect()}
     assert got2 == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def _kcore_reference(
+    nodes: list[int], edges: list[tuple[int, int]], k: int, rounds: int
+) -> dict[int, int]:
+    """Synchronous peel: all sub-k nodes deleted simultaneously each
+    round; survivors keep the degree measured before their round's
+    deletion."""
+    alive = set(nodes)
+    deg: dict[int, int] = {}
+    for _ in range(rounds):
+        deg = {n: 0 for n in alive}
+        for s, d in edges:
+            if s in alive and d in alive:
+                deg[s] += 1
+        alive = {n for n in alive if deg.get(n, 0) >= k}
+    return {n: deg[n] for n in alive}
+
+
+def test_kcore_hand_graph(spark):
+    from kafka_flink_spark.operators.graph import kcore
+
+    # a 4-clique (the 3-core) with a pendant path hanging off it, and
+    # an isolated node; symmetric edge list
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    nodes = list(range(7))
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.core_degree
+        for r in kcore(nodes_df, edges_df, "id", k=3, rounds=3).collect()
+    }
+    want = _kcore_reference(nodes, edges, 3, 3)
+    assert got == want
+    # the clique survives as the 3-core, everything else peels off
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == 3 and got[3] == 3
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    """A chain peels one end per round under synchronous k=2 peeling —
+    verifies the round-by-round semantics (and that rounds matter)."""
+    from kafka_flink_spark.operators.graph import kcore
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    nodes = list(range(5))
+    nodes_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = {
+            r.id: r.core_degree
+            for r in kcore(nodes_df, edges_df, "id", k=2, rounds=rounds).collect()
+        }
+        want = _kcore_reference(nodes, edges, 2, rounds)
+        assert got == want, (rounds, got, want)
+    # fully peeled once converged: a path has no 2-core
+    assert _kcore_reference(nodes, edges, 2, 3) == {}

@@ -873,3 +873,16 @@ def test_target_encoding_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert has_broadcast_join(df)
+
+
+def test_psi_drift_no_data_sized_exchange(spark):
+    """qa3: the fact table is scanned narrow (3 columns) and every
+    exchange payload past the scans is category-sized — the first
+    aggregation is map-side combinable to (event_type, bin) rows. No
+    RangePartitioning anywhere (the percentile edges broadcast, fe1's
+    shape)."""
+    df = spark_queries()["qa3_psi_drift"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    n = count_exchanges(df)
+    assert n <= 6, n
