@@ -111,6 +111,7 @@ R5_OPS = (
     "fe2_target_encoding",
     "gr6_kcore_peeling",
     "qa3_psi_drift",
+    "v13_ivfpq_rerank_topk",
 )
 
 

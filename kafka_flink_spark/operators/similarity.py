@@ -1025,3 +1025,56 @@ def ivfpq_adc_topk(
             "query_id", "neighbor_id", "adc_d2", F.col("rn").cast("int").alias("rn")
         )
     )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """Two-stage retrieval — the full production ANN serving shape:
+    stage 1 shortlists ``n_candidates`` per query with :func:`ivfpq_
+    adc_topk` (compressed 8-byte codes, asymmetric distance, probed
+    cells only), stage 2 re-scores ONLY the shortlist against the
+    original full-precision vectors with exact cosine and emits the
+    true top-``k`` of the shortlist. This is FAISS's
+    ``index.search`` + refine / the retrieval-then-rerank split every
+    vector database ships: ADC recall losses come almost entirely
+    from score quantization ORDER errors near the cut, which exact
+    rerank of a modestly larger candidate set repairs for the cost of
+    |queries| x n_candidates full-vector reads.
+
+    Scale shape: the candidate list (query, neighbor) is
+    queries-sized — it BROADCASTS back onto the corpus, so stage 2 is
+    a broadcast semi-probe + per-candidate dot product; the corpus's
+    full vectors are read only for shortlisted ids, nothing
+    corpus-sized shuffles in either stage.
+    """
+    cand = ivfpq_adc_topk(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, **ivfpq_kwargs
+    ).select("query_id", "neighbor_id")
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    scored = (
+        base.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

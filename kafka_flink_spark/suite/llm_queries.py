@@ -2919,10 +2919,37 @@ adc AS (
     WHERE neighbor_id <> query_id
     GROUP BY query_id, neighbor_id
 )
+"""
+
+
+def _v12_oracle() -> str:
+    return _ivfpq_body() + """
 SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rn
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10
+"""
+
+
+def _v13_oracle(n_cand: int = 50, k: int = 10) -> str:
+    return _ivfpq_body() + f""",
+cand AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_d2, neighbor_id) AS crn FROM adc)
+    WHERE crn <= {n_cand}
+),
+rer AS (
+    SELECT c.query_id, c.neighbor_id,
+           round({_duck_cosine("q.qv", "e.v")}, 6) AS cos_sim
+    FROM cand c
+    JOIN e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM rer)
+WHERE rn <= {k}
 """
 
 
@@ -3061,7 +3088,7 @@ def t32_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.model_quality_scores(load_table(spark, sf_dir, "documents"))
 
 
-def _v12_oracle() -> str:
+def _ivfpq_body() -> str:
     d2_64 = (
         "CAST(round(list_dot_product("
         "list_transform(range(64), i -> {a}[i+1] - {b}[i+1]), "
@@ -3123,10 +3150,37 @@ adc AS (
     WHERE neighbor_id <> query_id
     GROUP BY query_id, neighbor_id
 )
+"""
+
+
+def _v12_oracle() -> str:
+    return _ivfpq_body() + """
 SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rn
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10
+"""
+
+
+def _v13_oracle(n_cand: int = 50, k: int = 10) -> str:
+    return _ivfpq_body() + f""",
+cand AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_d2, neighbor_id) AS crn FROM adc)
+    WHERE crn <= {n_cand}
+),
+rer AS (
+    SELECT c.query_id, c.neighbor_id,
+           round({_duck_cosine("q.qv", "e.v")}, 6) AS cos_sim
+    FROM cand c
+    JOIN e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM rer)
+WHERE rn <= {k}
 """
 
 
@@ -3147,6 +3201,27 @@ def v12_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
     return S.ivfpq_adc_topk(emb, queries, k=10)
+
+
+@register(
+    "v13_ivfpq_rerank_topk",
+    oracle=_v13_oracle(50, 10),
+    doc="Two-stage retrieval (operators/similarity.ivfpq_rerank_topk) "
+    "- the production ANN SERVING shape every vector database ships: "
+    "the v12 IVF+PQ/ADC index shortlists 50 candidates per query "
+    "from 8-byte codes, then ONLY the shortlist is re-scored against "
+    "full-precision vectors with exact cosine for the true top-10 of "
+    "the shortlist. ADC's recall loss is mostly order errors near "
+    "the cut; reranking a 5x candidate set repairs them for "
+    "|queries| x 50 full-vector reads. The candidate list broadcasts "
+    "back onto the corpus (queries-sized), so stage 2 adds zero "
+    "corpus-sized exchange - the asymmetry that lets the compressed "
+    "index serve while full vectors stay in cold storage.",
+)
+def v13_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+    return S.ivfpq_rerank_topk(emb, queries, k=10, n_candidates=50)
 
 
 @register(
