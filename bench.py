@@ -112,6 +112,8 @@ R5_OPS = (
     "gr6_kcore_peeling",
     "qa3_psi_drift",
     "v13_ivfpq_rerank_topk",
+    "pipe8_canonical_selection",
+    "fe3_feature_hashing",
 )
 
 

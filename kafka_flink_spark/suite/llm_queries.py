@@ -3469,3 +3469,138 @@ def t35_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+@register(
+    "pipe8_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE sig AS ({_simhash_sig_sql()}),
+prs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM prs
+    UNION
+    SELECT doc_b, doc_a FROM prs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+q AS (
+    SELECT doc_id,
+           round(least(n_words / 100.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct * 1.0 / greatest(n_chars, 1) * 4, 1.0)) * 0.3
+                 + least(n_stop * 1.0 / greatest(n_words, 1) * 5, 1.0) * 0.3, 6)
+               AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['a','the','of','and','to','in','is','it'], t)))
+                   AS n_stop
+        FROM documents
+    )
+),
+j AS (SELECT l.cluster_id, l.doc_id, q.quality_score FROM lab l JOIN q USING (doc_id))
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST((min({{'nq': -quality_score, 'id': doc_id}})).id AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(max(quality_score), 6) AS keep_quality
+FROM j GROUP BY cluster_id
+""",
+    doc="Canonical document selection — the step production dedup "
+    "runs AFTER clustering: near-dup clusters (d7's exact SimHash "
+    "pair graph -> min-label connected components) each keep their "
+    "highest-quality member (t2's heuristic score, ties to the "
+    "smallest doc_id via an integer-exact min over a (-score, id) "
+    "struct), emitting (cluster, keeper, size, kept quality). "
+    "Composition of three verified primitives in ONE lazy plan; the "
+    "argmax adds a single cluster-keyed map-side-combinable "
+    "aggregate on top of d7's label relation — scores are rounded "
+    "to 6 dp on both engines BEFORE comparison, so the argmax order "
+    "is bit-deterministic. Singleton clusters pass through as their "
+    "own keepers (the common case at web scale; the aggregate costs "
+    "the same either way).",
+)
+def pipe8_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=6, bucket_cap=None).select(
+        "doc_a", "doc_b"
+    )
+    labels = D.dedup_clusters(docs.select("doc_id"), pairs)
+    q = X.quality_scores(docs).select("doc_id", "quality_score")
+    j = labels.join(q, "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct((-F.col("quality_score")).alias("nq"), F.col("doc_id")),
+        ).alias("keep_id"),
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.max("quality_score"), 6).alias("keep_quality"),
+    )
+
+
+@register(
+    "fe3_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           {_md5l("'fh:' || t")} % 256 AS bucket,
+           CASE WHEN {_md5l("'fhs:' || t")} % 2 = 1 THEN 1 ELSE -1 END AS sgn
+    FROM tok WHERE t <> ''
+),
+vec AS (
+    SELECT doc_id, bucket, sum(sgn) AS w
+    FROM hashed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(count(CASE WHEN w <> 0 THEN 1 END) AS BIGINT) AS nnz,
+       CAST(sum(abs(w)) AS BIGINT) AS l1,
+       CAST(sum(w * w) AS BIGINT) AS l2_sq
+FROM vec GROUP BY doc_id
+""",
+    doc="Hashing-trick featurization (Weinberger et al. 2009 — the "
+    "fixed-width bag-of-words encoder behind Vowpal-Wabbit-style "
+    "linear models and the standard vocabulary-free baseline): each "
+    "token hashes to one of 256 buckets with a second-hash +/-1 sign "
+    "(the signed construction that makes collisions cancel in "
+    "expectation, keeping inner products unbiased), per-document "
+    "bucket weights are signed counts, and the query emits the "
+    "sparse-vector summary (nnz / L1 / L2^2) — ALL integer-exact on "
+    "both engines via the portable md5 hash family. Plan: explode -> "
+    "(doc, bucket) partial-aggregable sum -> per-doc aggregate; the "
+    "exchange payload is at most 256 rows per document regardless of "
+    "document length — the dimensionality fix IS the scale bound, "
+    "which is why the technique serves 100 TB corpora without a "
+    "vocabulary pass.",
+)
+def fe3_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hashed = tok.select(
+        "doc_id",
+        (md5_long(F.concat(F.lit("fh:"), F.col("t"))) % 256).alias("bucket"),
+        F.when(
+            md5_long(F.concat(F.lit("fhs:"), F.col("t"))) % 2 == 1, 1
+        ).otherwise(-1).alias("sgn"),
+    )
+    vec = hashed.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("w"))
+    return vec.groupBy("doc_id").agg(
+        F.count(F.when(F.col("w") != 0, 1)).cast("long").alias("nnz"),
+        F.sum(F.abs("w")).cast("long").alias("l1"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("l2_sq"),
+    )

@@ -886,3 +886,13 @@ def test_psi_drift_no_data_sized_exchange(spark):
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     n = count_exchanges(df)
     assert n <= 6, n
+
+
+def test_feature_hashing_bounded_exchanges(spark):
+    """fe3: explode → (doc, bucket) sum → per-doc aggregate — exactly
+    2 hash exchanges, both partial-aggregable, no join; the exchange
+    payload is ≤256 buckets per doc regardless of document length."""
+    df = spark_queries()["fe3_feature_hashing"](spark, SF_SMALL)
+    assert count_exchanges(df) == 2, count_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
