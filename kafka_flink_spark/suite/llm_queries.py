@@ -2919,37 +2919,10 @@ adc AS (
     WHERE neighbor_id <> query_id
     GROUP BY query_id, neighbor_id
 )
-"""
-
-
-def _v12_oracle() -> str:
-    return _ivfpq_body() + """
 SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INT) AS rn
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
 WHERE rn <= 10
-"""
-
-
-def _v13_oracle(n_cand: int = 50, k: int = 10) -> str:
-    return _ivfpq_body() + f""",
-cand AS (
-    SELECT query_id, neighbor_id
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_d2, neighbor_id) AS crn FROM adc)
-    WHERE crn <= {n_cand}
-),
-rer AS (
-    SELECT c.query_id, c.neighbor_id,
-           round({_duck_cosine("q.qv", "e.v")}, 6) AS cos_sim
-    FROM cand c
-    JOIN e ON e.vec_id = c.neighbor_id
-    JOIN q ON q.query_id = c.query_id
-)
-SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-          ORDER BY cos_sim DESC, neighbor_id) AS rn FROM rer)
-WHERE rn <= {k}
 """
 
 
