@@ -114,6 +114,7 @@ R5_OPS = (
     "v13_ivfpq_rerank_topk",
     "pipe8_canonical_selection",
     "fe3_feature_hashing",
+    "d12_containment_pairs",
 )
 
 

@@ -944,3 +944,61 @@ def incremental_dedup(
             F.col("b.jaccard").alias("jaccard"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — Broder's (1997) second
+    resemblance measure: C = |A∩B| / min(|A|,|B|), the signal for
+    PARTIAL duplication (one document embedded in a larger one —
+    quotation, boilerplate wrapping, page-with-extra-chrome) that
+    Jaccard structurally misses: a 100-shingle doc fully contained in
+    a 1000-shingle doc has J≈0.1 but C=1.0. Same inverted-index
+    dataflow as :func:`ngram_jaccard_pairs` (and the same prefix/
+    frequency mitigations apply at scale); only the denominator
+    algebra differs, so both measures ride one shingle join when run
+    together. Emits unordered pairs with both containment and
+    jaccard, thresholded on containment.
+    """
+    from pyspark.sql.window import Window
+
+    sr = shingle_rows(df, col, id_col)
+    ex = sr.select(
+        F.col(id_col),
+        F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
+        F.col("s"),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )

@@ -3577,3 +3577,38 @@ def fe3_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs("w")).cast("long").alias("l1"),
         F.sum(F.col("w") * F.col("w")).cast("long").alias("l2_sq"),
     )
+
+
+@register(
+    "d12_containment_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS na, b.n_sh AS nb, count(*) AS c
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / least(na, nb), 6) AS containment,
+       round(c * 1.0 / (na + nb - c), 6) AS jaccard
+FROM common
+WHERE round(c * 1.0 / least(na, nb), 6) >= 0.4
+""",
+    doc="Exact n-gram CONTAINMENT pairs (Broder 1997's second "
+    "resemblance measure, C = |A∩B|/min(|A|,|B|)): the PARTIAL-"
+    "duplication signal — a short document fully embedded in a "
+    "longer one (quotation, boilerplate wrapping, page chrome) "
+    "scores C≈1 while Jaccard, diluted by the size difference, "
+    "structurally misses it. Same inverted-index dataflow as d2 "
+    "(operators/dedup.ngram_containment_pairs — only the "
+    "denominator algebra differs, so both measures ride one shingle "
+    "join when run together), same prefix-filter/hot-shingle "
+    "mitigations at 100 TB. Both measures emitted per pair for "
+    "contrast; thresholded on containment.",
+)
+def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), min_containment=0.4
+    )
