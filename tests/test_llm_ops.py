@@ -1381,3 +1381,77 @@ def test_weighted_priority_sample_formula_and_topk(spark):
         key=lambda t: (-t[0], t[1]),
     )[:10]
     assert [(r.priority, r.doc_id, r.n_tokens) for r in got] == want
+
+
+def test_containment_detects_embedded_document(spark):
+    """d12 semantics: a short doc fully embedded in a longer one has
+    containment 1.0 even though Jaccard is diluted below any useful
+    threshold — the partial-duplication case the measure exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # short doc embedded + lots of chrome
+        (3, "totally unrelated content with none of those tokens at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in D.ngram_containment_pairs(df, min_containment=0.8).collect()
+    }
+    assert (1, 2) in out
+    pair = out[(1, 2)]
+    assert pair.containment == 1.0
+    assert pair.jaccard < 0.1  # Jaccard alone would have missed it
+    assert len(out) == 1
+
+
+def test_canonical_selection_keeps_best_quality(spark):
+    """pipe8's keeper policy: within a cluster the highest quality
+    score wins, ties to the smallest doc_id; singletons keep
+    themselves."""
+    from pyspark.sql import functions as F
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster_id long"
+    )
+    q = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    j = labels.join(q, "doc_id")
+    keep = {
+        r.cluster_id: r
+        for r in j.groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                "doc_id",
+                F.struct((-F.col("quality_score")).alias("nq"), F.col("doc_id")),
+            ).alias("keep_id"),
+            F.count("*").alias("n_members"),
+        )
+        .collect()
+    }
+    assert keep[1].keep_id == 2  # 0.9 tie -> smaller doc_id among (2, 3)
+    assert keep[9].keep_id == 9 and keep[9].n_members == 1
+
+
+def test_ivfpq_rerank_exact_on_shortlist(spark):
+    """v13: with the candidate set widened to the whole corpus, the
+    rerank stage must reproduce brute-force cosine top-k exactly —
+    the rerank is exact, only the shortlist is approximate."""
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+    queries = emb.filter("vec_id IN (0, 1)")
+    exact = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    rer = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in S.ivfpq_rerank_topk(
+            emb, queries, k=5, n_candidates=10_000, n_probe=8
+        ).collect()
+    }
+    assert rer == exact
