@@ -523,3 +523,109 @@ def test_bfs_levels_matches_reference(spark, edges, seeds):
         for m in frontier:
             dist[m] = d
     assert got == dist
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # user_id
+        st.integers(min_value=0, max_value=7200),   # ts seconds offset
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy)
+@SET
+def test_cep_followed_by_matches_bruteforce(spark, rows):
+    """e16's window formulation == a brute-force scan: for each click,
+    the first purchase by the same user strictly after it in
+    (ts, event_id) row order; matched iff within 1h. Ties on ts are
+    exactly the adversarial case the ordered-pair tiebreak exists for."""
+    data = [
+        (i, u, 1704067200 + t, et) for i, (u, t, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, t long, event_type string"
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+
+    us = F.unix_micros("ts")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = df.withColumn(
+        "np", F.min(F.when(F.col("event_type") == "purchase", us)).over(w)
+    )
+    got = {
+        r.event_id: (r.np, r.matched)
+        for r in nxt.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "np",
+            F.when(F.col("np") - us <= 3_600_000_000, 1).otherwise(0).alias("matched"),
+        )
+        .collect()
+    }
+
+    # brute force over (ts, event_id)-sorted rows per user
+    want = {}
+    by_user = defaultdict(list)
+    for eid, u, t, et in data:
+        by_user[u].append((t, eid, et))
+    for u, evs in by_user.items():
+        evs.sort()
+        for i, (t, eid, et) in enumerate(evs):
+            if et != "click":
+                continue
+            np_us = None
+            for t2, eid2, et2 in evs[i + 1:]:
+                if et2 == "purchase":
+                    np_us = t2 * 1_000_000
+                    break
+            matched = 1 if np_us is not None and np_us - t * 1_000_000 <= 3_600_000_000 else 0
+            want[eid] = (np_us, matched)
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=10,
+        max_size=60,
+    )
+)
+@SET
+def test_decile_binning_equal_frequency(spark, vals):
+    """fe1's broadcast-edge binning produces (near-)equal-frequency
+    bins: with distinct values, no bin exceeds ceil(n/10) + the
+    duplicate slack; every value lands in exactly one bin 1..10."""
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    probs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    edges = df.agg(F.percentile("x", probs).alias("es_raw")).select(
+        F.transform(F.col("es_raw"), lambda e: F.round(e, 6)).alias("es")
+    )
+    bin_expr = F.lit(1)
+    for i in range(9):
+        bin_expr = bin_expr + (F.col("x") > F.col("es")[i]).cast("int")
+    out = (
+        df.crossJoin(F.broadcast(edges))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    bins = {r.bin: r["count"] for r in out}
+    assert all(1 <= b <= 10 for b in bins)
+    assert sum(bins.values()) == len(vals)
+    # equal-frequency within duplicate slack: a bin can only exceed
+    # ceil(n/10) when duplicated values straddle an edge
+    import math
+
+    cap = math.ceil(len(vals) / 10)
+    dup_slack = len(vals) - len(set(vals))
+    assert max(bins.values()) <= cap + dup_slack + 1, bins
