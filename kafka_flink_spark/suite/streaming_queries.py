@@ -967,3 +967,162 @@ def w27_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return run_available_now(sess, "append")
+
+
+_W28_BIN_DUCK = " + ".join(
+    f"CAST(t.value > es[{i}] AS INT)" for i in range(1, 10)
+)
+
+
+def _w28_psi_duck() -> str:
+    rk = "((rc{k} + 0.5) / (rn + 5.0))"
+    ck = "((c{k} + 0.5) / (n + 5.0))"
+    terms = " + ".join(
+        f"({ck.format(k=k)} - {rk.format(k=k)}) * ln({ck.format(k=k)} / {rk.format(k=k)})"
+        for k in range(1, 11)
+    )
+    return terms
+
+
+def _w28_oracle() -> str:
+    ref_counts = ",\n           ".join(
+        f"count(CASE WHEN period = 0 AND bin = {k} THEN 1 END) AS rc{k}"
+        for k in range(1, 11)
+    )
+    win_counts = ",\n           ".join(
+        f"count(CASE WHEN bin = {k} THEN 1 END) AS c{k}" for k in range(1, 11)
+    )
+    return f"""
+WITH span AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+tagged AS (
+    SELECT event_type, value, ts,
+           CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM span)
+                THEN 0 ELSE 1 END AS period
+    FROM events
+),
+edges AS (
+    SELECT event_type,
+           [round(e, 6) FOR e IN
+            quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS es
+    FROM tagged WHERE period = 0 GROUP BY event_type
+),
+binned AS (
+    SELECT t.event_type, t.ts, t.period,
+           1 + {_W28_BIN_DUCK} AS bin
+    FROM tagged t JOIN edges e ON t.event_type = e.event_type
+),
+refr AS (
+    SELECT event_type,
+           {ref_counts},
+           count(CASE WHEN period = 0 THEN 1 END) AS rn
+    FROM binned GROUP BY event_type
+),
+win AS (
+    SELECT event_type, date_trunc('day', ts) AS ws,
+           {win_counts},
+           count(*) AS n
+    FROM binned
+    GROUP BY 1, 2
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+)
+SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       w.event_type,
+       CAST(w.n AS BIGINT) AS n_events,
+       round({_w28_psi_duck()}, 6) AS psi
+FROM win w JOIN refr USING (event_type)
+"""
+
+
+@register(
+    "w28_stream_psi_drift",
+    oracle=_w28_oracle(),
+    doc="STREAMING feature-drift monitoring — qa3's PSI run as a "
+    "resident job: the reference period's per-event-type decile "
+    "edges (computed batch-side, the offline profile a production "
+    "monitor loads) broadcast-join the event stream (stream-static, "
+    "stateless), each event bins via nine codegen comparisons, and "
+    "ONE watermarked 1-day-tumbling stateful aggregation holds ten "
+    "conditional bin counters per (window, type) — the PSI formula "
+    "is a stateless projection over each closed window's 11 numbers "
+    "against broadcast reference rates, so streaming state is "
+    "(types x open windows) x 11 longs regardless of volume. Append "
+    "mode; the oracle keeps only watermark-closed windows (w12/w19 "
+    "convention). The alert surface a 100 TB serving pipeline "
+    "actually wants: per-day per-feature PSI, hours after the day "
+    "closes, no batch job.",
+)
+def w28_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import load_table, stream_events_raw
+
+    ev_b = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    us = F.unix_micros("ts")
+    span = ev_b.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    ref = ev_b.crossJoin(F.broadcast(span)).filter(
+        us * 2 < F.col("lo") + F.col("hi")
+    )
+    probs = F.array(*[F.lit(i / 10) for i in range(1, 10)])
+    edges = (
+        ref.groupBy("event_type")
+        .agg(F.percentile("value", probs).alias("es_raw"))
+        .select(
+            "event_type",
+            F.transform(F.col("es_raw"), lambda e: F.round(e, 6)).alias("es"),
+        )
+    )
+
+    def bin_of(col):
+        e = F.lit(1)
+        for i in range(9):
+            e = e + (col > F.col("es")[i]).cast("int")
+        return e
+
+    ref_binned = ref.join(F.broadcast(edges), "event_type").select(
+        "event_type", bin_of(F.col("value")).alias("bin")
+    )
+    refr = ref_binned.groupBy("event_type").agg(
+        *[
+            F.count(F.when(F.col("bin") == k, 1)).alias(f"rc{k}")
+            for k in range(1, 11)
+        ],
+        F.count("*").alias("rn"),
+    )
+
+    # ---- streaming side: stateless broadcast bin + ONE stateful agg
+    s = stream_events_raw(spark, sf_dir).withWatermark("ts", "0 seconds")
+    sb = s.join(F.broadcast(edges), "event_type").select(
+        "ts", "event_type", bin_of(F.col("value")).alias("bin")
+    )
+    agg = sb.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        *[
+            F.count(F.when(F.col("bin") == k, 1)).alias(f"c{k}")
+            for k in range(1, 11)
+        ],
+        F.count("*").alias("n"),
+    )
+    out = run_available_now(
+        agg.select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            *[f"c{k}" for k in range(1, 11)],
+            "n",
+        ),
+        "append",
+    )
+
+    # stateless post-projection: PSI against the broadcast reference
+    def rate(c, n):
+        return (c + F.lit(0.5)) / (n + F.lit(5.0))
+
+    j = out.join(F.broadcast(refr), "event_type")
+    psi = None
+    for k in range(1, 11):
+        cur = rate(F.col(f"c{k}"), F.col("n"))
+        rr = rate(F.col(f"rc{k}"), F.col("rn"))
+        term = (cur - rr) * F.log(cur / rr)
+        psi = term if psi is None else psi + term
+    return j.select(
+        F.date_format("ws", _FMT).alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(psi, 6).alias("psi"),
+    )
