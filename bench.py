@@ -115,6 +115,7 @@ R5_OPS = (
     "pipe8_canonical_selection",
     "fe3_feature_hashing",
     "d12_containment_pairs",
+    "qa4_partition_skew_report",
 )
 
 

@@ -766,3 +766,45 @@ def qa2_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter("l_quantity < 1 OR l_quantity > 50").agg(F.count("*").alias("n")),
     )
     return fk.unionByName(uniq).unionByName(rng).unionByName(dom).unionByName(nn).unionByName(qty)
+
+
+@register(
+    "qa4_partition_skew_report",
+    oracle="""
+WITH per_key AS (
+    SELECT o_orderdate AS k, count(*) AS c FROM orders GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       round(avg(c), 6) AS mean_key_rows,
+       round(quantile_cont(c, 0.50), 6) AS p50_key_rows,
+       round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+       round(max(c) * 1.0 / avg(c), 6) AS skew_factor,
+       round(max(c) * 1.0 / sum(c), 6) AS top_key_share
+FROM per_key
+""",
+    doc="Partition-key skew report — the decision input for every "
+    "skew mitigation this engine ships (j12 salting, g22 two-phase "
+    "agg, AQE skew-join thresholds): per-key row counts of a "
+    "candidate partition/join key reduced to the operational scalars "
+    "— key count, max/mean (skew factor), p50/p99, hottest-key share. "
+    "skew_factor near 1 = safe to hash-partition; >> 1 = salt or "
+    "broadcast. Two map-side-combinable aggregations (key counts are "
+    "key-cardinality-sized; the summary is one row); at 100 TB this "
+    "is the cheap pre-flight you run BEFORE committing a shuffle "
+    "strategy, same plan at any scale.",
+)
+def qa4_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    per_key = o.groupBy("o_orderdate").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.round(F.avg("c"), 6).alias("mean_key_rows"),
+        F.round(F.percentile("c", F.lit(0.50)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("c", F.lit(0.99)), 6).alias("p99_key_rows"),
+        F.round(F.max("c") * F.lit(1.0) / F.avg("c"), 6).alias("skew_factor"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 6).alias("top_key_share"),
+    )
