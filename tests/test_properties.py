@@ -623,9 +623,14 @@ def test_decile_binning_equal_frequency(spark, vals):
     assert all(1 <= b <= 10 for b in bins)
     assert sum(bins.values()) == len(vals)
     # equal-frequency within duplicate slack: a bin can only exceed
-    # ceil(n/10) when duplicated values straddle an edge
+    # ceil(n/10) when duplicated values straddle an edge. Duplicates
+    # are counted at the operator's actual resolution — edges are
+    # rounded to 6 dp (the cross-engine determinism contract), so
+    # values distinct only below 1e-6 are indistinguishable to the
+    # binning and count as duplicates here (hypothesis found exactly
+    # this: subnormal-scale values all rounding to a 0.0 edge).
     import math
 
     cap = math.ceil(len(vals) / 10)
-    dup_slack = len(vals) - len(set(vals))
+    dup_slack = len(vals) - len({round(float(v), 6) for v in vals})
     assert max(bins.values()) <= cap + dup_slack + 1, bins
