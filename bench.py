@@ -116,6 +116,7 @@ R5_OPS = (
     "fe3_feature_hashing",
     "d12_containment_pairs",
     "qa4_partition_skew_report",
+    "gr7_personalized_pagerank",
 )
 
 

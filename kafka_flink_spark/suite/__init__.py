@@ -198,7 +198,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # w27_stream_dynamic_gap_sessions, gr6_kcore_peeling,
 # qa3_psi_drift, v13_ivfpq_rerank_topk, pipe8_canonical_selection,
 # fe3_feature_hashing, d12_containment_pairs,
-# w28_stream_psi_drift, qa4_partition_skew_report), then the three
+# w28_stream_psi_drift, qa4_partition_skew_report,
+# gr7_personalized_pagerank), then the three
 # re-attests round 5
 # displaced (pipe3, pipe4, t28), then spare slots re-attest the
 # oldest green rows (r1/r2-era candles/relational) so cumulative

@@ -3102,3 +3102,95 @@ def gr6_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     core = kcore(nodes, edges, "id", k=3, rounds=3)
     return core.select(F.col("id").alias("part_id"), "core_degree")
+
+
+def _ppr_oracle(iters: int = 5) -> str:
+    from kafka_flink_spark.operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    base = (
+        f"CASE WHEN nd.is_seed = 1 THEN "
+        f"(SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * n) FROM ns) "
+        f"ELSE 0 END"
+    )
+    levels = []
+    for k in range(iters):
+        levels.append(
+            f"""pr{k + 1} AS (
+    SELECT nd.id, CAST({base} + coalesce(s.c, 0) AS BIGINT) AS pr
+    FROM marked nd LEFT JOIN (
+        SELECT e.dst AS id,
+               sum(({PR_DAMP_NUM} * p.pr) // ({PR_DAMP_DEN} * d.deg)) AS c
+        FROM pr{k} p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.id = nd.id
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT src, dst FROM pairs),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+seeds AS (
+    SELECT DISTINCT l_partkey AS id FROM lineitem
+    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+),
+ns AS (SELECT count(*) AS n FROM seeds),
+marked AS (
+    SELECT nd.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+    FROM nodes nd LEFT JOIN seeds s ON s.id = nd.id
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+    SELECT id, CASE WHEN is_seed = 1
+                    THEN {PR_SCALE} // (SELECT n FROM ns) ELSE 0 END AS pr
+    FROM marked
+),
+{chain}
+SELECT id AS part_id, pr AS ppr_e12 FROM pr{iters}
+"""
+
+
+@register(
+    "gr7_personalized_pagerank",
+    oracle=_ppr_oracle(5),
+    doc="Personalized PageRank / random walk with restart (Haveliwala "
+    "2002) over the part co-purchase graph, restarting to the first "
+    "order's basket as the seed set — proximity TO those parts, the "
+    "'customers who bought this also bought' primitive recommenders "
+    "actually serve, where global PageRank (gr1) only answers "
+    "'popular overall'. operators/graph.personalized_pagerank: gr1's "
+    "integer fixed-point recurrence with teleport mass confined to "
+    "seeds via a 0/1 integer flag — every round stays pure integer "
+    "arithmetic, so the 5-iteration unrolled-SQL oracle matches "
+    "bit-for-bit. Same Pregel cost model and localCheckpoint lineage "
+    "control; completes the graph family: ranking global (gr1) and "
+    "seeded (gr7), motifs (gr2), connectivity (gr3), communities "
+    "(gr4), paths (gr5), cores (gr6).",
+)
+def gr7_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    first_order = li.agg(F.min("l_orderkey").alias("k"))
+    seeds = (
+        li.join(F.broadcast(first_order), li.l_orderkey == F.col("k"))
+        .select(F.col("l_partkey").alias("id"))
+        .distinct()
+    )
+    ppr = personalized_pagerank(nodes, edges, seeds, "id", iterations=5)
+    return ppr.select(F.col("id").alias("part_id"), F.col("pr").alias("ppr_e12"))

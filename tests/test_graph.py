@@ -207,3 +207,48 @@ def test_kcore_cascading_peel_needs_rounds(spark):
         assert got == want, (rounds, got, want)
     # fully peeled once converged: a path has no 2-core
     assert _kcore_reference(nodes, edges, 2, 3) == {}
+
+
+def _ppr_reference(
+    n_nodes: int,
+    edges: list[tuple[int, int]],
+    seeds: set[int],
+    iterations: int,
+) -> dict[int, int]:
+    from collections import defaultdict
+
+    deg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ns = len(seeds)
+    base_seed = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
+    pr = {i: (PR_SCALE // ns if i in seeds else 0) for i in range(n_nodes)}
+    for _ in range(iterations):
+        nxt = {i: (base_seed if i in seeds else 0) for i in range(n_nodes)}
+        for s, d in edges:
+            nxt[d] += (PR_DAMP_NUM * pr[s]) // (PR_DAMP_DEN * deg[s])
+        pr = nxt
+    return pr
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    from kafka_flink_spark.operators.graph import personalized_pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3)]
+    seeds = {0}
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    seeds_df = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r.id: r.pr
+        for r in personalized_pagerank(
+            nodes_df, edges_df, seeds_df, "id", iterations=7
+        ).collect()
+    }
+    want = _ppr_reference(5, edges, seeds, 7)
+    assert got == want
+    # restart mass localizes: the seed's neighborhood outranks the
+    # seed-remote chain (4 -> 3 -> 2), and node 4 (unreachable from
+    # the seed) holds rank 0
+    assert got[4] == 0
+    assert got[1] > got[3]
