@@ -462,3 +462,71 @@ def personalized_pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             pr = pr.localCheckpoint()
     return pr
+
+
+RA_SCALE = 10**12
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    k: int = 50,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B
+    2009): score every NON-adjacent node pair (u, w) by
+    Σ_{v ∈ Γ(u)∩Γ(w)} 1/deg(v) — common neighbors weighted inversely
+    by how promiscuous they are (RA consistently beats common-
+    neighbors and tracks Adamic-Adar while staying rational) — and
+    return the top-k candidate links. The "customers also bought"
+    / missing-edge primitive next to gr7's seeded ranking.
+
+    Integer fixed-point (the gr1/gr7 discipline): each common
+    neighbor contributes the exact integer ``RA_SCALE div deg(v)``,
+    so scores are bit-identical under any partitioning or engine and
+    the oracle hash-matches — float 1/deg sums drift in the last ulp
+    with aggregation order.
+
+    Scale shape: wedges are enumerated by self-joining the symmetric
+    adjacency on the apex (one shuffle on v), aggregated by the
+    candidate pair (second shuffle), and existing edges are removed
+    with a left-anti join; top-k plans as TakeOrderedAndProject
+    (per-partition heaps), never a global sort. Cost is
+    Σ_v deg(v)² — on power-law graphs pass ``max_wedge_degree`` to
+    drop hub apexes (a v with deg 10⁶ contributes ≤ RA_SCALE/10⁶ per
+    pair, negligible rank signal for 10¹² wedge rows; the cap is the
+    standard production trade and changes scores only by that bound).
+    Default None = exact (matches the exact oracle at any SF).
+    """
+    e0 = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # referenced three times below (two union legs + anti-join);
+        # pin so a caller-derived edge set executes once.
+        .localCheckpoint()
+    )
+    und = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    apex = und.join(deg, "src")
+    if max_wedge_degree is not None:
+        apex = apex.filter(F.col("d") <= max_wedge_degree)
+    e1, e2 = apex.alias("e1"), apex.select("src", "dst").alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.dst").alias("u"),
+        F.col("e2.dst").alias("w"),
+        F.expr(f"CAST({RA_SCALE} div d AS BIGINT)").alias("_c"),
+    )
+    cand = wedges.groupBy("u", "w").agg(F.sum("_c").cast("long").alias("ra_e12"))
+    non_adj = cand.join(
+        e0,
+        (F.col("u") == F.col("a")) & (F.col("w") == F.col("b")),
+        "left_anti",
+    )
+    return non_adj.orderBy(F.desc("ra_e12"), "u", "w").limit(k)

@@ -1781,3 +1781,90 @@ def weighted_priority_sample(
         F.expr(f"(n_tokens * {WPS_SCALE}) div (_u + 1)").cast("long").alias("priority"),
     )
     return scored.orderBy(F.desc("priority"), id_col).limit(k)
+
+
+def line_dedup(
+    df: DataFrame,
+    line_words: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global LINE-level exact dedup (the CCNet "dedup by
+    line/paragraph" stage, Wenzek et al. 2020 §4.1, also RefinedWeb):
+    each document is cut into fixed-size pseudo-lines (``line_words``
+    consecutive tokens — the fixture's text is single-line, so
+    segment boundaries stand in for newlines; real corpora split on
+    newline with the identical dataflow), each line is hashed, and a
+    line SURVIVES only at its first corpus occurrence (min
+    (doc_id, line_idx) per hash) — every later occurrence is dropped.
+    Per document the operator reports line/token drop accounting, the
+    signal CCNet thresholds on before LM filtering.
+
+    Distinct from t23/t27 (ExactSubstr: any k-gram window appearing
+    twice flags BOTH occurrences) and t34 (group-relative boilerplate
+    frequency): line dedup is positional — the first occurrence
+    survives, so the deduped corpus keeps exactly one copy per line.
+
+    Scale shape: lines don't overlap, so no per-doc sort or lead
+    chain is needed (cheaper than t23's window machinery): ONE
+    codegen pass explodes line indices (`explode(sequence(...))` —
+    a Generate, not a HigherOrderFunction; zero interpreted lambdas)
+    and projects (doc_id, line_idx, line_hash, n_words) in the same
+    stage — the token array never outlives the fused explode+project,
+    and the exchange payload is 3 longs + an int, never text.
+    First-occurrence ownership is ONE hash-partitioned window
+    (row_number over line_hash); per-doc accounting is ONE
+    groupBy(doc_id). Two exchanges total, both on md5-uniform keys —
+    a line duplicated across half the corpus still only gets RANKED
+    inside its hash partition, never materialized as a group.
+    """
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    toks = F.split(F.col(col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("_w"),
+    )
+    n_lines = F.ceil(F.col("n_tokens") / F.lit(line_words)).cast("long")
+    rows = base.select(
+        id_col,
+        "n_tokens",
+        "_w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_lines - 1)).alias("line_idx"),
+    )
+    start = (F.col("line_idx") * line_words + 1).cast("int")
+    lines = rows.select(
+        id_col,
+        "n_tokens",
+        "line_idx",
+        md5_long(F.array_join(F.slice("_w", start, line_words), " ")).alias("_lh"),
+        F.least(
+            F.lit(line_words).cast("long"),
+            F.col("n_tokens") - F.col("line_idx") * line_words,
+        ).alias("_nw"),
+    )
+    own = Window.partitionBy("_lh").orderBy(id_col, "line_idx")
+    flagged = lines.withColumn("_rn", F.row_number().over(own))
+    dup = F.when(F.col("_rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dup).cast("long").alias("n_dup_lines"),
+            F.sum(dup * F.col("_nw")).cast("long").alias("dropped_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_lines",
+            "n_dup_lines",
+            "dropped_tokens",
+            F.round(
+                F.col("dropped_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+    )

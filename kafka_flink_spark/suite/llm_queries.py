@@ -3612,3 +3612,48 @@ def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         load_table(spark, sf_dir, "documents"), min_containment=0.4
     )
+
+
+@register(
+    "t36_line_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ln AS (
+    SELECT doc_id, len(w) AS n_tokens, i AS line_idx,
+           {_md5l("array_to_string(w[(i*8+1):(i*8+8)], ' ')")} AS lh,
+           least(8, len(w) - i * 8) AS nw
+    FROM (SELECT doc_id, w,
+                 unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+          FROM t)
+),
+own AS (
+    SELECT *, row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_idx) AS rn
+    FROM ln
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(sum(CASE WHEN rn > 1 THEN nw ELSE 0 END) AS BIGINT) AS dropped_tokens,
+       round(sum(CASE WHEN rn > 1 THEN nw ELSE 0 END) * 1.0 /
+             greatest(max(n_tokens), 1), 6) AS dup_ratio
+FROM own GROUP BY doc_id
+""",
+    doc="Corpus-global LINE-level exact dedup (CCNet, Wenzek et al. "
+    "2020 §4.1; RefinedWeb): documents are cut into 8-token pseudo-"
+    "lines (fixture text is single-line; real corpora split on "
+    "newline with the identical dataflow), and each line survives "
+    "only at its FIRST corpus occurrence — min (doc_id, line_idx) "
+    "per line hash; later occurrences are dropped. Positional keep-"
+    "first semantics, unlike t23/t27 (both occurrences flagged) and "
+    "t34 (group-relative frequency). Per-doc drop accounting is the "
+    "CCNet pre-LM-filter threshold signal. Scale shape (operators/"
+    "text.line_dedup): non-overlapping lines need no per-doc sort — "
+    "one fused explode(sequence)+project pass emits (doc_id, "
+    "line_idx, hash, n_words), zero interpreted lambdas, text never "
+    "shuffles; first-occurrence ownership is one hash-partitioned "
+    "row_number window and accounting one groupBy — two exchanges "
+    "on md5-uniform keys.",
+)
+def t36_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.line_dedup(load_table(spark, sf_dir, "documents"), line_words=8)

@@ -3194,3 +3194,61 @@ def gr7_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ppr = personalized_pagerank(nodes, edges, seeds, "id", iterations=5)
     return ppr.select(F.col("id").alias("part_id"), F.col("pr").alias("ppr_e12"))
+
+
+@register(
+    "gr8_link_prediction",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM pairs),
+und AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+wedge AS (
+    SELECT e1.dst AS u, e2.dst AS w, sum(1000000000000 // dg.d) AS ra
+    FROM und e1
+    JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN deg dg ON dg.src = e1.src
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT u, w, CAST(ra AS BIGINT) AS ra_e12 FROM wedge
+    WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = u AND e0.b = w)
+)
+SELECT u AS part_u, w AS part_w, ra_e12
+FROM cand ORDER BY ra_e12 DESC, u, w LIMIT 50
+""",
+    doc="Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) "
+    "over the part co-purchase graph: the top-50 part pairs never "
+    "bought together whose shared co-purchase neighbors — weighted "
+    "1/deg(v), promiscuous hubs discounted — most strongly predict a "
+    "future edge; the recommender 'missing link' primitive beside "
+    "gr7's seeded proximity. operators/graph.link_prediction_ra: "
+    "integer fixed-point contributions (RA_SCALE div deg, gr1's "
+    "discipline) make the scores engine-bit-identical; wedges self-"
+    "join the symmetric adjacency on the apex, existing edges leave "
+    "via a left-anti join, and the top-k plans as "
+    "TakeOrderedAndProject (no global sort). At power-law scale the "
+    "max_wedge_degree cap drops negligible-signal hub apexes; exact "
+    "here, matching the exact oracle at any SF.",
+)
+def gr8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import link_prediction_ra
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return link_prediction_ra(edges, k=50).select(
+        F.col("u").alias("part_u"), F.col("w").alias("part_w"), "ra_e12"
+    )

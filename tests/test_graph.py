@@ -252,3 +252,42 @@ def test_personalized_pagerank_matches_python_reference(spark):
     # the seed) holds rank 0
     assert got[4] == 0
     assert got[1] > got[3]
+
+
+def test_link_prediction_ra_hand_graph(spark):
+    """Square 0-1-2-3-0 plus a pendant 4 hanging off 0: the two
+    diagonals (0,2) and (1,3) are the only 2-common-neighbor
+    candidates; node 4 sees only 0, so (1,4) and (3,4) are 1-neighbor
+    candidates through 0. RA contributions are exact integers
+    RA_SCALE div deg(v)."""
+    from kafka_flink_spark.operators.graph import RA_SCALE, link_prediction_ra
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)]
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.u, r.w): r.ra_e12 for r in link_prediction_ra(edges_df, k=50).collect()}
+
+    # deg: 0->3, 1->2, 2->2, 3->2, 4->1
+    # (0,2): common nbrs {1,3}, both deg 2
+    assert got[(0, 2)] == 2 * (RA_SCALE // 2)
+    # (1,3): common nbrs {0,2} -> deg 3 and deg 2
+    assert got[(1, 3)] == RA_SCALE // 3 + RA_SCALE // 2
+    # (1,4) and (3,4): common nbr {0}, deg 3
+    assert got[(1, 4)] == RA_SCALE // 3 and got[(3, 4)] == RA_SCALE // 3
+    # (2,4): no common neighbor; adjacent pairs never appear
+    assert (2, 4) not in got and (0, 1) not in got and len(got) == 4
+
+
+def test_link_prediction_hub_cap_drops_apex(spark):
+    """max_wedge_degree excludes high-degree apexes: capping at 2
+    removes node 0 (deg 3) as an apex, so (1,3) keeps only its
+    deg-2 path through 2 and the pendant candidates vanish."""
+    from kafka_flink_spark.operators.graph import RA_SCALE, link_prediction_ra
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)]
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.u, r.w): r.ra_e12
+        for r in link_prediction_ra(edges_df, k=50, max_wedge_degree=2).collect()
+    }
+    assert got[(1, 3)] == RA_SCALE // 2
+    assert (1, 4) not in got and (3, 4) not in got

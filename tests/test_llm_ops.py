@@ -1455,3 +1455,30 @@ def test_ivfpq_rerank_exact_on_shortlist(spark):
         ).collect()
     }
     assert rer == exact
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """Hand corpus: doc 1 repeats doc 0's first line (8 tokens) and
+    adds a unique short tail; doc 2 repeats the same line twice. The
+    first corpus occurrence (doc 0, line 0) survives; every later
+    occurrence — including the SECOND copy inside doc 2 — drops.
+    Short final lines count only their actual tokens."""
+    from kafka_flink_spark.operators.text import line_dedup
+
+    line_a = "a b c d e f g h"           # the shared 8-token line
+    rows = [
+        (0, line_a + " tail0 x y z"),     # line 0 = A (owner), line 1 = 4 toks
+        (1, line_a + " q r"),             # line 0 = A (dup), line 1 = 2 toks
+        (2, line_a + " " + line_a),       # line 0 = A (dup), line 1 = A (dup)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df, line_words=8).collect()}
+
+    assert got[0]["n_dup_lines"] == 0 and got[0]["dropped_tokens"] == 0
+    assert got[0]["n_lines"] == 2 and got[0]["n_tokens"] == 12
+    # doc 1: its copy of A drops (8 tokens), unique 2-token tail stays
+    assert got[1]["n_dup_lines"] == 1 and got[1]["dropped_tokens"] == 8
+    assert got[1]["n_lines"] == 2
+    # doc 2: BOTH copies drop (16 tokens) — keep-first is corpus-global
+    assert got[2]["n_dup_lines"] == 2 and got[2]["dropped_tokens"] == 16
+    assert abs(got[2]["dup_ratio"] - 1.0) < 1e-9

@@ -896,3 +896,34 @@ def test_feature_hashing_bounded_exchanges(spark):
     assert count_exchanges(df) == 2, count_exchanges(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
+
+
+def test_line_dedup_two_exchanges_no_lambdas(spark):
+    """t36's plan claim: non-overlapping lines need no per-doc sort —
+    the explode(sequence)+hash projection fuses into the scan stage
+    (zero interpreted HOF lambdas, text never shuffles), and the whole
+    query is exactly TWO exchanges (line-hash window, per-doc agg)."""
+    from kafka_flink_spark.suite.llm_queries import t36_line_dedup
+
+    df = t36_line_dedup(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower(), "interpreted HOF on hot path"
+    assert count_exchanges(df) == 2, count_exchanges(df)
+    # the exchange payload must not carry the token array or raw text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_w" not in m.group(1) and "text" not in m.group(1), m.group(0)
+
+
+def test_link_prediction_topk_no_global_sort(spark):
+    """gr8's plan claim: the top-k is TakeOrderedAndProject
+    (per-partition heaps), never a global RangePartitioning sort, and
+    the candidate anti-join is a real join (no cartesian)."""
+    from kafka_flink_spark.suite.relational_queries import gr8_link_prediction
+
+    df = gr8_link_prediction(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
