@@ -3657,3 +3657,69 @@ FROM own GROUP BY doc_id
 )
 def t36_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.line_dedup(load_table(spark, sf_dir, "documents"), line_words=8)
+
+
+@register(
+    "fe4_robust_scaler",
+    oracle="""
+WITH stats AS (
+    SELECT l_returnflag, l_linestatus,
+           quantile_cont(l_extendedprice, 0.5) AS med,
+           quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25) AS iqr
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+       round(l.l_extendedprice, 2) AS price,
+       round(s.med, 6) AS seg_median,
+       round(s.iqr, 6) AS seg_iqr,
+       round(CASE WHEN s.iqr > 0
+                  THEN (l.l_extendedprice - s.med) / s.iqr
+                  ELSE 0 END, 6) AS price_scaled
+FROM lineitem l JOIN stats s
+  ON l.l_returnflag = s.l_returnflag AND l.l_linestatus = s.l_linestatus
+""",
+    doc="Per-segment robust feature scaling (the RobustScaler of the "
+    "sklearn preprocessing family): (x - median) / IQR within each "
+    "(returnflag, linestatus) segment — the outlier-resistant "
+    "standardization step before the fe1-fe3 encoders in a feature "
+    "pipeline; mean/std scaling shifts with the heavy tail that "
+    "price columns always carry, quartiles don't. Scale shape: the "
+    "stats relation is segments-sized (exact interpolated "
+    "percentiles over each group — one aggregation exchange), then "
+    "BROADCAST back onto the fact scan, so the per-row scaling pass "
+    "is join-free on the fact side: one corpus-sized scan, zero "
+    "fact-table shuffles. A zero-IQR segment (constant feature) "
+    "scales to 0 by contract on both engines.",
+)
+def fe4_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+    )
+    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("l_extendedprice", F.lit(0.75))
+            - F.percentile("l_extendedprice", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    return li.join(F.broadcast(stats), ["l_returnflag", "l_linestatus"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("med", 6).alias("seg_median"),
+        F.round("iqr", 6).alias("seg_iqr"),
+        F.round(
+            F.when(
+                F.col("iqr") > 0,
+                (F.col("l_extendedprice") - F.col("med")) / F.col("iqr"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("price_scaled"),
+    )

@@ -927,3 +927,45 @@ def test_link_prediction_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """io21's plan claim: the change-collapse lag and the effective-
+    date lead/version windows share one partitioning and sort — ONE
+    exchange, no join, and the scan prunes to the 4 feed columns."""
+    from kafka_flink_spark.suite.io_queries import io21_scd2_dimension
+
+    df = io21_scd2_dimension(spark, SF_SMALL)
+    assert count_exchanges(df) == 1, count_exchanges(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) <= 4 for s in schemas), schemas
+
+
+def test_cusum_two_windows_broadcast_stats(spark):
+    """e18's plan claim: the two cumsums share one Window operator
+    (same spec) and the running min/max a second — one (type, day)
+    partitioning serves all four aggregates; reference stats arrive
+    by broadcast, never a shuffled join."""
+    from kafka_flink_spark.suite.events_queries import e18_cusum_changepoint
+
+    df = e18_cusum_changepoint(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2, plan.count("Window")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_robust_scaler_broadcast_stats_factside_joinfree(spark):
+    """fe4's plan claim: segment stats broadcast onto the fact scan —
+    no shuffled join, and the fact table reads only the 5 feature
+    columns."""
+    from kafka_flink_spark.suite.llm_queries import fe4_robust_scaler
+
+    df = fe4_robust_scaler(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert has_broadcast_join(df)
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(s) <= 5 for s in schemas), schemas

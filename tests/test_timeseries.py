@@ -88,3 +88,49 @@ def test_interpolate_linear_uneven_spacing(spark):
         for r in interpolate_linear(df, ["k"], "ts", "v").collect()
     }
     assert out[t0 + dt.timedelta(hours=1)] == pytest.approx(2.0)
+
+
+def test_cusum_matches_python_recursion(spark):
+    """e18 pins its closed prefix form S_d = C_d - min(0, min C_j)
+    against the textbook sequential recursion max(0, S + x) on an
+    injected level shift: 15 quiet days (~10 events/day) then 15 loud
+    days (~30/day). The shift must flag; the quiet reference half
+    must not."""
+    import datetime as dt
+    import math
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import events_queries
+    from kafka_flink_spark.suite.events_queries import e18_cusum_changepoint
+
+    rows = []
+    eid = 0
+    counts = []
+    for d in range(30):
+        n = (10 + d % 3) if d < 15 else (30 + d % 3)
+        counts.append(n)
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2021, 1, 1 + d), 1, "click", 0.0, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with mock.patch.object(events_queries, "load_table", return_value=ev):
+        out = sorted(
+            e18_cusum_changepoint(spark, "unused").collect(), key=lambda r: r.day
+        )
+
+    # python reference: stats over the first half (days 0..15 inclusive
+    # of the midpoint rule: 2*(d-mn) <= (mx-mn) -> d <= 14.5 -> 0..14)
+    ref = counts[:15]
+    mu = sum(ref) / len(ref)
+    sigma = math.sqrt(max(sum(c * c for c in ref) / len(ref) - mu * mu, 0))
+    sp = sm = 0.0
+    for i, r in enumerate(out):
+        sp = max(0.0, sp + (counts[i] - mu - 0.5 * sigma))
+        sm = max(0.0, sm - (counts[i] - mu + 0.5 * sigma))
+        assert abs(r.cusum_pos - round(sp, 6)) < 1e-6, (i, r.cusum_pos, sp)
+        assert abs(r.cusum_neg - round(sm, 6)) < 1e-6, (i, r.cusum_neg, sm)
+    # the level shift flags (and stays flagged); the reference half doesn't
+    assert not any(r.is_change for r in out[:15])
+    assert all(r.is_change for r in out[17:])
