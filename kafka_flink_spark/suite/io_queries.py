@@ -1115,71 +1115,3 @@ def io20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price_cents",
         "new_price_cents",
     )
-
-
-@register(
-    "io21_scd2_dimension",
-    oracle="""
-WITH feed AS (
-    SELECT o_custkey, o_orderpriority AS attr,
-           o_orderdate AS ts, o_orderkey AS seq
-    FROM orders
-),
-chg AS (
-    SELECT *, lag(attr) OVER (PARTITION BY o_custkey ORDER BY ts, seq) AS prev
-    FROM feed
-),
-vers AS (
-    SELECT o_custkey, attr, ts, seq FROM chg
-    WHERE prev IS NULL OR attr <> prev
-)
-SELECT o_custkey,
-       attr AS priority,
-       ts AS valid_from,
-       lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, seq) AS valid_to,
-       CAST(CASE WHEN lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, seq)
-                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
-       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY ts, seq)
-            AS BIGINT) AS version
-FROM vers
-""",
-    doc="Slowly-Changing-Dimension Type-2 build (Kimball): the orders "
-    "stream is a per-customer change feed for the customer's order-"
-    "priority tier; consecutive repeats of the same value collapse "
-    "(a version row exists only where the attribute CHANGED), and "
-    "each surviving version carries [valid_from, valid_to) effective "
-    "dates, an is_current flag, and a version number — the standard "
-    "warehouse dimension-history shape that io6's MERGE upserts into. "
-    "Ties at one date break on the order key, so versioning is fully "
-    "deterministic. Scale shape: both the change-collapse lag and the "
-    "effective-date lead/row_number windows share ONE partitioning "
-    "(customer key) and ONE sort order (date, key) — a single "
-    "exchange and a single per-key sort serve all three window "
-    "functions; no join, no second scan, and at 100 TB the scan "
-    "prunes to the 4 dimension-feed columns.",
-)
-def io21_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    feed = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.col("o_orderpriority").alias("attr"),
-        F.col("o_orderdate").alias("ts"),
-        F.col("o_orderkey").alias("seq"),
-    )
-    w = Window.partitionBy("o_custkey").orderBy("ts", "seq")
-    vers = feed.withColumn("prev", F.lag("attr").over(w)).filter(
-        F.col("prev").isNull() | (F.col("attr") != F.col("prev"))
-    )
-    w2 = Window.partitionBy("o_custkey").orderBy("ts", "seq")
-    return vers.select(
-        "o_custkey",
-        F.col("attr").alias("priority"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.when(F.lead("ts").over(w2).isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_current"),
-        F.row_number().over(w2).cast("long").alias("version"),
-    )

@@ -1482,43 +1482,3 @@ def test_line_dedup_first_occurrence_semantics(spark):
     # doc 2: BOTH copies drop (16 tokens) — keep-first is corpus-global
     assert got[2]["n_dup_lines"] == 2 and got[2]["dropped_tokens"] == 16
     assert abs(got[2]["dup_ratio"] - 1.0) < 1e-9
-
-
-def test_scd2_hand_feed(spark):
-    """Hand change feed: repeats collapse, versions number changes in
-    order, effective ranges chain [from, next_from), exactly one
-    current row per key."""
-    import datetime as dt
-
-    from pyspark.sql import functions as F
-
-    from kafka_flink_spark.suite.io_queries import io21_scd2_dimension
-    from kafka_flink_spark.sources import fixtures
-
-    rows = [
-        # custkey, priority, date, orderkey
-        (1, "LOW", dt.datetime(2020, 1, 1), 10),
-        (1, "LOW", dt.datetime(2020, 2, 1), 11),   # repeat -> collapses
-        (1, "HIGH", dt.datetime(2020, 3, 1), 12),  # change -> v2
-        (1, "LOW", dt.datetime(2020, 4, 1), 13),   # change back -> v3
-        (2, "MED", dt.datetime(2020, 1, 5), 20),   # single-version key
-    ]
-    feed = spark.createDataFrame(
-        rows, "o_custkey long, o_orderpriority string, o_orderdate timestamp, o_orderkey long"
-    )
-    import unittest.mock as mock
-
-    with mock.patch.object(fixtures, "load_table", return_value=feed):
-        from kafka_flink_spark.suite import io_queries
-
-        with mock.patch.object(io_queries, "load_table", return_value=feed):
-            out = io21_scd2_dimension(spark, "unused").collect()
-
-    k1 = sorted([r for r in out if r.o_custkey == 1], key=lambda r: r.version)
-    assert [r.priority for r in k1] == ["LOW", "HIGH", "LOW"]
-    assert [r.version for r in k1] == [1, 2, 3]
-    # ranges chain and only the last is current
-    assert k1[0].valid_to == k1[1].valid_from and k1[1].valid_to == k1[2].valid_from
-    assert [r.is_current for r in k1] == [0, 0, 1]
-    k2 = [r for r in out if r.o_custkey == 2]
-    assert len(k2) == 1 and k2[0].is_current == 1 and k2[0].valid_to is None

@@ -929,20 +929,6 @@ def test_link_prediction_topk_no_global_sort(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_scd2_single_exchange_shared_sort(spark):
-    """io21's plan claim: the change-collapse lag and the effective-
-    date lead/version windows share one partitioning and sort — ONE
-    exchange, no join, and the scan prunes to the 4 feed columns."""
-    from kafka_flink_spark.suite.io_queries import io21_scd2_dimension
-
-    df = io21_scd2_dimension(spark, SF_SMALL)
-    assert count_exchanges(df) == 1, count_exchanges(df)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    schemas = read_schema_columns(df)
-    assert schemas and all(len(s) <= 4 for s in schemas), schemas
-
-
 def test_cusum_two_windows_broadcast_stats(spark):
     """e18's plan claim: the two cumsums share one Window operator
     (same spec) and the running min/max a second — one (type, day)
