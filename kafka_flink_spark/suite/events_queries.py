@@ -1287,3 +1287,102 @@ def e18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         sminus.alias("cusum_neg"),
         ((splus > h) | (sminus > h)).alias("is_change"),
     )
+
+
+@register(
+    "e19_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+roll AS (
+    SELECT event_type, day, n,
+           CAST(EXTRACT(dow FROM day) AS BIGINT) AS weekday,
+           sum(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+           count(*) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+    FROM daily
+),
+det AS (
+    SELECT *, CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS num
+    FROM roll
+),
+seas AS (
+    SELECT event_type, weekday,
+           sum(num) AS s_num, count(num) AS s_cnt
+    FROM det WHERE num IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.weekday,
+       CAST(d.n AS BIGINT) AS n,
+       round(CASE WHEN d.cnt7 = 7 THEN d.sum7 / 7.0 END, 6) AS trend,
+       round(CASE WHEN s.s_cnt > 0 THEN s.s_num / (7.0 * s.s_cnt) END, 6)
+           AS seasonal,
+       round(CASE WHEN d.num IS NOT NULL AND s.s_cnt > 0
+                  THEN (d.num * s.s_cnt - s.s_num) / (7.0 * s.s_cnt) END, 6)
+           AS remainder
+FROM det d LEFT JOIN seas s
+  ON d.event_type = s.event_type AND d.weekday = s.weekday
+""",
+    doc="Classical additive seasonal decomposition (the "
+    "statsmodels seasonal_decompose shape, Hyndman FPP ch. 3) of "
+    "per-type daily event counts: trend = centered 7-day rolling "
+    "mean (defined only on full windows, like the textbook), "
+    "seasonal = per-weekday mean of the detrended series, remainder "
+    "= what's left — the decomposition every ops dashboard runs "
+    "before alerting on 'weekend dips'. Engine-exact by "
+    "construction: the detrended value is carried as the INTEGER "
+    "numerator 7n - sum7 and the seasonal/remainder terms divide "
+    "integer sums exactly once, so no float accumulates across rows "
+    "in either engine (the e5/e17 integer-moments discipline). One "
+    "(type, day) window sort serves the rolling sums; the seasonal "
+    "profile is a weekdays-by-types relation joined back broadcast. "
+    "Weekday convention: 0 = Sunday on both engines (Spark "
+    "dayofweek-1 = DuckDB EXTRACT(dow)).",
+)
+def e19_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    det = daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.dayofweek("day") - 1).cast("long").alias("weekday"),
+        F.sum("n").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    ).withColumn(
+        "num", F.when(F.col("cnt7") == 7, 7 * F.col("n") - F.col("sum7"))
+    )
+    seas = (
+        det.filter(F.col("num").isNotNull())
+        .groupBy("event_type", "weekday")
+        .agg(F.sum("num").alias("s_num"), F.count("num").alias("s_cnt"))
+    )
+    return det.join(F.broadcast(seas), ["event_type", "weekday"], "left").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "weekday",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when(F.col("cnt7") == 7, F.col("sum7") / 7.0), 6
+        ).alias("trend"),
+        F.round(
+            F.when(F.col("s_cnt") > 0, F.col("s_num") / (7.0 * F.col("s_cnt"))), 6
+        ).alias("seasonal"),
+        F.round(
+            F.when(
+                F.col("num").isNotNull() & (F.col("s_cnt") > 0),
+                (F.col("num") * F.col("s_cnt") - F.col("s_num"))
+                / (7.0 * F.col("s_cnt")),
+            ),
+            6,
+        ).alias("remainder"),
+    )

@@ -3723,3 +3723,96 @@ def fe4_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_scaled"),
     )
+
+
+@register(
+    "pipe9_entity_resolution",
+    oracle="""
+WITH RECURSIVE p AS (
+    SELECT p_partkey AS id, p_brand, p_name,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part
+),
+m AS (
+    SELECT a.id AS src, b.id AS dst
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.id < b.id
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+ee AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+reach(a, b) AS (
+    SELECT id, id FROM p
+    UNION
+    SELECT r.a, ee.dst FROM reach r JOIN ee ON r.b = ee.src
+),
+comp AS (SELECT a AS id, min(b) AS entity_id FROM reach GROUP BY a),
+canon AS (
+    SELECT c.id, c.entity_id, p.price_cents,
+           count(*) OVER (PARTITION BY c.entity_id) AS entity_size,
+           first_value(c.id) OVER (PARTITION BY c.entity_id
+                                   ORDER BY p.price_cents, c.id)
+               AS canonical_key
+    FROM comp c JOIN p ON p.id = c.id
+)
+SELECT id AS part_id,
+       CAST(entity_id AS BIGINT) AS entity_id,
+       CAST(entity_size AS BIGINT) AS entity_size,
+       CAST(canonical_key AS BIGINT) AS canonical_key,
+       CAST(CASE WHEN id = canonical_key THEN 1 ELSE 0 END AS BIGINT)
+           AS is_canonical
+FROM canon
+""",
+    doc="End-to-end entity resolution, the three-stage production ER "
+    "pipeline composed from verified primitives: (1) candidate pairs "
+    "by blocked fuzzy matching (j11's brand-block Levenshtein <= 2 — "
+    "the blocking key confines the quadratic), (2) TRANSITIVE "
+    "closure of the pairwise matches into entities via weakly-"
+    "connected components (gr3's min-label pointer-doubling core — "
+    "pairwise match is not an equivalence relation, so without the "
+    "closure A~B~C splits into two entities), (3) one canonical "
+    "survivor per entity by deterministic keeper policy (cheapest "
+    "listing, ties by key — pipe8's min-over-struct argmax). Every "
+    "record leaves labeled with its entity, the entity size, the "
+    "canonical key, and an is_canonical flag — the master-data/"
+    "golden-record shape. Iterative closure, so the oracle is a "
+    "recursive CTE (gr3 technique). Scale: the only quadratic is "
+    "block-confined; components run O(log diameter) edge-keyed "
+    "rounds; the keeper pass is one window over the entity key.",
+)
+def pipe9_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        "p_brand",
+        "p_name",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    comp = connected_components(p.select("id"), pairs, "id").select(
+        "id", F.col("component_id").alias("entity_id")
+    )
+    j = comp.join(p.select("id", "price_cents"), "id")
+    w = Window.partitionBy("entity_id")
+    keeper = F.min(F.struct("price_cents", "id")).over(w)
+    return j.select(
+        F.col("id").alias("part_id"),
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.count("*").over(w).cast("long").alias("entity_size"),
+        keeper.getField("id").cast("long").alias("canonical_key"),
+        F.when(F.col("id") == keeper.getField("id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_canonical"),
+    )

@@ -1482,3 +1482,39 @@ def test_line_dedup_first_occurrence_semantics(spark):
     # doc 2: BOTH copies drop (16 tokens) — keep-first is corpus-global
     assert got[2]["n_dup_lines"] == 2 and got[2]["dropped_tokens"] == 16
     assert abs(got[2]["dup_ratio"] - 1.0) < 1e-9
+
+
+def test_entity_resolution_transitive_closure_and_keeper(spark):
+    """pipe9's semantic core: pairwise fuzzy match is NOT an
+    equivalence relation — 'abcde'~'abcdX' and 'abcdX'~'abXdX' match
+    at distance <= 2 but the ends sit at distance 2+2; the closure
+    must still put all three in ONE entity. The keeper is the
+    cheapest record, ties broken by key."""
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import llm_queries
+    from kafka_flink_spark.suite.llm_queries import pipe9_entity_resolution
+
+    rows = [
+        # partkey, brand, name, retailprice
+        (1, "B1", "abcde", 9.00),
+        (2, "B1", "abcdX", 5.00),   # cheapest in the chain -> canonical
+        (3, "B1", "abXdX", 7.00),   # matches 2 (dist 1) but 1 only at dist 2
+        (4, "B1", "zzzzz", 1.00),   # singleton despite sharing the block
+        (5, "B2", "abcde", 2.00),   # other block: never compared to 1
+    ]
+    p = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_name string, p_retailprice double"
+    )
+    with mock.patch.object(llm_queries, "load_table", return_value=p):
+        out = {r.part_id: r for r in pipe9_entity_resolution(spark, "unused").collect()}
+
+    # chain 1-2-3 is one entity labeled by its min member
+    assert out[1].entity_id == out[2].entity_id == out[3].entity_id == 1
+    assert out[1].entity_size == 3
+    # keeper: cheapest record (partkey 2 at 5.00), not the label holder
+    assert out[1].canonical_key == 2 and out[2].is_canonical == 1
+    assert out[1].is_canonical == 0 and out[3].is_canonical == 0
+    # blocking and non-match isolation
+    assert out[4].entity_size == 1 and out[4].is_canonical == 1
+    assert out[5].entity_size == 1 and out[5].entity_id == 5

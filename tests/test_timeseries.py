@@ -134,3 +134,64 @@ def test_cusum_matches_python_recursion(spark):
     # the level shift flags (and stays flagged); the reference half doesn't
     assert not any(r.is_change for r in out[:15])
     assert all(r.is_change for r in out[17:])
+
+
+def test_seasonal_decompose_matches_statsmodels_formula(spark):
+    """e19 pinned against a hand NumPy/classical reference on a
+    synthetic series with a known weekly pattern: constant base 20,
+    weekday w adds w events — trend recovers the flat base + mean
+    seasonal lift, decomposition reconstructs n = trend + seasonal +
+    remainder wherever all terms are defined."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import events_queries
+    from kafka_flink_spark.suite.events_queries import e19_seasonal_decompose
+
+    rows, eid = [], 0
+    start = dt.datetime(2021, 3, 1)  # a Monday
+    counts = {}
+    for d in range(28):
+        day = start + dt.timedelta(days=d)
+        w = (day.weekday() + 1) % 7  # python Mon=0 -> Sunday-0 convention
+        n = 20 + w
+        counts[day.date()] = n
+        for _ in range(n):
+            rows.append((eid, day, 1, "click", 0.0, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with mock.patch.object(events_queries, "load_table", return_value=ev):
+        out = sorted(
+            e19_seasonal_decompose(spark, "unused").collect(), key=lambda r: r.day
+        )
+
+    assert len(out) == 28
+    # python reference with the same integer-exact formulation
+    days = sorted(counts)
+    ns = [counts[d] for d in days]
+    sum7 = {
+        i: sum(ns[i - 3 : i + 4]) for i in range(3, 25)
+    }  # full windows only
+    num = {i: 7 * ns[i] - sum7[i] for i in sum7}
+    by_wd = {}
+    for i in num:
+        wd = (days[i].weekday() + 1) % 7
+        by_wd.setdefault(wd, []).append(num[i])
+    for i, r in enumerate(out):
+        if i in sum7:
+            assert abs(r.trend - round(sum7[i] / 7.0, 6)) < 1e-9
+        else:
+            assert r.trend is None
+        wd = (days[i].weekday() + 1) % 7
+        assert r.weekday == wd
+        if wd in by_wd:
+            s = sum(by_wd[wd]) / (7.0 * len(by_wd[wd]))
+            assert abs(r.seasonal - round(s, 6)) < 1e-9
+        if i in num and wd in by_wd:
+            rem = (num[i] * len(by_wd[wd]) - sum(by_wd[wd])) / (7.0 * len(by_wd[wd]))
+            assert abs(r.remainder - round(rem, 6)) < 1e-9
+            # reconstruction n = trend + seasonal + remainder (to rounding)
+            assert abs((r.trend + r.seasonal + r.remainder) - r.n) < 5e-6
