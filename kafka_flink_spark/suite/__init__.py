@@ -199,8 +199,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # qa3_psi_drift, v13_ivfpq_rerank_topk, pipe8_canonical_selection,
 # fe3_feature_hashing, d12_containment_pairs,
 # w28_stream_psi_drift, qa4_partition_skew_report,
-# gr7_personalized_pagerank), then the three
-# re-attests round 5
+# gr7_personalized_pagerank) and the session-6 additions
+# (t36_line_dedup, gr8_link_prediction, e18_cusum_changepoint,
+# fe4_robust_scaler, pipe9_entity_resolution,
+# e19_seasonal_decompose), then the three re-attests round 5
 # displaced (pipe3, pipe4, t28), then spare slots re-attest the
 # oldest green rows (r1/r2-era candles/relational) so cumulative
 # evidence stays fresh.
