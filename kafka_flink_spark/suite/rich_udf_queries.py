@@ -479,3 +479,91 @@ def s12_streaming_generator_replay(spark: SparkSession, sf_dir: str) -> DataFram
         spark.readStream.format("trade_gen").option("rowsPerBatch", "5000").load()
     )
     return run_available_now(stream, "append")
+
+
+@register(
+    "u10_cogrouped_asof",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts, max(value) AS pval
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       e.event_type,
+       round(p.pval, 2) AS last_purchase_value,
+       CAST(CASE WHEN p.pval IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS has_prior
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    doc="Cogrouped pandas map (the Beam CoGroupByKey / Flink "
+    "connect analog, Spark's groupBy().cogroup().applyInPandas): "
+    "per user, the event stream and the purchase stream arrive as "
+    "two aligned pandas frames and pd.merge_asof stamps every event "
+    "with the user's most recent purchase value at-or-before its "
+    "timestamp. Completes the Python-UDF surface next to u2 (scalar "
+    "pandas), u6/u8 (UDTF), u7 (grouped agg), u9 (Arrow scalar) and "
+    "a7 (grouped map) — cogroup is the two-sided keyed shape none "
+    "of those reach; purchases at one (user, ts) are pre-aggregated "
+    "so the match is deterministic. The oracle is DuckDB's native "
+    "ASOF LEFT JOIN. Scale notes: both sides exchange once on the "
+    "user key and stream through Arrow batches group-by-group; for "
+    "data-sized asof joins the native codegen operator (j6/j7/j9, "
+    "operators/asof.py) is the hot path — this query is the API-"
+    "parity surface, same contract, UDF execution.",
+)
+def u10_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # Both sides derive from ONE scan; without a rename the right
+    # side's ts shares the left attribute id and cogroup's duplicate-
+    # attribute elimination drops it from the right frame. A fresh
+    # alias (pts) keeps the column.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"), "value")
+        .groupBy("user_id", "pts")
+        .agg(F.max("value").alias("pval"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("last_purchase_value", T.DoubleType()),
+            T.StructField("has_prior", T.LongType()),
+        ]
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("pts", kind="mergesort")
+        m = pd.merge_asof(
+            left[["event_id", "ts", "event_type"]],
+            right[["pts", "pval"]],
+            left_on="ts",
+            right_on="pts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m["last_purchase_value"] = m["pval"].round(2)
+        m["has_prior"] = m["pval"].notna().astype("int64")
+        return m[
+            ["event_id", "ts", "event_type", "last_purchase_value", "has_prior"]
+        ]
+
+    merged = (
+        ev.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+    return merged.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "last_purchase_value",
+        "has_prior",
+    )

@@ -1518,3 +1518,44 @@ def test_entity_resolution_transitive_closure_and_keeper(spark):
     # blocking and non-match isolation
     assert out[4].entity_size == 1 and out[4].is_canonical == 1
     assert out[5].entity_size == 1 and out[5].entity_id == 5
+
+
+def test_cogrouped_asof_semantics(spark):
+    """u10's cogroup contract on hand data: backward inclusive match
+    (an event AT the purchase instant sees it), later events see the
+    latest prior purchase, users with no purchases come out flagged
+    has_prior=0, and a user absent from the right side doesn't crash
+    the cogroup."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import rich_udf_queries
+    from kafka_flink_spark.suite.rich_udf_queries import u10_cogrouped_asof
+
+    t0 = dt.datetime(2021, 1, 1, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: purchase at 5 (9.0), purchase at 20 (4.0)
+        (1, at(0), 1, "click", 0.0, ""),      # before any purchase
+        (2, at(5), 1, "purchase", 9.0, ""),    # exact-match sees itself
+        (3, at(10), 1, "view", 0.0, ""),       # sees 9.0
+        (4, at(20), 1, "purchase", 4.0, ""),
+        (5, at(25), 1, "click", 0.0, ""),      # sees 4.0 (latest, not max)
+        # user 2: never purchases
+        (6, at(7), 2, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with mock.patch.object(rich_udf_queries, "load_table", return_value=ev):
+        out = {r.event_id: r for r in u10_cogrouped_asof(spark, "unused").collect()}
+
+    assert out[1].has_prior == 0 and out[1].last_purchase_value is None
+    assert out[2].last_purchase_value == 9.0   # inclusive exact match
+    assert out[3].last_purchase_value == 9.0
+    assert out[5].last_purchase_value == 4.0   # latest prior, not max
+    assert out[6].has_prior == 0
