@@ -1868,3 +1868,82 @@ def line_dedup(
             ).alias("dup_ratio"),
         )
     )
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much its hashed-token profile
+    looks like a TARGET domain relative to the raw corpus — the
+    importance weight that decides which of 100 TB of crawl gets into
+    the training mix. Features are the paper's hashed n-grams
+    (unigrams into ``n_buckets`` md5 buckets); the target and raw
+    bucket distributions are Laplace-smoothed counts.
+
+    Engine-exact scoring (the t18 discipline — no transcendentals):
+    instead of the paper's log-ratio sum, each token contributes its
+    smoothed probability RATIO in integer 1e-9 units,
+    ``round(1e9 * (tc_b+1)(R+B) / ((rc_b+1)(T+B)))`` — both integer
+    products stay under 2^53 so the one multiply + one divide are
+    correctly rounded IEEE ops, bit-identical on any engine, and the
+    per-doc sum is a long. The per-doc score (mean per-token ratio)
+    is a monotone domain-affinity surrogate for the log form —
+    rank-reversals are possible between the two scorings (arithmetic
+    vs geometric mean), but the selection CONTRACT (deterministic,
+    oracle-verifiable at any SF) is what the engine pins; a log-space
+    variant would drift in last ulps across libms.
+
+    Scale shape: the token stream exchanges once on the bucket id (a
+    long) for the two count tables; the 256-row ratio table broadcasts
+    back onto the same narrow token stream; per-doc accounting is one
+    groupBy. Raw text never shuffles.
+    """
+    from kafka_flink_spark.functions.hashing import md5_long
+    from kafka_flink_spark.operators.partitioning import fan_out_narrow
+
+    df = fan_out_narrow(df)
+    toks = F.split(F.col(col), " ")
+    tok = df.select(
+        F.col(id_col),
+        target_filter.cast("int").alias("_is_tgt"),
+        F.explode(toks).alias("_w"),
+    ).select(
+        id_col, "_is_tgt", (md5_long(F.col("_w")) % n_buckets).alias("_b")
+    )
+    counts = tok.groupBy("_b").agg(
+        F.count("*").alias("rc"),
+        F.sum("_is_tgt").alias("tc"),
+    )
+    totals = counts.agg(
+        F.sum("rc").alias("R"), F.sum("tc").alias("T")
+    )
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round(
+                F.lit(1e9)
+                * ((F.col("tc") + 1) * (F.col("R") + n_buckets)).cast("double")
+                / ((F.col("rc") + 1) * (F.col("T") + n_buckets)).cast("double")
+            )
+            .cast("long")
+            .alias("r_e9"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("r_e9").cast("long").alias("imp_e9"),
+        )
+        .withColumn("mean_imp_e9", F.round(F.col("imp_e9") / F.col("n_tokens"), 3))
+    )

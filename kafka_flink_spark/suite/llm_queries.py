@@ -3816,3 +3816,52 @@ def pipe9_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_canonical"),
     )
+
+
+@register(
+    "t37_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(lang = 'en' AS INT) AS is_tgt,
+           {_md5l("w")} % 256 AS b
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+),
+counts AS (
+    SELECT b, count(*) AS rc, sum(is_tgt) AS tc FROM tok GROUP BY b
+),
+totals AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM counts),
+ratio AS (
+    SELECT b,
+           CAST(round(1e9 * CAST((tc + 1) * (r_tot + 256) AS DOUBLE)
+                          / CAST((rc + 1) * (t_tot + 256) AS DOUBLE))
+                AS BIGINT) AS r_e9
+    FROM counts, totals
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r_e9) AS BIGINT) AS imp_e9,
+       round(sum(r_e9) * 1.0 / count(*), 3) AS mean_imp_e9
+FROM tok JOIN ratio USING (b)
+GROUP BY doc_id
+""",
+    doc="DSIR importance scoring (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): every document "
+    "scored by how much its hashed-token profile resembles the "
+    "TARGET domain (lang='en' here; any predicate works) relative to "
+    "the raw corpus — the weight that decides which crawl documents "
+    "enter the training mix, upstream of the t6/t33 samplers. "
+    "Hashed unigram features (md5 % 256 buckets), Laplace-smoothed "
+    "target/raw distributions; per the t18 no-transcendentals "
+    "discipline each token contributes its probability ratio in "
+    "integer 1e-9 units (one exact multiply + one correctly-rounded "
+    "divide — bit-identical across engines, unlike a log-ratio sum), "
+    "summed as longs. operators/text.dsir_importance. Scale: token "
+    "stream exchanges once on the bucket long; the 256-row ratio "
+    "table broadcasts; text never shuffles.",
+)
+def t37_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.dsir_importance(
+        load_table(spark, sf_dir, "documents"), target_filter=F.col("lang") == "en"
+    )

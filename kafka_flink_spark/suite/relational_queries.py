@@ -3252,3 +3252,126 @@ def gr8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_ra(edges, k=50).select(
         F.col("u").alias("part_u"), F.col("w").alias("part_w"), "ra_e12"
     )
+
+
+@register(
+    "fe5_rfm_segmentation",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_ts,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders GROUP BY o_custkey
+),
+gmax AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+    SELECT c.o_custkey,
+           date_diff('day', c.last_ts, g.mx) AS recency_days,
+           c.n_orders, c.spend_cents
+    FROM cust c, gmax g
+),
+edges AS (
+    SELECT [round(e, 6) FOR e IN
+            quantile_cont(recency_days, [0.25, 0.5, 0.75])] AS re,
+           [round(e, 6) FOR e IN
+            quantile_cont(n_orders, [0.25, 0.5, 0.75])] AS fe,
+           [round(e, 6) FOR e IN
+            quantile_cont(spend_cents, [0.25, 0.5, 0.75])] AS me
+    FROM base
+),
+scored AS (
+    SELECT b.*,
+           CAST(4 - CAST(b.recency_days > re[1] AS INT)
+                  - CAST(b.recency_days > re[2] AS INT)
+                  - CAST(b.recency_days > re[3] AS INT) AS BIGINT) AS r_score,
+           CAST(1 + CAST(b.n_orders > fe[1] AS INT)
+                  + CAST(b.n_orders > fe[2] AS INT)
+                  + CAST(b.n_orders > fe[3] AS INT) AS BIGINT) AS f_score,
+           CAST(1 + CAST(b.spend_cents > me[1] AS INT)
+                  + CAST(b.spend_cents > me[2] AS INT)
+                  + CAST(b.spend_cents > me[3] AS INT) AS BIGINT) AS m_score
+    FROM base b, edges
+)
+SELECT o_custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       spend_cents,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code,
+       CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3
+                THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score = 1 AND f_score = 1 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+    doc="RFM customer segmentation (Hughes 1994, the canonical "
+    "marketing-analytics composite): per customer, Recency (days "
+    "since last order vs the corpus clock), Frequency (order count) "
+    "and Monetary (lifetime spend, integer cents) are each cut into "
+    "population quartiles and composed into the familiar 111-444 "
+    "code plus a named segment (champion / at_risk / hibernating). "
+    "Quartile scores use fe1's broadcast-edges technique — exact "
+    "interpolated quartile edges from ONE aggregate over the "
+    "customer relation, 6-dp-rounded on both engines, then three "
+    "codegen comparisons per dimension — where the textbook ntile() "
+    "would globally sort the customer table three times. Plan: one "
+    "(custkey) aggregation exchange off the orders scan, one "
+    "edges aggregate, broadcast back; no global sort anywhere; "
+    "recency scored against max(o_orderdate) so the query is "
+    "deterministic, not wall-clock-dependent.",
+)
+def fe5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_ts"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_cents"),
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("mx"))
+    base = cust.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff("mx", "last_ts").cast("long").alias("recency_days"),
+        "n_orders",
+        "spend_cents",
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    rnd6 = lambda col: F.transform(col, lambda e: F.round(e, 6))  # noqa: E731
+    edges = base.agg(
+        rnd6(F.percentile("recency_days", probs)).alias("re"),
+        rnd6(F.percentile("n_orders", probs)).alias("fe"),
+        rnd6(F.percentile("spend_cents", probs)).alias("me"),
+    )
+
+    def quart(col: str, edge: str, invert: bool):
+        s = F.lit(4) if invert else F.lit(1)
+        for i in range(3):
+            term = (F.col(col) > F.col(edge)[i]).cast("int")
+            s = (s - term) if invert else (s + term)
+        return s.cast("long")
+
+    scored = base.crossJoin(F.broadcast(edges)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "spend_cents",
+        quart("recency_days", "re", invert=True).alias("r_score"),
+        quart("n_orders", "fe", invert=False).alias("f_score"),
+        quart("spend_cents", "me", invert=False).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_code"
+        ),
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when((F.col("r_score") == 1) & (F.col("f_score") == 1), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+        .alias("segment"),
+    )

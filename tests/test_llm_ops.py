@@ -1559,3 +1559,34 @@ def test_cogrouped_asof_semantics(spark):
     assert out[3].last_purchase_value == 9.0
     assert out[5].last_purchase_value == 4.0   # latest prior, not max
     assert out[6].has_prior == 0
+
+
+def test_dsir_importance_prefers_target_vocabulary(spark):
+    """DSIR hand corpus with disjoint vocabularies: docs made of the
+    target domain's words must out-score docs made of raw-only words,
+    and a mixed doc lands between. Also pins the exact integer ratio
+    for a single-token doc against the closed-form formula."""
+    from kafka_flink_spark.operators.text import dsir_importance
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta alpha beta", "en"),   # target-domain doc
+        (1, "alpha beta alpha beta", "xx"),   # same words, raw split
+        (2, "zork quux zork quux", "xx"),     # raw-only vocabulary
+        (3, "alpha zork beta quux", "xx"),    # mixed
+        (4, "alpha", "xx"),                    # single-token probe
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(df, target_filter=F.col("lang") == "en").collect()
+    }
+    # target-vocab docs beat mixed beat raw-only
+    assert out[0].mean_imp_e9 == out[1].mean_imp_e9  # same words, same score
+    assert out[1].mean_imp_e9 > out[3].mean_imp_e9 > out[2].mean_imp_e9
+
+    # closed form for the 'alpha' bucket: rc=6 (2 in doc 0, 2 in doc 1,
+    # 1 each in docs 3/4), tc=2 (doc 0), R=17 tokens, T=4 target tokens
+    expected = round(1e9 * ((2 + 1) * (17 + 256)) / ((6 + 1) * (4 + 256)))
+    assert out[4].imp_e9 == expected, (out[4].imp_e9, expected)

@@ -955,3 +955,31 @@ def test_robust_scaler_broadcast_stats_factside_joinfree(spark):
     assert has_broadcast_join(df)
     schemas = read_schema_columns(df)
     assert schemas and all(len(s) <= 5 for s in schemas), schemas
+
+
+def test_rfm_no_global_sort_broadcast_edges(spark):
+    """fe5's plan claim: quartile scoring never range-shuffles the
+    customer relation — no RangePartitioning (the ntile trap), edges
+    and the corpus clock arrive by broadcast only."""
+    from kafka_flink_spark.suite.relational_queries import fe5_rfm_segmentation
+
+    df = fe5_rfm_segmentation(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_dsir_bucket_exchange_only(spark):
+    """t37's plan claim: the only data-sized exchanges carry the
+    bucket long (counts) and the doc key (accounting) — raw text
+    never shuffles, the ratio table broadcasts."""
+    import re
+
+    from kafka_flink_spark.suite.llm_queries import t37_dsir_importance
+
+    df = t37_dsir_importance(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert has_broadcast_join(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1) and "_w" not in m.group(1), m.group(0)
