@@ -117,6 +117,16 @@ R5_OPS = (
     "d12_containment_pairs",
     "qa4_partition_skew_report",
     "gr7_personalized_pagerank",
+    # session-6 additions
+    "t36_line_dedup",
+    "gr8_link_prediction",
+    "e18_cusum_changepoint",
+    "fe4_robust_scaler",
+    "pipe9_entity_resolution",
+    "e19_seasonal_decompose",
+    "u10_cogrouped_asof",
+    "t37_dsir_importance",
+    "fe5_rfm_segmentation",
 )
 
 

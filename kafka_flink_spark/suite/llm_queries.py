@@ -3775,13 +3775,22 @@ FROM canon
     "record leaves labeled with its entity, the entity size, the "
     "canonical key, and an is_canonical flag — the master-data/"
     "golden-record shape. Iterative closure, so the oracle is a "
-    "recursive CTE (gr3 technique). Scale: the only quadratic is "
-    "block-confined; components run O(log diameter) edge-keyed "
-    "rounds; the keeper pass is one window over the entity key.",
+    "recursive CTE (gr3 technique) over RECORD-level edges; the "
+    "engine instead runs the distinct-VALUE collapse (the d3 "
+    "distinct-signature trick): matching is purely (brand, name)-"
+    "determined, so the Levenshtein quadratic and the closure run "
+    "on the tiny distinct-value graph and records only receive a "
+    "broadcast label — the oracle hash-check IS the equivalence "
+    "proof. Scale: the value quadratic is block-confined AND "
+    "cardinality-collapsed (8M record distances -> 51k value "
+    "distances at sf0.1); components run O(log diameter) rounds on "
+    "the value graph; the keeper pass is one window over the "
+    "entity key.",
 )
 def pipe9_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from kafka_flink_spark.functions.hashing import md5_long
     from kafka_flink_spark.operators.graph import connected_components
 
     p = load_table(spark, sf_dir, "part").select(
@@ -3790,25 +3799,44 @@ def pipe9_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    pairs = (
+    # Distinct-VALUE collapse (the d3 distinct-signature trick applied
+    # to ER): matching is purely (brand, name)-determined, so the
+    # Levenshtein quadratic and the closure run on the distinct value
+    # relation — records only ever receive a broadcast label. At sf0.1
+    # the record-level formulation evaluated ~8M distances and built a
+    # 220k-edge record graph (18 s); the value graph is 1.6k nodes /
+    # 600 edges for the same output.
+    names = (
+        p.select("p_brand", "p_name")
+        .distinct()
+        .select(
+            "p_brand",
+            "p_name",
+            md5_long(F.concat_ws("|", "p_brand", "p_name")).alias("nid"),
+        )
+        .localCheckpoint()  # three consumers: two join legs + label map
+    )
+    a, b = names.alias("a"), names.alias("b")
+    edges = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
         .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
     )
-    comp = connected_components(p.select("id"), pairs, "id").select(
-        "id", F.col("component_id").alias("entity_id")
+    comp = connected_components(
+        names.select(F.col("nid").alias("id")), edges, "id"
+    ).select(F.col("id").alias("nid"), "component_id")
+    labeled = p.join(F.broadcast(names), ["p_brand", "p_name"]).join(
+        F.broadcast(comp), "nid"
     )
-    j = comp.join(p.select("id", "price_cents"), "id")
-    w = Window.partitionBy("entity_id")
+    w = Window.partitionBy("component_id")
     keeper = F.min(F.struct("price_cents", "id")).over(w)
-    return j.select(
+    return labeled.select(
         F.col("id").alias("part_id"),
-        F.col("entity_id").cast("long").alias("entity_id"),
+        F.min("id").over(w).cast("long").alias("entity_id"),
         F.count("*").over(w).cast("long").alias("entity_size"),
         keeper.getField("id").cast("long").alias("canonical_key"),
         F.when(F.col("id") == keeper.getField("id"), F.lit(1))
