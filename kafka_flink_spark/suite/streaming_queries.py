@@ -1126,3 +1126,147 @@ def w28_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+@register(
+    "w29_stream_cusum_monitor",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+daily_all AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT d.* FROM daily_all d, mx
+    WHERE CAST(d.day AS TIMESTAMP) + INTERVAL 1 DAY <= mx.m
+),
+rng AS (
+    SELECT event_type, min(day) AS mn, max(day) AS mxd
+    FROM daily GROUP BY event_type
+),
+stats AS (
+    SELECT d.event_type,
+           CAST(sum(d.n) AS DOUBLE) / count(*) AS mu,
+           sqrt(greatest(CAST(sum(d.n * d.n) AS DOUBLE) / count(*)
+                - (CAST(sum(d.n) AS DOUBLE) / count(*))
+                  * (CAST(sum(d.n) AS DOUBLE) / count(*)), 0)) AS sigma
+    FROM daily d JOIN rng r ON d.event_type = r.event_type
+    WHERE date_diff('day', r.mn, d.day) * 2 <= date_diff('day', r.mn, r.mxd)
+    GROUP BY d.event_type
+),
+cum AS (
+    SELECT d.event_type, d.day, d.n, s.sigma,
+           sum(d.n - s.mu - 0.5 * s.sigma)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cp,
+           sum(d.n - s.mu + 0.5 * s.sigma)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cm
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+),
+run AS (
+    SELECT *,
+           min(cp) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS mincp,
+           max(cm) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS maxcm
+    FROM cum
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       round(cp - least(mincp, 0), 6) AS cusum_pos,
+       round(greatest(maxcm, 0) - cm, 6) AS cusum_neg,
+       CAST(round(cp - least(mincp, 0), 6) > round(4 * sigma, 6)
+            OR round(greatest(maxcm, 0) - cm, 6) > round(4 * sigma, 6)
+            AS BOOLEAN) AS is_change
+FROM run
+""",
+    doc="STREAMING changepoint monitoring — e18's CUSUM run as a "
+    "resident job (the w28 pattern): ONE watermarked 1-day-tumbling "
+    "count per event type is the only streaming state (2 longs per "
+    "open (window, type)); the offline reference profile (first-half "
+    "mu/sigma, e18's exact integer-sum formula over watermark-"
+    "closable days) broadcasts; and the two-sided CUSUM in closed "
+    "prefix-min/max form is a stateless post-projection over the "
+    "emitted closed windows. Append mode — a day's verdict lands "
+    "when its window closes, no batch job, no reprocessing; the "
+    "oracle is the batch detector restricted to watermark-closed "
+    "days (the w12/w19 convention). Detects the sustained level "
+    "shift a per-day threshold (e10) misses, hours after the day "
+    "closes — the alerting loop a 100 TB ingest pipeline runs.",
+)
+def w29_stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.sources.fixtures import load_table, stream_events_raw
+
+    ev_b = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    mx = ev_b.agg(F.max("ts").alias("m"))
+    daily_b = (
+        ev_b.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY") <= F.col("m")
+        )
+    )
+    rng = daily_b.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mxd")
+    )
+    sn = F.sum("n").cast("double")
+    cnt = F.count(F.lit(1))
+    mu = sn / cnt
+    stats = (
+        daily_b.join(F.broadcast(rng), "event_type")
+        .filter(F.datediff("day", "mn") * 2 <= F.datediff("mxd", "mn"))
+        .groupBy("event_type")
+        .agg(
+            mu.alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.sum(F.col("n") * F.col("n")).cast("double") / cnt - mu * mu,
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+
+    # resident job: the ONLY streaming state is the daily count
+    s = stream_events_raw(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = s.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_available_now(
+        agg.select(F.to_date("w.start").alias("day"), "event_type", "n"), "append"
+    )
+
+    # stateless post-projection over the emitted closed windows
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = out.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "sigma",
+        F.sum(F.col("n") - F.col("mu") - 0.5 * F.col("sigma")).over(w).alias("cp"),
+        F.sum(F.col("n") - F.col("mu") + 0.5 * F.col("sigma")).over(w).alias("cm"),
+    )
+    run = cum.select(
+        "*",
+        F.min("cp").over(w).alias("mincp"),
+        F.max("cm").over(w).alias("maxcm"),
+    )
+    splus = F.round(F.col("cp") - F.least(F.col("mincp"), F.lit(0.0)), 6)
+    sminus = F.round(F.greatest(F.col("maxcm"), F.lit(0.0)) - F.col("cm"), 6)
+    h = F.round(4 * F.col("sigma"), 6)
+    return run.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        splus.alias("cusum_pos"),
+        sminus.alias("cusum_neg"),
+        ((splus > h) | (sminus > h)).alias("is_change"),
+    )

@@ -1035,3 +1035,28 @@ def test_console_sink_smoke(spark):
         assert q.lastProgress is not None
     finally:
         q.stop()
+
+
+def test_stream_cusum_emits_only_closed_days(spark):
+    """w29's append contract: the streaming detector emits verdicts
+    only for watermark-CLOSED days — exactly the batch detector's
+    day set minus the final partial day — and agrees with e18 on
+    every day both emit."""
+    from kafka_flink_spark.suite.events_queries import e18_cusum_changepoint
+    from kafka_flink_spark.suite.streaming_queries import w29_stream_cusum_monitor
+    from tests.conftest import SF_SMALL
+
+    batch = {
+        (r.event_type, r.day): r for r in e18_cusum_changepoint(spark, SF_SMALL).collect()
+    }
+    stream = {
+        (r.event_type, r.day): r
+        for r in w29_stream_cusum_monitor(spark, SF_SMALL).collect()
+    }
+    last_day = max(d for _, d in batch)
+    open_days = {k for k in batch if k[1] == last_day}
+    assert set(stream) == set(batch) - open_days
+    # n agrees on every closed day (cusum values differ by design:
+    # the reference stats exclude the unclosed final day)
+    for k in stream:
+        assert stream[k].n == batch[k].n
