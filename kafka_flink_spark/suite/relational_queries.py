@@ -3395,3 +3395,104 @@ def fe5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
         .alias("segment"),
     )
+
+
+@register(
+    "g24_association_rules",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+item AS (SELECT l_partkey AS i, count(*) AS ni FROM baskets GROUP BY 1),
+pair AS (
+    SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS w
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+),
+rules AS (
+    SELECT p.ante, p.cons, p.w,
+           ia.ni AS n_ante, ic.ni AS n_cons, o.n,
+           round(p.w * 1.0 / o.n, 6) AS support,
+           round(p.w * 1.0 / ia.ni, 6) AS confidence,
+           round(p.w * 1.0 * o.n / (ia.ni * ic.ni), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.i = p.ante
+    JOIN item ic ON ic.i = p.cons
+    CROSS JOIN n_orders o
+    WHERE p.w >= 2
+)
+SELECT ante, cons, CAST(w AS BIGINT) AS w, support, confidence, lift
+FROM rules
+ORDER BY lift DESC, ante, cons LIMIT 50
+""",
+    doc="Market-basket association rules (Agrawal-Srikant 1994, the "
+    "a-priori pair pass): for every DIRECTED part pair co-ordered at "
+    "least twice, support (co-baskets / baskets), confidence "
+    "(co-baskets / antecedent baskets) and lift (observed / expected "
+    "under independence) — the rule metrics behind every 'frequently "
+    "bought together' widget, complementing gr8's topological "
+    "missing-link view with probabilistic strength on EXISTING "
+    "links. All three metrics are single divisions of exact integer "
+    "counts (round 6); top-50 by lift plans as "
+    "TakeOrderedAndProject. Scale shape: baskets dedupe once; the "
+    "pair pass is the same bounded per-order expansion as gr1/gr8 "
+    "(baskets are small by contract — a-priori's own assumption); "
+    "item counts broadcast onto the pair relation; the support >= 2 "
+    "floor is the standard noise guard and bounds the rule relation.",
+)
+def g24_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("i")).agg(
+        F.count("*").alias("ni")
+    )
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    pair = (
+        per_order.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("ps"),
+                                lambda y: F.struct(x.alias("ante"), y.alias("cons")),
+                            ),
+                            lambda s: s["ante"] != s["cons"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.ante", "p.cons")
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    rules = (
+        pair.join(
+            F.broadcast(item.withColumnsRenamed({"i": "ante", "ni": "n_ante"})), "ante"
+        )
+        .join(
+            F.broadcast(item.withColumnsRenamed({"i": "cons", "ni": "n_cons"})), "cons"
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            F.col("w").cast("long").alias("w"),
+            F.round(F.col("w") / F.col("n"), 6).alias("support"),
+            F.round(F.col("w") / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                F.col("w") * F.col("n") / (F.col("n_ante") * F.col("n_cons")), 6
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(F.desc("lift"), "ante", "cons").limit(50)

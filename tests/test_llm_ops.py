@@ -1590,3 +1590,32 @@ def test_dsir_importance_prefers_target_vocabulary(spark):
     # 1 each in docs 3/4), tc=2 (doc 0), R=17 tokens, T=4 target tokens
     expected = round(1e9 * ((2 + 1) * (17 + 256)) / ((6 + 1) * (4 + 256)))
     assert out[4].imp_e9 == expected, (out[4].imp_e9, expected)
+
+
+def test_association_rules_hand_baskets(spark):
+    """Hand baskets pin the metric formulas: items 1,2 co-occur in 2
+    of 4 baskets; item 1 appears in 3, item 2 in 2. support=0.5,
+    conf(1->2)=2/3, conf(2->1)=1, lift=4*2/(3*2)=4/3 both ways.
+    The pair (1,3) co-occurs once -> below the support floor."""
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import relational_queries
+    from kafka_flink_spark.suite.relational_queries import g24_association_rules
+
+    rows = [
+        (10, 1), (10, 2),
+        (20, 1), (20, 2),
+        (30, 1), (30, 3),
+        (40, 4),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(relational_queries, "load_table", return_value=li):
+        out = {(r.ante, r.cons): r for r in g24_association_rules(spark, "x").collect()}
+
+    assert set(out) == {(1, 2), (2, 1)}
+    r12, r21 = out[(1, 2)], out[(2, 1)]
+    assert r12.w == 2 and r12.support == 0.5
+    assert abs(r12.confidence - round(2 / 3, 6)) < 1e-9
+    assert r21.confidence == 1.0
+    assert abs(r12.lift - round(4 * 2 / (3 * 2), 6)) < 1e-9
+    assert r12.lift == r21.lift  # lift is direction-symmetric
