@@ -127,6 +127,7 @@ R5_OPS = (
     "u10_cogrouped_asof",
     "t37_dsir_importance",
     "fe5_rfm_segmentation",
+    "g24_association_rules",
 )
 
 
