@@ -634,3 +634,46 @@ def test_decile_binning_equal_frequency(spark, vals):
     cap = math.ceil(len(vals) / 10)
     dup_slack = len(vals) - len({round(float(v), 6) for v in vals})
     assert max(bins.values()) <= cap + dup_slack + 1, bins
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),  # tiny vocab -> real collisions
+        min_size=1,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy)
+@SET
+def test_line_dedup_matches_reference(spark, docs):
+    """t36's keep-first line dedup == a pure-Python scan: cut each doc
+    into 4-token lines, first corpus occurrence (doc order, then line
+    order) keeps, later ones drop; dropped tokens count the short last
+    line correctly."""
+    from kafka_flink_spark.operators.text import line_dedup
+
+    lw = 4
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df, line_words=lw).collect()}
+
+    seen: set[str] = set()
+    for i, ws in enumerate(docs):
+        n_lines = (len(ws) + lw - 1) // lw
+        dup = dropped = 0
+        for j in range(n_lines):
+            line = " ".join(ws[j * lw : (j + 1) * lw])
+            if line in seen:
+                dup += 1
+                dropped += len(ws[j * lw : (j + 1) * lw])
+            else:
+                seen.add(line)
+        r = got[i]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_lines"] == n_lines
+        assert r["n_dup_lines"] == dup, (i, docs)
+        assert r["dropped_tokens"] == dropped, (i, docs)
