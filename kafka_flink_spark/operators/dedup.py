@@ -598,13 +598,6 @@ def simhash_near_pairs(
     preserved; non-hub member pairs are dropped unless they first-
     match in a small bucket). ``bucket_cap=None`` disables the cap.
     """
-    if num_chunks is None:
-        num_chunks = max_hamming + 1
-    if num_chunks <= max_hamming:
-        raise ValueError(
-            f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
-            "for the pigeonhole recall guarantee"
-        )
     # Signatures feed BOTH sides of the bucket self-join; without
     # persistence Spark recomputes the 60-vote aggregation per side
     # (exchange reuse doesn't fire across the aliased self-join). The
@@ -613,6 +606,43 @@ def simhash_near_pairs(
     # less wall than an eager count() barrier job (measured at the
     # bench corpus). One long per doc — bounded, MEMORY_AND_DISK.
     sigs = simhash(df, col, id_col).persist()
+    return hamming_near_pairs(
+        sigs,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        num_chunks=num_chunks,
+        bucket_cap=bucket_cap,
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 6,
+    num_chunks: int | None = None,
+    bucket_cap: int | None = 512,
+) -> DataFrame:
+    """Chunk-banded near-pair join over ANY 60-bit signature column —
+    the engine behind simhash_near_pairs (text) and the perceptual-
+    hash media dedup (m8): pigeonhole candidate generation on
+    num_chunks disjoint bit ranges (full recall at max_hamming when
+    num_chunks > max_hamming), exact bit_count(xor) verification,
+    distinct-signature collapse, and the optional hot-bucket hub-star
+    cap — all exactly as documented on simhash_near_pairs. ``sigs``
+    must hold (id_col, sig_col) with one row per entity; callers
+    should pass a persisted relation (it feeds both self-join sides).
+    Output pair columns are named doc_a/doc_b regardless of domain.
+    """
+    if num_chunks is None:
+        num_chunks = max_hamming + 1
+    if num_chunks <= max_hamming:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    if sig_col != "simhash":
+        sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     # --- bucket-size guard: collapse identical signatures -----------
     # Same rationale as minhash_lsh_pairs: a boilerplate mega-cluster
     # shares one simhash value and would make every chunk bucket

@@ -522,3 +522,58 @@ def resize_media(decoded: DataFrame, max_dim: int = 64, real: bool = False) -> D
             )
 
     return decoded.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AHASH_BITS = 60
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) signatures for image payloads —
+    the block-mean image fingerprint behind perceptual near-dup
+    detection (pHash family): the payload is cut into AHASH_BITS
+    byte segments, each segment reduces to one 'pixel' (md5 first
+    byte — the fake-decode convention of ``_fake_decode``; a real
+    deployment substitutes actual downsampled luma), and bit i is set
+    iff pixel i exceeds the global mean (as the exact integer
+    comparison ``bits * pixel_i > Σ pixels`` — no float mean).
+    Block locality is the point: an edit confined to one region
+    changes that segment's pixel only, so near-identical payloads
+    land within small hamming distance while exact-hash dedup (m4)
+    sees them as distinct.
+
+    Plumbing: ONE Arrow-batched mapInPandas pass (blobs cross to
+    Python once, narrow plan, no shuffle) emitting (media_id, ahash)
+    — 1 long per image; the pair stage is
+    ``operators/dedup.hamming_near_pairs`` on that signature.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                n = len(p)
+                base, extra = divmod(n, AHASH_BITS)
+                px, start = [], 0
+                for i in range(AHASH_BITS):
+                    width = base + (1 if i < extra else 0)
+                    seg = p[start : start + width]
+                    start += width
+                    px.append(hashlib.md5(seg).digest()[0])
+                total = sum(px)
+                sig = 0
+                for i, v in enumerate(px):
+                    if AHASH_BITS * v > total:
+                        sig |= 1 << i
+                rows.append((mid, sig))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(hash_batches, out_schema)

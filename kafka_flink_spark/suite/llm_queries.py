@@ -3893,3 +3893,74 @@ def t37_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.dsir_importance(
         load_table(spark, sf_dir, "documents"), target_filter=F.col("lang") == "en"
     )
+
+
+@register(
+    "m8_perceptual_near_dup",
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+           text AS payload
+    FROM documents
+),
+imgs AS (
+    SELECT media_id, payload, length(payload) AS L
+    FROM media WHERE media_type = 'image'
+),
+px AS (
+    SELECT media_id, i,
+           CAST(('0x' || substr(md5(substr(payload,
+                CAST(i * (L // 60) + least(i, L % 60) + 1 AS INT),
+                CAST((L // 60) + CASE WHEN i < L % 60 THEN 1 ELSE 0 END
+                     AS INT))), 1, 2)) AS INT) AS v
+    FROM (SELECT media_id, payload, L, unnest(range(0, 60)) AS i FROM imgs)
+),
+tot AS (SELECT media_id, sum(v) AS s FROM px GROUP BY 1),
+sig AS (
+    SELECT p.media_id,
+           CAST(sum(CASE WHEN 60 * p.v > t.s
+                         THEN (CAST(1 AS BIGINT) << CAST(p.i AS INT))
+                         ELSE 0 END) AS BIGINT) AS ahash
+    FROM px p JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT least(a.media_id, b.media_id) AS media_a,
+       greatest(a.media_id, b.media_id) AS media_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+""",
+    doc="Perceptual near-dup detection for image payloads (the pHash/"
+    "aHash family): block-mean average-hash signatures — payload cut "
+    "into 60 byte segments, one md5-derived 'pixel' per segment (the "
+    "m-family fake-decode convention; a real deployment substitutes "
+    "downsampled luma), bit i set iff 60*pixel_i > Σ pixels (exact "
+    "integer mean comparison) — then hamming <= 6 pairs via the SAME "
+    "chunk-banded pigeonhole join as d5 (operators/dedup."
+    "hamming_near_pairs, extracted this session to take any 60-bit "
+    "signature). Block LOCALITY is what m4's exact hash lacks: an "
+    "edit confined to one region flips that segment's pixel only, so "
+    "crops/retouches land at small hamming while md5 sees a "
+    "different file. On the fixture the hamming histogram separates "
+    "cleanly (near-dup pair at 6, random background at 15+). Scale: "
+    "one Arrow mapInPandas pass per blob (no shuffle), 1 long per "
+    "image as the exchange payload, banding exactly d5's plan. "
+    "bucket_cap=None matches the exact all-pairs oracle at any SF.",
+)
+def m8_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.dedup import hamming_near_pairs
+    from kafka_flink_spark.operators.multimodal import ahash_media, blobs_from_documents
+
+    media = blobs_from_documents(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    sigs = ahash_media(media).persist()
+    pairs = hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="ahash", max_hamming=6, bucket_cap=None
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

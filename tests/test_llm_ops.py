@@ -1619,3 +1619,41 @@ def test_association_rules_hand_baskets(spark):
     assert r21.confidence == 1.0
     assert abs(r12.lift - round(4 * 2 / (3 * 2), 6)) < 1e-9
     assert r12.lift == r21.lift  # lift is direction-symmetric
+
+
+def test_ahash_block_locality_and_banding(spark):
+    """m8's semantic core on hand payloads: a one-region edit flips
+    only that segment's pixel (small hamming -> pair found); an
+    unrelated payload sits at background distance (no pair); an exact
+    duplicate lands at hamming 0. Also exercises hamming_near_pairs
+    on a non-simhash signature column end-to-end."""
+    from kafka_flink_spark.operators.dedup import hamming_near_pairs
+    from kafka_flink_spark.operators.multimodal import ahash_media
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    edited = base[:600] + "XXXX" + base[604:]   # localized retouch
+    import hashlib as _h
+    rows = [
+        (0, bytearray(base.encode())),
+        (1, bytearray(edited.encode())),
+        (2, bytearray(base.encode())),                       # exact dup of 0
+        (3, bytearray(_h.md5(b"noise").hexdigest().encode() * 40)),  # unrelated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = ahash_media(media).persist()
+    by_id = {r.media_id: r.ahash for r in sigs.collect()}
+    assert by_id[0] == by_id[2]
+    # localized edit: small hamming from the base, background is far
+    ham01 = bin(by_id[0] ^ by_id[1]).count("1")
+    ham03 = bin(by_id[0] ^ by_id[3]).count("1")
+    assert ham01 <= 6 < ham03, (ham01, ham03)
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_near_pairs(
+            sigs, id_col="media_id", sig_col="ahash", max_hamming=6, bucket_cap=None
+        ).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    assert pairs[(0, 1)] == ham01 and pairs[(1, 2)] == ham01
+    assert not any(3 in k for k in pairs)
