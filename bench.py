@@ -128,6 +128,7 @@ R5_OPS = (
     "t37_dsir_importance",
     "fe5_rfm_segmentation",
     "g24_association_rules",
+    "m8_perceptual_near_dup",
 )
 
 

@@ -201,8 +201,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # w28_stream_psi_drift, qa4_partition_skew_report,
 # gr7_personalized_pagerank) and the session-6 additions
 # (t36_line_dedup, gr8_link_prediction, e18_cusum_changepoint,
-# fe4_robust_scaler, pipe9_entity_resolution,
-# e19_seasonal_decompose), then the three re-attests round 5
+# fe4_robust_scaler, pipe9_entity_resolution, e19_seasonal_decompose,
+# u10_cogrouped_asof, t37_dsir_importance, fe5_rfm_segmentation,
+# w29_stream_cusum_monitor, g24_association_rules,
+# m8_perceptual_near_dup — plus re-attest d5/d4 after the
+# hamming_near_pairs extraction and gr8/pipe9 after their scale
+# rewrites), then the three re-attests round 5
 # displaced (pipe3, pipe4, t28), then spare slots re-attest the
 # oldest green rows (r1/r2-era candles/relational) so cumulative
 # evidence stays fresh.
