@@ -1386,3 +1386,109 @@ def e19_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("remainder"),
     )
+
+
+@register(
+    "e20_survival_km",
+    oracle="""
+WITH endp AS (SELECT max(o_orderdate) AS endd FROM orders),
+cust AS (
+    SELECT o_custkey,
+           min(o_orderdate) AS first_ts,
+           max(o_orderdate) AS last_ts
+    FROM orders GROUP BY o_custkey
+),
+obs AS (
+    SELECT c.o_custkey,
+           CASE WHEN date_diff('day', c.last_ts, e.endd) > 90
+                THEN date_diff('day', c.first_ts, c.last_ts)
+                ELSE date_diff('day', c.first_ts, e.endd) END AS dur,
+           CASE WHEN date_diff('day', c.last_ts, e.endd) > 90
+                THEN 1 ELSE 0 END AS is_event
+    FROM cust c, endp e
+),
+per_t AS (
+    SELECT dur AS t, count(*) AS n_at, sum(is_event) AS d
+    FROM obs GROUP BY dur
+),
+risk AS (
+    SELECT t, d,
+           sum(n_at) OVER (ORDER BY t DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS n_risk
+    FROM per_t
+),
+km AS (
+    SELECT t, d, n_risk,
+           exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) AS surv
+    FROM risk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CAST(d AS DOUBLE) / n_risk, 6) AS hazard,
+       round(surv, 6) AS survival
+FROM km
+""",
+    doc="Kaplan-Meier churn survival (Kaplan & Meier 1958): customer "
+    "lifetime = first-to-last order span, churn event when the last "
+    "order predates the corpus clock by > 90 days, still-active "
+    "customers right-CENSORED at the observation end — the censoring "
+    "handling is what separates KM from a naive lifetime histogram "
+    "(censored customers stay in every risk set they survived "
+    "through). Risk sets are an exact integer reverse-cumulative sum "
+    "over distinct lifetimes (one window, no per-customer join); the "
+    "survival curve is the KM product over event times, computed as "
+    "exp(sum(ln(1-d/n))) — the qa3/e17 precedent for transcendental "
+    "use, absorbed at 6 dp. Per-event-time output: risk set, events, "
+    "hazard, S(t). Scale shape: ONE (custkey) aggregation off the "
+    "orders scan; everything after runs on the distinct-lifetimes "
+    "relation (days-sized).",
+)
+def e20_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    endp = o.agg(F.max("o_orderdate").alias("endd"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_ts"),
+        F.max("o_orderdate").alias("last_ts"),
+    )
+    gap = F.datediff("endd", "last_ts")
+    obs = cust.crossJoin(F.broadcast(endp)).select(
+        F.when(gap > 90, F.datediff("last_ts", "first_ts"))
+        .otherwise(F.datediff("endd", "first_ts"))
+        .alias("dur"),
+        F.when(gap > 90, F.lit(1)).otherwise(F.lit(0)).alias("is_event"),
+    )
+    per_t = obs.groupBy(F.col("dur").alias("t")).agg(
+        F.count("*").alias("n_at"), F.sum("is_event").alias("d")
+    )
+    w_desc = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("n_at").over(w_desc).alias("n_risk")
+    )
+    w_asc = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(
+                w_asc
+            )
+        ).alias("surv"),
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.col("d").cast("double") / F.col("n_risk"), 6).alias("hazard"),
+        F.round("surv", 6).alias("survival"),
+    )

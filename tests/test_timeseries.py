@@ -195,3 +195,51 @@ def test_seasonal_decompose_matches_statsmodels_formula(spark):
             assert abs(r.remainder - round(rem, 6)) < 1e-9
             # reconstruction n = trend + seasonal + remainder (to rounding)
             assert abs((r.trend + r.seasonal + r.remainder) - r.n) < 5e-6
+
+
+def test_km_survival_matches_python_reference(spark):
+    """e20 against a hand KM computation: censored customers stay in
+    the risk sets they survived through but never count as events;
+    survival steps down only at event times; curve matches the
+    textbook product-limit formula."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kafka_flink_spark.suite import events_queries
+    from kafka_flink_spark.suite.events_queries import e20_survival_km
+
+    d0 = dt.datetime(2020, 1, 1)
+
+    def order(k, cust, day):
+        return (k, cust, "O", 10.0, d0 + dt.timedelta(days=day), "1-URGENT")
+
+    rows = []
+    k = 0
+    # end of observation = day 400 (customer 9's last order)
+    # churned (last order > 90 days before day 400):
+    #   cust 1: first 0,  last 100 -> dur 100, event
+    #   cust 2: first 0,  last 100 -> dur 100, event (tie)
+    #   cust 3: first 50, last 250 -> dur 200, event
+    # censored (active within the last 90 days):
+    #   cust 4: first 0,   last 350 -> dur 400, censored
+    #   cust 9: first 150, last 400 -> dur 250, censored
+    for cust, (f, l) in {1: (0, 100), 2: (0, 100), 3: (50, 250),
+                         4: (0, 350), 9: (150, 400)}.items():
+        rows.append(order(k, cust, f)); k += 1
+        rows.append(order(k, cust, l)); k += 1
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with mock.patch.object(events_queries, "load_table", return_value=o):
+        out = {r.t_days: r for r in e20_survival_km(spark, "x").collect()}
+
+    # durations: 100(e),100(e),200(e),400(c),250(c)
+    # t=100: n_risk=5, d=2 -> S=0.6 ; t=200: n_risk=3, d=1 -> S=0.4
+    assert set(out) == {100, 200}
+    assert out[100].n_risk == 5 and out[100].n_events == 2
+    assert abs(out[100].survival - 0.6) < 1e-9
+    assert out[200].n_risk == 3 and out[200].n_events == 1
+    assert abs(out[200].survival - 0.4) < 1e-9
+    assert abs(out[200].hazard - round(1 / 3, 6)) < 1e-9
