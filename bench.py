@@ -129,6 +129,7 @@ R5_OPS = (
     "fe5_rfm_segmentation",
     "g24_association_rules",
     "m8_perceptual_near_dup",
+    "e20_survival_km",
 )
 
 
