@@ -1492,3 +1492,91 @@ def e20_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d").cast("double") / F.col("n_risk"), 6).alias("hazard"),
         F.round("surv", 6).alias("survival"),
     )
+
+
+@register(
+    "e21_top_paths",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_us
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {_GAP_US}
+                   THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), numbered AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+), ranked AS (
+    SELECT user_id, session_no, event_type,
+           row_number() OVER (PARTITION BY user_id, session_no
+                              ORDER BY ts, event_id) AS rn
+    FROM numbered
+), paths AS (
+    SELECT user_id, session_no,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id, session_no
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+    doc="Top navigation paths (the product-analytics 'user flows' "
+    "report): sessions from e1's 6h-gap rule, each session reduced "
+    "to its first five event types in order, and the 20 most common "
+    "paths with session and distinct-user counts. Ordered string "
+    "assembly uses rank-then-sorted-aggregate (the g21 bounded-group "
+    "discipline: paths cap at 5 elements, so the per-session "
+    "collect is constant-size). One user-keyed exchange serves the "
+    "sessionize windows AND the per-session rank; the path relation "
+    "exchanges once more on (user, session) and once on the path "
+    "string; top-20 is TakeOrderedAndProject.",
+)
+def e21_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us"), "event_id", "event_type"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(by_user).isNull()
+            | (F.col("us") - F.lag("us").over(by_user) >= _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(run))
+    by_sess = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ranked = numbered.withColumn("rn", F.row_number().over(by_sess)).filter(
+        F.col("rn") <= 5
+    )
+    paths = ranked.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
