@@ -130,6 +130,7 @@ R5_OPS = (
     "g24_association_rules",
     "m8_perceptual_near_dup",
     "e20_survival_km",
+    "cl2_silhouette_eval",
 )
 
 

@@ -204,7 +204,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # fe4_robust_scaler, pipe9_entity_resolution, e19_seasonal_decompose,
 # u10_cogrouped_asof, t37_dsir_importance, fe5_rfm_segmentation,
 # w29_stream_cusum_monitor, g24_association_rules,
-# m8_perceptual_near_dup, e20_survival_km — plus re-attest d5/d4 after the
+# m8_perceptual_near_dup, e20_survival_km, e21_top_paths,
+# cl2_silhouette_eval — plus re-attest d5/d4 after the
 # hamming_near_pairs extraction and gr8/pipe9 after their scale
 # rewrites), then the three re-attests round 5
 # displaced (pipe3, pipe4, t28), then spare slots re-attest the

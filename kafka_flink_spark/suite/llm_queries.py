@@ -3964,3 +3964,89 @@ def m8_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+def _silhouette_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])))"
+    )
+    ctes = _kmeans_ctes(k, iterations, dim, final_assign=False)
+    return (
+        ",\n".join(ctes)
+        + f""",
+d AS (SELECT e.vec_id, c.cid, {d2} AS d2 FROM e, c{iterations} c),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+),
+ab AS (
+    SELECT a.vec_id, a.cid, sqrt(a.d2) AS da, sqrt(b.d2) AS db
+    FROM r a JOIN r b ON a.vec_id = b.vec_id AND b.rn = 2
+    WHERE a.rn = 1
+)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(CASE WHEN greatest(da, db) > 0
+                      THEN (db - da) / greatest(da, db) ELSE 0 END), 6)
+           AS mean_silhouette
+FROM ab GROUP BY cid
+"""
+    )
+
+
+@register(
+    "cl2_silhouette_eval",
+    oracle=_silhouette_oracle(),
+    doc="Clustering-quality evaluation: simplified silhouette "
+    "(Hruschka 2004 — the centroid-based variant sklearn offers for "
+    "scale, where full silhouette's pairwise distances are "
+    "quadratic): per point, a = distance to OWN centroid, b = "
+    "distance to the nearest OTHER centroid, s = (b-a)/max(a,b); "
+    "reported as per-cluster means over cl1's trained k=8 model — "
+    "the v10/d10 evaluate-your-own-index pattern applied to "
+    "clustering (train cl1, score cl2). Centroids come from the "
+    "same deterministic 2-round Lloyd fit (lowest-id init, 9-dp "
+    "centroid rounding), so the unrolled-SQL oracle reproduces them "
+    "bit-for-bit; the best/second-best centroid distances are an "
+    "array_sort over the broadcast centroid structs (zero-exchange "
+    "narrow pass, exactly cl1's assignment shape) and the only "
+    "exchange after training is the k-row cluster aggregate. At "
+    "100 TB this scores at scan speed — the reason production "
+    "monitoring uses simplified rather than pairwise silhouette.",
+)
+def cl2_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.clustering import (
+        _as_double,
+        _centroid_array,
+        _d2,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iterations=2)
+    base = emb.select("vec_id", _as_double("embedding").alias("v"))
+    scored = base.crossJoin(F.broadcast(_centroid_array(cents))).withColumn(
+        "_ds",
+        F.array_sort(
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    _d2(F.col("v"), s["c"]).alias("d2"), s["cid"].alias("cid")
+                ),
+            )
+        ),
+    )
+    da = F.sqrt(F.col("_ds")[0]["d2"])
+    db = F.sqrt(F.col("_ds")[1]["d2"])
+    sil = F.when(
+        F.greatest(da, db) > 0, (db - da) / F.greatest(da, db)
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.select(F.col("_ds")[0]["cid"].alias("cluster_id"), sil.alias("s"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+    )
