@@ -133,6 +133,15 @@ R5_OPS = (
     "cl2_silhouette_eval",
 )
 
+# Round-6 additions, timed as a sixth section.
+R6_OPS = (
+    "g7_approx_distinct_sketch",
+    "g13_approx_percentile_sketch",
+    "g16_hll_sketch_union",
+    "d13_minhash_capped_skew",
+    "pipe10_canonical_selection_lsh",
+)
+
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -206,7 +215,32 @@ def main() -> None:
         spark, qs, sf_dir, [n for n in R5_OPS if n in qs], spread
     )
 
+    r6_timings = _time_section(
+        spark, qs, sf_dir, [n for n in R6_OPS if n in qs], spread
+    )
+
     total = round(sum(timings.values()), 3)
+    streaming_rate = _streaming_rate_fresh_session(spark)
+
+    # Full per-section breakdown + noise bands go to a sidecar file:
+    # round 5's single mega-line exceeded the driver's output tail
+    # buffer, so the tail started mid-JSON and the headline number was
+    # never captured (BENCH_r05.json parsed:null). The driver contract
+    # is ONE short JSON line, printed LAST.
+    detail = {
+        "reps_per_query": REPS,
+        "llm_queries": llm_timings,
+        "extra_queries": extra_timings,
+        "r4_queries": r4_timings,
+        "r5_queries": r5_timings,
+        "r6_queries": r6_timings,
+        "spread_min_max": spread,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"per-section detail written to {detail_path}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -215,17 +249,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "llm_queries": llm_timings,
                 "llm_total": round(sum(llm_timings.values()), 3),
-                "extra_queries": extra_timings,
                 "extra_total": round(sum(extra_timings.values()), 3),
-                "r4_queries": r4_timings,
                 "r4_total": round(sum(r4_timings.values()), 3),
-                "r5_queries": r5_timings,
                 "r5_total": round(sum(r5_timings.values()), 3),
-                "reps_per_query": REPS,
-                "spread_min_max": spread,
-                "streaming_ohlcv_ev_per_s": _streaming_rate_fresh_session(spark),
+                "r6_total": round(sum(r6_timings.values()), 3),
+                "streaming_ohlcv_ev_per_s": streaming_rate,
             }
         )
     )
