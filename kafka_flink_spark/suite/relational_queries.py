@@ -760,17 +760,54 @@ def g6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g7_approx_distinct_sketch",
-    oracle=None,  # HLL estimates are engine-specific; accuracy pinned in tests
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc="HyperLogLog++ approximate distinct counts (the mergeable-sketch "
-    "path for 100 TB cardinality estimation; estimates are "
-    "algorithm-specific so the driver records a rows-only check and "
-    "tests/test_llm_ops.py pins <2% relative error vs exact).",
+    "path for 100 TB cardinality estimation). Hash-green since round "
+    "6: the raw HLL estimate is algorithm-specific so it cannot be "
+    "oracle-matched, but the CLAIM — estimate within 2% of exact — is "
+    "deterministic (HLL++ is hash-based, no RNG; same data -> same "
+    "estimate). The plan computes estimate AND exact in one aggregate "
+    "and emits the boolean `within_bound`; the oracle recomputes the "
+    "exact side and asserts TRUE, so a drifting estimate flips the "
+    "value hash red. Measured max relative error 0.86% across "
+    "sf0.001/0.01/0.1 (rsd=0.01); bound 2% = >2x margin. The exact "
+    "count_distinct exists only in this attestation query — the "
+    "production path at 100 TB is the sketch alone.",
 )
 def g7_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.count("*").cast("long").alias("n_rows"),
+    # Two explicit levels instead of countDistinct+approx in ONE agg:
+    # mixing a distinct aggregate with approx_count_distinct makes
+    # Catalyst's distinct rewrite evaluate a partial HLL sketch per
+    # (flag, orderkey) GROUP and merge millions of sketches (measured
+    # 7.4 s vs 1.5 s at sf0.1). Pre-aggregating to distinct keys is
+    # estimate-IDENTICAL (HLL register updates are idempotent under
+    # duplicates — verified bit-equal at sf0.1) and keeps both levels
+    # map-side combinable.
+    lvl1 = li.groupBy("l_returnflag", "l_orderkey").agg(F.count("*").alias("c"))
+    return (
+        lvl1.groupBy("l_returnflag")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_orders",
+            (
+                F.abs(F.col("a") - F.col("exact_orders"))
+                <= F.col("exact_orders") * F.lit(0.02)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -1484,26 +1521,53 @@ def s2_sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g13_approx_percentile_sketch",
-    oracle=None,  # sketch estimates are algorithm-specific; accuracy pinned in tests
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound,
+       TRUE AS p99_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc="Approximate percentiles via the Greenwald-Khanna sketch "
     "(approx_percentile, accuracy 10000): mergeable, single-pass, "
-    "bounded-memory — the 100 TB path where exact percentile "
-    "(g6) would sort each group. Estimate accuracy is pinned "
-    "against exact percentiles in tests/test_llm_ops.py. The three "
-    "quantiles are emitted as scalar double columns (p50/p95/p99), "
-    "not a raw array<double> — the driver canonicalizer pandas-sorts "
-    "every column and numpy arrays are unhashable there (suite "
-    "docstring convention).",
+    "bounded-memory — the 100 TB path where exact percentile (g6) "
+    "would sort each group. Hash-green since round 6: the GK estimate "
+    "picks a data value (engine-specific) so the raw number cannot be "
+    "oracle-matched, but the CLAIM — each estimate within 0.5% of the "
+    "exact interpolated percentile — is deterministic; the plan "
+    "computes both sketches in one aggregate and emits per-quantile "
+    "within_bound booleans the oracle asserts TRUE. Measured max "
+    "relative error 0.097% across sf0.001/0.01/0.1; bound 0.5% = >5x "
+    "margin. The exact percentile exists only in this attestation "
+    "query — the production path is the sketch alone.",
 )
 def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
-        pcts.getItem(0).alias("p50"),
-        pcts.getItem(1).alias("p95"),
-        pcts.getItem(2).alias("p99"),
+    approx = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    exact = F.expr("percentile(l_extendedprice, array(0.5d, 0.95d, 0.99d))")
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_rows"),
+        approx.alias("a"),
+        exact.alias("e"),
     )
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    cols += [
+        F.round(F.col("e").getItem(i), 4).alias(f"exact_p{p}")
+        for i, p in enumerate((50, 95, 99))
+    ]
+    cols += [
+        (
+            F.abs(F.col("a").getItem(i) - F.col("e").getItem(i))
+            <= F.col("e").getItem(i) * F.lit(0.005)
+        ).alias(f"p{p}_within_bound")
+        for i, p in enumerate((50, 95, 99))
+    ]
+    return agg.select(*cols)
 
 
 _CMS_HASH = (
@@ -1635,32 +1699,73 @@ def r1_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g16_hll_sketch_union",
-    oracle=None,  # Datasketches HLL binary images are engine-specific;
-    # union==direct equivalence and error bound pinned in tests
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL' AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS within_bound
+FROM orders
+""",
     doc="Mergeable HLL sketches (Spark 3.5+ Datasketches functions): "
     "build one hll_sketch_agg per order-priority partition, then "
     "hll_union_agg the partial sketches into a corpus-wide distinct "
     "estimate — the two-level pattern that lets 1000 executors "
     "sketch independently and merge tiny binary images instead of "
-    "shuffling raw keys. Estimates are algorithm-specific, so the "
-    "driver records a rows-only check; tests pin (a) union-of-parts "
-    "== sketch-of-whole exactly and (b) <2% error vs exact.",
+    "shuffling raw keys. Hash-green since round 6: sketch images are "
+    "engine-specific, but the CLAIM — every estimate (per-part AND "
+    "the unioned ALL row) within 2.5% of exact — is deterministic; "
+    "the plan computes exact distincts alongside and emits "
+    "`within_bound`, asserted TRUE by the oracle. Measured max "
+    "relative error 1.07% across sf0.001/0.01/0.1; bound 2.5% = >2x "
+    "margin. Union==sketch-of-whole equivalence stays pinned in "
+    "tests/test_llm_ops.py. The ALL row's exact distinct comes from a "
+    "second scan-side aggregate crossJoined as a broadcast scalar — "
+    "attestation-only cost; production keeps just the sketches.",
 )
 def g16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    eps = 0.025
     parts = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_custs"),
     )
     per_part = parts.select(
         "o_orderpriority",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_custs"),
         "n_rows",
+        "exact_custs",
+        (
+            F.abs(F.hll_sketch_estimate("sk").cast("long") - F.col("exact_custs"))
+            <= F.col("exact_custs") * F.lit(eps)
+        ).alias("within_bound"),
     )
-    union_row = parts.agg(
-        F.lit("ALL").alias("o_orderpriority"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_custs"),
-        F.sum("n_rows").cast("long").alias("n_rows"),
+    exact_all = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    union_row = (
+        parts.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_custs"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "n_rows",
+            "exact_custs",
+            (
+                F.abs(F.col("approx_custs") - F.col("exact_custs"))
+                <= F.col("exact_custs") * F.lit(eps)
+            ).alias("within_bound"),
+        )
     )
     return per_part.unionByName(union_row)
 
