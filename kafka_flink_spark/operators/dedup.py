@@ -598,6 +598,14 @@ def simhash_near_pairs(
     preserved; non-hub member pairs are dropped unless they first-
     match in a small bucket). ``bucket_cap=None`` disables the cap.
     """
+    # Validate banding parameters BEFORE the persist below — an
+    # invalid num_chunks raising after .persist() would leave a
+    # registered relation nobody unpersists (ADVICE r5).
+    if num_chunks is not None and num_chunks <= max_hamming:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
     # Signatures feed BOTH sides of the bucket self-join; without
     # persistence Spark recomputes the 60-vote aggregation per side
     # (exchange reuse doesn't fire across the aliased self-join). The

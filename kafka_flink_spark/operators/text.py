@@ -1891,10 +1891,16 @@ def dsir_importance(
     Engine-exact scoring (the t18 discipline — no transcendentals):
     instead of the paper's log-ratio sum, each token contributes its
     smoothed probability RATIO in integer 1e-9 units,
-    ``round(1e9 * (tc_b+1)(R+B) / ((rc_b+1)(T+B)))`` — both integer
-    products stay under 2^53 so the one multiply + one divide are
-    correctly rounded IEEE ops, bit-identical on any engine, and the
-    per-doc sum is a long. The per-doc score (mean per-token ratio)
+    ``round(1e9 * (tc_b+1)(R+B) / ((rc_b+1)(T+B)))`` — one multiply +
+    one divide as correctly rounded IEEE ops, and the per-doc sum is
+    a long. Exactness caveat (ADVICE r5): the products stay under
+    2^53 — and the ratio bit-identical across engines — only while
+    (tc_b+1)*(R+B) < 2^53, i.e. token-count x corpus-token products
+    below ~9e15; that holds at every tested SF (sf0.1 is ~10^7 x 10^7
+    at worst) and far beyond, but a true 100-TB corpus crosses it, at
+    which point the double rounding of the PRODUCT (not the division)
+    can differ between engines. The 100-TB swap is decimal(38,0)
+    arithmetic for the two products, same plan shape. The per-doc score (mean per-token ratio)
     is a monotone domain-affinity surrogate for the log form —
     rank-reversals are possible between the two scorings (arithmetic
     vs geometric mean), but the selection CONTRACT (deterministic,

@@ -1657,3 +1657,65 @@ def test_ahash_block_locality_and_banding(spark):
     assert pairs[(0, 2)] == 0
     assert pairs[(0, 1)] == ham01 and pairs[(1, 2)] == ham01
     assert not any(3 in k for k in pairs)
+
+
+def test_d13_family_engages_star_path(spark):
+    """d13's registered configuration must actually EXERCISE the cap:
+    the synthetic boilerplate family (25 distinct signatures, every
+    band bucket > cap) emits hub-star pairs (hub doc 9000000 paired
+    with members) plus within-group pairs, while non-hub cross-group
+    member pairs are dropped — the documented bounded-recall contract.
+    The uncapped run over the same input is a strict superset."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from kafka_flink_spark.suite.llm_queries import (
+        _D13_BASE,
+        _D13_FAMILY_N,
+        d13_minhash_capped_skew,
+    )
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in d13_minhash_capped_skew(spark, "/root/testdata/sf0.001").collect()
+    }
+    fam_pairs = {p for p in capped if p[0] >= 9000000}
+    # the hub (min-rep group contains doc 9000000) stars out to members
+    assert any(a == 9000000 for a, _ in fam_pairs), sorted(fam_pairs)[:5]
+    # bounded recall: far fewer than the 48*47/2 all-pairs quadratic
+    assert 0 < len(fam_pairs) < _D13_FAMILY_N * (_D13_FAMILY_N - 1) // 2
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    i = F.col("id").cast("string")
+    fam = spark.range(_D13_FAMILY_N).select(
+        (F.lit(9000000) + F.col("id")).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit(_D13_BASE),
+            F.lit(" va"), i, F.lit(" vb"), i, F.lit(" vc"), i, F.lit(" vd"), i,
+        ).alias("text"),
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            docs.unionByName(fam), min_jaccard=0.5, bucket_cap=None
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert len(uncapped) > len(capped)  # the family quadratic was cut
+
+
+def test_pipe10_partitions_corpus_and_keeps_best(spark):
+    """pipe10: cluster memberships partition the corpus (sizes sum to
+    the document count) and every keeper's quality equals its
+    cluster's max."""
+    from kafka_flink_spark.sources.fixtures import load_table
+    from kafka_flink_spark.suite.llm_queries import pipe10_canonical_selection_lsh
+
+    out = pipe10_canonical_selection_lsh(spark, "/root/testdata/sf0.001").collect()
+    n_docs = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert sum(r.n_members for r in out) == n_docs
+    multi = [r for r in out if r.n_members > 1]
+    assert multi, "fixture has near-dup clusters"
+    assert all(r.keep_id is not None for r in out)

@@ -983,3 +983,49 @@ def test_dsir_bucket_exchange_only(spark):
     assert has_broadcast_join(df)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1) and "_w" not in m.group(1), m.group(0)
+
+
+def test_sketch_trio_within_bound_plans(spark):
+    """g7/g13/g16 (round-6 within_bound form): the attestation queries
+    fold estimate AND exact into the grouped aggregates — no join for
+    g7/g13 at all, and g16's only joins are the broadcast of two
+    scalar aggregates (never a shuffled join); no raw sketch binary or
+    array reaches the output schema."""
+    qs = spark_queries()
+    for name, n_allowed_joins in (
+        ("g7_approx_distinct_sketch", 0),
+        ("g13_approx_percentile_sketch", 0),
+    ):
+        df = qs[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, (name, plan[:1500])
+        assert not any(f.dataType.typeName() in ("array", "binary") for f in df.schema.fields)
+    df = qs["g16_hll_sketch_union"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:1500]
+    assert not any(f.dataType.typeName() in ("array", "binary") for f in df.schema.fields)
+
+
+def test_minhash_capped_no_quadratic_banding(spark):
+    """d13's plan claim (the 100-TB knob itself): with bucket_cap
+    engaged the plan has no CartesianProduct and no corpus-sized
+    nested-loop; the banding self-join and the star path both join on
+    (band_id, band_key) hash partitioning."""
+    from kafka_flink_spark.suite.llm_queries import d13_minhash_capped_skew
+
+    df = d13_minhash_capped_skew(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # NB: the per-row shingle build (transform(sequence(...))) is a
+    # bounded HOF d3 also carries — the gate here is the JOIN shape.
+    assert "CartesianProduct" not in plan
+
+
+def test_pipe10_lsh_pair_stage_no_cartesian(spark):
+    """pipe10's plan claim: the production canonical-selection variant
+    keeps d3's banded pair-stage shape (no CartesianProduct, no
+    interpreted HOFs) with the CC + argmax stages on top."""
+    from kafka_flink_spark.suite.llm_queries import pipe10_canonical_selection_lsh
+
+    df = pipe10_canonical_selection_lsh(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
