@@ -209,6 +209,96 @@ def running_candles_stateful(
     )
 
 
+def running_candles_event_timers(
+    trades: DataFrame,
+    window_minutes: int = 60,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """W9 with real EVENT-TIME timers on the ``applyInPandasWithState``
+    path: after folding each micro-batch, the key arms a timer at its
+    open window's END (``state.setTimeoutTimestamp``); when the
+    WATERMARK — driven by other keys' events — passes that timestamp,
+    Spark calls the function with ``hasTimedOut`` and the window is
+    flushed as an ``end_of_window`` final and state cleared. This is
+    the reference's ``register_event_time_timer``/``on_timer`` draft
+    (``6_ohlc.py:98-103``) with the semantics it was reaching for: an
+    idle key's last window closes when event time passes, not when a
+    wall clock does (contrast ``idle_timeout_ms`` above, a
+    processing-time timer) and not only on the key's own next event
+    (the reference's shipped behavior).
+
+    Unlike the processing-time variant, this pipeline terminates under
+    an ``availableNow`` replay: timers fire on watermark advancement
+    inside the batch sequence, no wall-clock wait exists. The same
+    semantics also exist on the Spark-4 ``transformWithStateInPandas``
+    path (``streaming/tws.py``), which needs protobuf for its worker
+    protocol; this variant is the dependency-free route and the one
+    the test suite executes.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_ms = window_minutes * 60 * 1_000
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = [f.name for f in OUTPUT_SCHEMA.fields]
+        if state.hasTimedOut:
+            o, h, lo, c, v, ws = state.get
+            st = {"open": o, "high": h, "low": lo, "close": c, "volume": v,
+                  "window_start_us": ws}
+            state.remove()
+            yield pd.DataFrame(
+                [_emit(key[0], None, st, end_of_window=True)], columns=cols
+            )
+            return
+
+        st = None
+        if state.exists:
+            o, h, lo, c, v, ws = state.get
+            st = {
+                "open": o,
+                "high": h,
+                "low": lo,
+                "close": c,
+                "volume": v,
+                "window_start_us": ws,
+            }
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            out, st = _fold_events(pdf, st, window_minutes)
+            rows.extend(out)
+        if st is not None:
+            state.update(
+                (
+                    st["open"],
+                    st["high"],
+                    st["low"],
+                    st["close"],
+                    st["volume"],
+                    st["window_start_us"],
+                )
+            )
+            # Arm the event-time timer at the open window's end; fires
+            # when the watermark (any key's events) passes it.
+            state.setTimeoutTimestamp(st["window_start_us"] // 1_000 + win_ms)
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("product")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_candles_batch(trades: DataFrame, window_minutes: int = 60) -> DataFrame:
     """Batch re-expression of the same fold via ``applyInPandas`` —
     one group = one key's full history (the whole-stream limit of the

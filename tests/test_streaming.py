@@ -413,6 +413,54 @@ def test_complete_mode_running_totals(spark):
     assert_frames_match(out, batch, "complete_mode")
 
 
+def test_event_time_timer_flushes_idle_key_window(spark):
+    """W9 event-time timers, EXECUTED (VERDICT r5 task 5): the
+    ``applyInPandasWithState`` + EventTimeTimeout variant needs no
+    protobuf, so unlike the tws twin below this test runs on this box.
+    Scenario (same as the tws test): B trades once at 10:00, then only
+    A advances event time; when A's 11:20 event pushes the watermark
+    past B's 10:00-11:00 window end, B's timer fires in a later
+    micro-batch and emits exactly one end_of_window final for B —
+    without B ever seeing another event."""
+    from kafka_flink_spark.streaming.stateful import running_candles_event_timers
+
+    tmpdir = tempfile.mkdtemp(prefix="evt_timer_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        files = [
+            [("2024-01-01 10:00:05", "B", 5.0, 7, 1), ("2024-01-01 10:00:06", "A", 1.0, 1, 2)],
+            [("2024-01-01 11:20:00", "A", 2.0, 1, 3)],
+            [("2024-01-01 12:40:00", "A", 3.0, 1, 4)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        out = run_available_now(running_candles_event_timers(stream, 60), "update").toPandas()
+        b_finals = out[(out["product"] == "B") & out["end_of_window"]]
+        assert len(b_finals) == 1, out.to_string()
+        assert b_finals.iloc[0]["volume"] == 7
+        # The timer final carries B's 10:00 window OHLC unchanged.
+        assert b_finals.iloc[0]["open"] == 5.0 and b_finals.iloc[0]["close"] == 5.0
+        # A's own windows close on transition (not via timer): its
+        # 10:00 and 11:00 windows each produced a final too.
+        a_finals = out[(out["product"] == "A") & out["end_of_window"]]
+        assert len(a_finals) == 2, out.to_string()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def test_tws_running_candles_with_event_time_timers(spark):
     """Spark-4 transformWithStateInPandas path (W7/W8/W9 with real
     event-time timers): per-event running emits plus timer-driven
