@@ -140,6 +140,7 @@ R6_OPS = (
     "g16_hll_sketch_union",
     "d13_minhash_capped_skew",
     "pipe10_canonical_selection_lsh",
+    "w30_stream_event_timer_finals",
 )
 
 

@@ -160,11 +160,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-6 additions (2) ----
     "d13_minhash_capped_skew",
     "pipe10_canonical_selection_lsh",
-    # ---- re-attests (4) ----
+    # w30 (round-6 addition: W9 event-time timers inside the value
+    # hash) outranks the weakest re-attest (t28, whose round-5 regex
+    # widening is mirrored verbatim on both sides and sim-green) —
+    # the same never-checked-beats-re-attest judgment round 5 made.
+    "w30_stream_event_timer_finals",
+    # ---- re-attests (3) ----
     "d4_simhash_signatures",
     "pipe3_leakage_safe_split",
     "pipe4_quality_dedup_corpus",
-    "t28_url_dedup",
     # ---- 50-query budget line (round 6): exactly 50 names ----
 )
 

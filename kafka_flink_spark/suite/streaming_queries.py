@@ -1270,3 +1270,97 @@ def w29_stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         sminus.alias("cusum_neg"),
         ((splus > h) | (sminus > h)).alias("is_change"),
     )
+
+
+@register(
+    "w30_stream_event_timer_finals",
+    oracle=f"""
+WITH {TRADES_ORACLE_CTE}
+SELECT product,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       arg_min(price, ts) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, ts) AS close,
+       CAST(sum(qty) AS BIGINT) AS volume
+FROM trades
+GROUP BY product, date_trunc('hour', ts)
+""",
+    doc="W9 event-time timers under the driver contract: the "
+    "applyInPandasWithState + EventTimeTimeout path "
+    "(streaming/stateful.running_candles_event_timers) replayed as "
+    "THREE deterministic micro-batches — the full trade fixture, then "
+    "two sentinel files at max(ts)+2h and +4h whose only job is to "
+    "push the watermark past every real window. A key's non-last "
+    "windows close by transition in batch 1 (w8/w9's semantics); its "
+    "LAST open window — which the reference's shipped pipeline never "
+    "flushes (7_ohlc.py's state waits for the key's next event) — is "
+    "closed by its timer when a LATER batch's watermark passes the "
+    "window end. With the sentinels guaranteeing the final watermark "
+    "clears everything, transition finals + timer finals must equal "
+    "the COMPLETE batch tumbling candle set, which is exactly the "
+    "oracle — so the timer semantics (fire once, carry the window's "
+    "OHLCV unchanged, clear state) sit inside the value hash. The "
+    "sentinel key is synthesized from a broadcast max-ts aggregate "
+    "(no driver collect) and filtered from the output; state is one "
+    "typed row per key, timers one per key — the 100 TB shape of the "
+    "idle-key-flush problem.",
+)
+def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_flink_spark.streaming.stateful import running_candles_event_timers
+
+    cols = ("ts", "instrument_id", "product", "price", "qty", "seq")
+    trades = trades_view(spark, sf_dir).select(*cols)
+    mx = trades.agg(F.max("ts").alias("mx"))
+
+    def sentinel(hours: int, seq: int) -> DataFrame:
+        return mx.select(
+            (F.col("mx") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            F.lit("SENTINEL").alias("instrument_id"),
+            F.lit("zzz_sentinel").alias("product"),
+            F.lit(0.0).alias("price"),
+            F.lit(0).cast("long").alias("qty"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    tmpdir = tempfile.mkdtemp(prefix="w30_src_")
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    parts = [trades, sentinel(2, 10**12), sentinel(4, 10**12 + 1)]
+    for i, df in enumerate(parts):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        # FileStreamSource orders files by modification time; pin it so
+        # the real data is batch 1 and the sentinels are 2 and 3.
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, instrument_id string, product string, "
+            "price double, qty long, seq long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_available_now(
+        running_candles_event_timers(stream, window_minutes=60), "update"
+    )
+    return (
+        out.filter(F.col("end_of_window") & (F.col("product") != "zzz_sentinel"))
+        .select(
+            "product",
+            F.date_format("window_start", _FMT).alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
