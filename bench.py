@@ -141,6 +141,7 @@ R6_OPS = (
     "d13_minhash_capped_skew",
     "pipe10_canonical_selection_lsh",
     "w30_stream_event_timer_finals",
+    "w31_stream_simhash_dedup",
 )
 
 

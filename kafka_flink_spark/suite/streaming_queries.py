@@ -1364,3 +1364,86 @@ def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame
             "volume",
         )
     )
+
+
+def _w31_oracle() -> str:
+    from kafka_flink_spark.suite.llm_queries import _simhash_sig_sql
+
+    return f"""
+WITH sig AS ({_simhash_sig_sql()}),
+p AS (
+    SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS dup_of
+    FROM sig a JOIN sig b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 6
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       p.dup_of IS NOT NULL AS is_near_dup,
+       p.dup_of
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+@register(
+    "w31_stream_simhash_dedup",
+    oracle=_w31_oracle(),
+    doc="Streaming NEAR-dup detection against all history — "
+    "dedup-on-ingest (streaming/dedup_stream.simhash_dedup_stream): "
+    "documents replay as three doc_id-range micro-batches; each "
+    "arriving doc is checked for hamming<=6 SimHash neighbours among "
+    "every EARLIER doc via chunk-banded state groups (the d5 "
+    "pigeonhole, so state comparisons happen per bucket, never "
+    "all-pairs), then joins the bucket history. Completes the "
+    "streaming x dedup matrix: w25/w22 are exact streaming dedup, d9 "
+    "the batch incremental probe; this is the state-store-resident "
+    "near-dup index. The oracle is banding-free ground truth — "
+    "dup_of = min earlier doc with hamming<=6 over the full O(n^2) "
+    "predicate — so the stream's banded emit set must reach FULL "
+    "recall (pigeonhole guarantee) with zero false positives (exact "
+    "xor verify) to hash-match. State carries signatures only (one "
+    "long per doc per chunk), never text.",
+)
+def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three doc_id-range files -> deterministic "earlier" == smaller id
+    mx = docs.agg((F.max("doc_id") + 1).alias("mxp1"))
+    ranged = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("doc_id") * 3 / F.col("mxp1")).cast("int")
+    )
+    tmpdir = tempfile.mkdtemp(prefix="w31_src_")
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        ranged.filter(F.col("bucket") == i).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    matches = run_available_now(simhash_dedup_stream(stream), "update")
+    per_doc = matches.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_near_dup"),
+            "dup_of",
+        )
+    )

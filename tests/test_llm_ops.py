@@ -1719,3 +1719,25 @@ def test_pipe10_partitions_corpus_and_keeps_best(spark):
     multi = [r for r in out if r.n_members > 1]
     assert multi, "fixture has near-dup clusters"
     assert all(r.keep_id is not None for r in out)
+
+
+def test_m8_ascii_guard_drops_multibyte_payloads(spark):
+    """The m8 oracle segments by CHARACTER positions while ahash_media
+    segments UTF-8 BYTES; the registered query keeps only payloads
+    where the two provably coincide (byte count == char count). The
+    engine-side predicate must drop a multi-byte payload and keep an
+    ASCII one — mirroring the oracle's octet_length(encode()) guard at
+    any fixture, not just the current ASCII one (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "plain ascii image payload body", "web"),
+         (3, "café au lait imáge", "web")],
+        "doc_id long, text string, source string",
+    )
+    media = M.blobs_from_documents(docs).filter(
+        (F.col("media_type") == "image")
+        & (F.length("payload") == F.length(F.decode("payload", "UTF-8")))
+    )
+    kept = [r.media_id for r in media.select("media_id").collect()]
+    assert kept == [0], kept  # doc 3 (also an 'image' slot) is dropped

@@ -1108,3 +1108,44 @@ def test_stream_cusum_emits_only_closed_days(spark):
     # the reference stats exclude the unclosed final day)
     for k in stream:
         assert stream[k].n == batch[k].n
+
+
+def test_simhash_dedup_stream_flags_history_matches_only(spark):
+    """w31's operator semantics pinned on hand data: a doc is flagged
+    against EARLIER docs only — within its own micro-batch (id order)
+    and across batches (state) — never against later arrivals; the
+    emitted dup_of after min-aggregation is the smallest qualifying
+    earlier id; distant texts are not flagged."""
+    from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content about spark state stores " * 8
+    tmpdir = tempfile.mkdtemp(prefix="sds_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        files = [
+            [(1, base), (2, base + " tail1")],
+            [(3, base + " tail2"), (4, other)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = run_available_now(simhash_dedup_stream(stream), "update").toPandas()
+        per_doc = out.groupby("doc_id")["dup_of"].min().to_dict()
+        assert 1 not in per_doc  # first arrival is never a dup
+        assert per_doc[2] == 1  # within-batch, id order
+        assert per_doc[3] == 1  # across batches via state, min of {1, 2}
+        assert 4 not in per_doc  # distant text: no match
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
