@@ -142,6 +142,7 @@ R6_OPS = (
     "pipe10_canonical_selection_lsh",
     "w30_stream_event_timer_finals",
     "w31_stream_simhash_dedup",
+    "io22_dynamic_partition_pruning",
 )
 
 

@@ -1115,3 +1115,62 @@ def io20_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price_cents",
         "new_price_cents",
     )
+
+
+@register(
+    "io22_dynamic_partition_pruning",
+    oracle="""
+WITH dim AS (
+    SELECT DISTINCT o_orderpriority AS priority,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS urgency_rank
+    FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN dim d ON o.o_orderpriority = d.priority
+WHERE d.urgency_rank <= 2
+GROUP BY o.o_orderpriority
+""",
+    doc="DYNAMIC partition pruning — io5's static cousin and the "
+    "first-order scan reducer when the pruning predicate is only "
+    "knowable at RUNTIME: the fact table is priority-partitioned on "
+    "disk, and the filter arrives through a JOIN against a dimension "
+    "whose selective predicate (urgency_rank <= 2, computed from a "
+    "dim attribute) never mentions a partition value literal — so "
+    "planning-time pruning is impossible, and Catalyst instead "
+    "broadcasts the filtered dim keys as a "
+    "dynamicpruningexpression INTO the fact scan's "
+    "PartitionFilters: 3 of 5 partition directories are never "
+    "listed or read (plan-gated in tests/test_plans.py). At 100 TB "
+    "with date-partitioned facts this is the difference between "
+    "scanning a week and scanning a decade whenever the date set "
+    "comes from another table.",
+)
+def io22_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.sources.fixtures import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = scratch_dir("io22_dpp_")
+    (
+        o.repartition(F.col("o_orderpriority"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(base + "/fact")
+    )
+    o.select("o_orderpriority").distinct().select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("urgency_rank"),
+    ).write.mode("overwrite").parquet(base + "/dim")
+    fact = spark.read.parquet(base + "/fact")
+    dim = spark.read.parquet(base + "/dim").filter(F.col("urgency_rank") <= 2)
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.priority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

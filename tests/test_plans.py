@@ -1029,3 +1029,16 @@ def test_pipe10_lsh_pair_stage_no_cartesian(spark):
     df = pipe10_canonical_selection_lsh(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark):
+    """io22's plan claim: the dim's runtime-only predicate becomes a
+    dynamicpruningexpression inside the FACT scan's PartitionFilters —
+    partition directories are skipped at runtime, not merely rows
+    filtered post-scan; the dim side broadcasts."""
+    from kafka_flink_spark.suite.io_queries import io22_dynamic_partition_pruning
+
+    df = io22_dynamic_partition_pruning(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert has_broadcast_join(df)
