@@ -143,6 +143,7 @@ R6_OPS = (
     "w30_stream_event_timer_finals",
     "w31_stream_simhash_dedup",
     "io22_dynamic_partition_pruning",
+    "w32_allowed_lateness_refire",
 )
 
 

@@ -172,7 +172,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- 50-query budget line (round 6): exactly 50 names ----
     # Round-7 rotation queue (replace this tuple at r7 start): lead
     # with any name the r6 CORRECTNESS run left non-green, then
-    # w31_stream_simhash_dedup and io22_dynamic_partition_pruning
+    # w31_stream_simhash_dedup, io22_dynamic_partition_pruning and
+    # w32_allowed_lateness_refire
     # (added after the r6 tuple froze; sim-attested both SFs), then
     # re-attest t28
     # (displaced twice) and the oldest r1/r2-era green rows so

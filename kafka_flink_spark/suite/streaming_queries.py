@@ -1447,3 +1447,152 @@ def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+_W32_AGGS = """arg_min(price, ts) AS open, max(price) AS high,
+           min(price) AS low, arg_max(price, ts) AS close,
+           CAST(sum(qty) AS BIGINT) AS volume,
+           CAST(count(*) AS BIGINT) AS n"""
+
+_W32_ORACLE = f"""
+WITH {TRADES_ORACLE_CTE},
+b AS (
+    SELECT product, ts, price, qty,
+           (CAST(('0x' || substr(md5('late:' || CAST(seq AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10 = 7) AS is_late,
+           date_trunc('hour', ts) AS ws,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS we
+    FROM trades
+),
+w1 AS (SELECT max(ts) AS wm FROM b WHERE NOT is_late),
+mm AS (
+    SELECT b.*, w1.wm,
+           count(*) FILTER (WHERE NOT is_late)
+               OVER (PARTITION BY product, ws) AS n_ontime
+    FROM b, w1
+),
+cls AS (
+    SELECT mm.*,
+           CASE WHEN NOT is_late THEN 'ontime'
+                WHEN we + INTERVAL 30 MINUTES <= wm THEN 'dropped'
+                ELSE 'kept' END AS cls
+    FROM mm
+),
+on_time AS (
+    SELECT product, ws, 'on_time' AS kind, {_W32_AGGS}
+    FROM cls
+    WHERE cls <> 'dropped'
+      AND ((we <= wm AND ((n_ontime > 0) = (cls = 'ontime'))) OR we > wm)
+    GROUP BY product, ws
+),
+late_upd AS (
+    SELECT product, ws, 'late_update' AS kind, {_W32_AGGS}
+    FROM cls
+    WHERE cls <> 'dropped' AND we <= wm AND n_ontime > 0
+    GROUP BY product, ws
+    HAVING count(*) FILTER (WHERE cls = 'kept') > 0
+),
+dropped AS (
+    SELECT product, ws, 'dropped' AS kind, {_W32_AGGS}
+    FROM cls WHERE cls = 'dropped' GROUP BY product, ws
+)
+SELECT product, strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, kind,
+       open, high, low, close, volume, n
+FROM (SELECT * FROM on_time
+      UNION ALL SELECT * FROM late_upd
+      UNION ALL SELECT * FROM dropped)
+"""
+
+
+@register(
+    "w32_allowed_lateness_refire",
+    oracle=_W32_ORACLE,
+    doc="ALLOWED LATENESS as a knob separate from the watermark — the "
+    "reference's two-timing window config (3_ohlc.py:63: bounded "
+    "out-of-orderness watermark PLUS allowed_lateness) that Spark's "
+    "single withWatermark delay folds together, un-folded on the "
+    "applyInPandasWithState + EventTimeTimeout path "
+    "(streaming/lateness.allowed_lateness_candles): Spark's own "
+    "delay is widened to ooo+lateness+window so its pre-filter is "
+    "strictly more permissive, and the exact Flink clock is "
+    "reconstructed from getCurrentWatermarkMs inside the state "
+    "function. Replay: the trade fixture split into an on-time file "
+    "and a held-out 10% late file (deterministic md5 gate on seq), "
+    "then two watermark sentinels — so window firings are "
+    "deterministic: a window fires 'on_time' when the Flink "
+    "watermark first passes its end (event-time timers flush idle "
+    "keys), RE-fires 'late_update' when a held-out straggler lands "
+    "within the 30-minute budget after firing, and stragglers past "
+    "the budget aggregate into 'dropped' side-output rows (Flink's "
+    "sideOutputLateData). The oracle replays the same two-knob rules "
+    "as pure set logic over the split (W1 = max on-time ts), so "
+    "fire-before-fold ordering, the drop boundary, re-fire contents, "
+    "and purge silence all sit inside the value hash.",
+)
+def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
+
+    trades = trades_view(spark, sf_dir).select("ts", "product", "price", "qty", "seq")
+    is_late = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("late:"), F.col("seq").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 7
+    )
+    t = trades.withColumn("is_late", is_late)
+    mx = trades.agg(F.max("ts").alias("mx"))
+
+    def sentinel(hours: int) -> DataFrame:
+        return mx.select(
+            (F.col("mx") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            F.lit("zzz_sentinel").alias("product"),
+            F.lit(0.0).alias("price"),
+            F.lit(0).cast("long").alias("qty"),
+        )
+
+    parts = [
+        t.filter(~F.col("is_late")).select("ts", "product", "price", "qty"),
+        t.filter(F.col("is_late")).select("ts", "product", "price", "qty"),
+        sentinel(4),
+        sentinel(6),
+    ]
+    tmpdir = tempfile.mkdtemp(prefix="w32_src_")
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i, df in enumerate(parts):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, product string, price double, qty long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_available_now(
+        allowed_lateness_candles(stream, window_minutes=60, lateness_minutes=30),
+        "update",
+    )
+    return out.filter(F.col("product") != "zzz_sentinel").select(
+        "product",
+        F.date_format("window_start", _FMT).alias("window_start"),
+        "kind",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "n",
+    )

@@ -1149,3 +1149,90 @@ def test_simhash_dedup_stream_flags_history_matches_only(spark):
         assert 4 not in per_doc  # distant text: no match
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_allowed_lateness_two_knob_semantics(spark):
+    """The Flink two-timing window config (reference 3_ohlc.py:63) on
+    the applyInPandasWithState path (streaming/lateness.py): a window
+    first fires 'on_time' when the reconstructed Flink watermark
+    passes its end — WITHOUT the same batch's late arrivals (fire
+    precedes fold, the continuous-time ordering); a straggler within
+    the 30-minute lateness budget re-fires the window as
+    'late_update'; stragglers past the budget aggregate into
+    'dropped' side-output rows; idle keys fire via event-time timers.
+
+    Scenario (watermark after batch 0 = 12:10):
+      batch 0: A@10:00(1.0) A@10:30(2.0) A@11:05(9.0) A@12:10(5.0)
+               B@10:15(7.0)
+      batch 1: A@10:45(3.0) -> [10:00) end+30m=11:30 <= 12:10: dropped
+               A@11:50(4.0) -> [11:00) fired, 12:30 > 12:10: late re-fire
+               A@12:05(6.0) -> [12:00) still open: silent fold
+               B@10:59(8.0) -> dropped
+      batches 2/3: watermark sentinels (16:00, 18:00).
+    """
+    from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
+
+    D = "2024-01-01 "
+    files = [
+        [
+            (D + "10:00:00", "A", 1.0, 10),
+            (D + "10:30:00", "A", 2.0, 10),
+            (D + "11:05:00", "A", 9.0, 10),
+            (D + "12:10:00", "A", 5.0, 10),
+            (D + "10:15:00", "B", 7.0, 10),
+        ],
+        [
+            (D + "10:45:00", "A", 3.0, 10),
+            (D + "11:50:00", "A", 4.0, 10),
+            (D + "12:05:00", "A", 6.0, 10),
+            (D + "10:59:00", "B", 8.0, 10),
+        ],
+        [(D + "16:00:00", "zzz", 0.0, 0)],
+        [(D + "18:00:00", "zzz", 0.0, 0)],
+    ]
+    tmpdir = tempfile.mkdtemp(prefix="lateness_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                rows, "ts string, product string, price double, qty long"
+            ).select(F.to_timestamp("ts").alias("ts"), "product", "price", "qty")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, product string, price double, qty long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = run_available_now(
+            allowed_lateness_candles(stream, 60, 30), "update"
+        ).toPandas()
+        out = out[out["product"] != "zzz"]
+        got = {
+            (r.product, r.window_start.strftime("%H:%M"), r.kind): (
+                r.open, r.high, r.low, r.close, r.volume, r.n
+            )
+            for r in out.itertuples(index=False)
+        }
+        assert got == {
+            # on-time fire excludes the same-batch straggler (3.0)...
+            ("A", "10:00", "on_time"): (1.0, 2.0, 1.0, 2.0, 20, 2),
+            # ...which lands in the dropped side output instead
+            ("A", "10:00", "dropped"): (3.0, 3.0, 3.0, 3.0, 10, 1),
+            ("A", "11:00", "on_time"): (9.0, 9.0, 9.0, 9.0, 10, 1),
+            # in-budget straggler folds and re-fires the fired window
+            ("A", "11:00", "late_update"): (9.0, 9.0, 4.0, 4.0, 20, 2),
+            # open window absorbs the late event silently; one fire,
+            # 12:05 correctly BEFORE 12:10 in the open/close ordering
+            ("A", "12:00", "on_time"): (6.0, 6.0, 5.0, 5.0, 20, 2),
+            # idle key: timer fire + beyond-budget drop
+            ("B", "10:00", "on_time"): (7.0, 7.0, 7.0, 7.0, 10, 1),
+            ("B", "10:00", "dropped"): (8.0, 8.0, 8.0, 8.0, 10, 1),
+        }, out.to_string()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
