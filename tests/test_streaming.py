@@ -1236,3 +1236,70 @@ def test_allowed_lateness_two_knob_semantics(spark):
         }, out.to_string()
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_allowed_lateness_budget_spanning_windows(spark):
+    """Parameter-space pin for the two-knob path: lateness (90 min)
+    LARGER than the window (30 min), so several fired windows stay
+    re-firable at once — a straggler lands TWO windows back and still
+    re-fires — and the drop rule's boundary is exact: an event whose
+    window end + lateness equals the watermark is dropped (<=, Flink's
+    cleanup-time contract), not kept.
+
+    Watermark after batch 0 = 12:00. Late batch:
+      A@10:10 -> [10:00) end 10:30 + 90m = 12:00 <= 12:00: DROPPED
+      A@10:45 -> [10:30) end 11:00 + 90m = 12:30 >  12:00: re-fires
+    """
+    from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
+
+    D = "2024-01-01 "
+    files = [
+        [
+            (D + "10:00:00", "A", 1.0, 10),
+            (D + "10:40:00", "A", 2.0, 10),
+            (D + "12:00:00", "A", 3.0, 10),
+        ],
+        [
+            (D + "10:10:00", "A", 4.0, 10),
+            (D + "10:45:00", "A", 5.0, 10),
+        ],
+        [(D + "16:00:00", "zzz", 0.0, 0)],
+        [(D + "18:00:00", "zzz", 0.0, 0)],
+    ]
+    tmpdir = tempfile.mkdtemp(prefix="lateness_span_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                rows, "ts string, product string, price double, qty long"
+            ).select(F.to_timestamp("ts").alias("ts"), "product", "price", "qty")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, product string, price double, qty long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = run_available_now(
+            allowed_lateness_candles(stream, window_minutes=30, lateness_minutes=90),
+            "update",
+        ).toPandas()
+        out = out[out["product"] != "zzz"]
+        got = {
+            (r.window_start.strftime("%H:%M"), r.kind): (r.open, r.close, r.n)
+            for r in out.itertuples(index=False)
+        }
+        assert got == {
+            ("10:00", "on_time"): (1.0, 1.0, 1),
+            ("10:00", "dropped"): (4.0, 4.0, 1),  # end+lateness == wm: dropped
+            ("10:30", "on_time"): (2.0, 2.0, 1),
+            ("10:30", "late_update"): (2.0, 5.0, 2),  # two windows back
+            ("12:00", "on_time"): (3.0, 3.0, 1),
+        }, out.to_string()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
