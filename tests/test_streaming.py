@@ -1303,3 +1303,62 @@ def test_allowed_lateness_budget_spanning_windows(spark):
         }, out.to_string()
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_allowed_lateness_out_of_orderness_defers_firing(spark):
+    """The third knob: bounded out-of-orderness (10 min) holds the
+    Flink watermark BEHIND max event time, deferring first firings.
+    After batch 0 (max ts 12:05) the watermark is 11:55, so the
+    [11:00, 12:00) window is still unfired when the 11:40 straggler
+    arrives — it folds silently and the window's single on_time
+    firing (at the sentinels) includes it. With out-of-orderness 0
+    the same replay would emit an 11:00 on_time WITHOUT the straggler
+    plus a late_update WITH it; the absence of any late_update here
+    is the knob's observable effect.
+    """
+    from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
+
+    D = "2024-01-01 "
+    files = [
+        [(D + "11:10:00", "A", 1.0, 10), (D + "12:05:00", "A", 2.0, 10)],
+        [(D + "11:40:00", "A", 3.0, 10)],
+        [(D + "16:00:00", "zzz", 0.0, 0)],
+        [(D + "18:00:00", "zzz", 0.0, 0)],
+    ]
+    tmpdir = tempfile.mkdtemp(prefix="lateness_ooo_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                rows, "ts string, product string, price double, qty long"
+            ).select(F.to_timestamp("ts").alias("ts"), "product", "price", "qty")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, product string, price double, qty long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = run_available_now(
+            allowed_lateness_candles(
+                stream, window_minutes=60, lateness_minutes=30,
+                out_of_orderness_seconds=600,
+            ),
+            "update",
+        ).toPandas()
+        out = out[out["product"] != "zzz"]
+        got = {
+            (r.window_start.strftime("%H:%M"), r.kind): (r.open, r.close, r.n)
+            for r in out.itertuples(index=False)
+        }
+        assert got == {
+            ("11:00", "on_time"): (1.0, 3.0, 2),  # straggler inside first fire
+            ("12:00", "on_time"): (2.0, 2.0, 1),
+        }, out.to_string()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
