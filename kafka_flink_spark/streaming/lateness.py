@@ -41,6 +41,13 @@ Determinism contract: (product, ts) is unique in the fixture (the
 w30 discipline), so ts-ordered folds and ``arg_min/arg_max(price,
 ts)`` oracles agree exactly; all arithmetic is selection/max/min and
 integer sums — no float accumulation.
+
+Boundary note: before the first batch completes Spark reports the
+watermark as epoch 0, which this module maps to a Flink clock of
+epoch + lateness + window (Flink's startup watermark is -inf). Any
+window ending before that instant — i.e. event times in the first
+hours of 1970 — would fire prematurely; real event-time data is
+assumed to postdate it.
 """
 
 from __future__ import annotations
