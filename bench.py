@@ -140,10 +140,20 @@ R6_OPS = (
     "g16_hll_sketch_union",
     "d13_minhash_capped_skew",
     "pipe10_canonical_selection_lsh",
+    "io22_dynamic_partition_pruning",
+)
+
+# Streaming micro-batch replays, timed in a FRESH session (VERDICT r6
+# task 6): after ~10 min of batch sections the shared session's heap
+# fragmentation and accumulated state-store/checkpoint dirs made these
+# position-dependent (w30: 16.6 s in-bench vs 7.2 s solo, SCALING.md
+# r6). A fresh session measures the code, not session age — the same
+# isolation discipline the throughput figure already uses.
+STREAM_OPS = (
     "w30_stream_event_timer_finals",
     "w31_stream_simhash_dedup",
-    "io22_dynamic_partition_pruning",
     "w32_allowed_lateness_refire",
+    "w33_stream_simhash_dedup_capped",
 )
 
 
@@ -224,7 +234,16 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    streaming_rate = _streaming_rate_fresh_session(spark)
+
+    # Streaming replays: fresh session, fresh state-store dirs.
+    from kafka_flink_spark.session import get_session as _gs
+
+    spark.stop()
+    stream_spark = _gs("kafka_flink_spark-bench-replays")
+    stream_timings = _time_section(
+        stream_spark, qs, sf_dir, [n for n in STREAM_OPS if n in qs], spread
+    )
+    streaming_rate = _streaming_rate_fresh_session(stream_spark)
 
     # Full per-section breakdown + noise bands go to a sidecar file:
     # round 5's single mega-line exceeded the driver's output tail
@@ -238,6 +257,7 @@ def main() -> None:
         "r4_queries": r4_timings,
         "r5_queries": r5_timings,
         "r6_queries": r6_timings,
+        "stream_queries": stream_timings,
         "spread_min_max": spread,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -258,6 +278,7 @@ def main() -> None:
                 "r4_total": round(sum(r4_timings.values()), 3),
                 "r5_total": round(sum(r5_timings.values()), 3),
                 "r6_total": round(sum(r6_timings.values()), 3),
+                "stream_total": round(sum(stream_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": streaming_rate,
             }
         )

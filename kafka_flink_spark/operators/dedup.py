@@ -785,6 +785,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair relation: every doc
     gets a ``cluster_id`` = the smallest doc id reachable through the
@@ -803,15 +804,18 @@ def dedup_clusters(
     scalar per round. Iterative and therefore not single-SQL-
     expressible — the oracle uses a recursive CTE.
     """
+    from kafka_flink_spark.operators.iterative import lineage_truncator
+
+    _ck = lineage_truncator(ids.sparkSession, checkpoint_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .localCheckpoint()  # edges re-join every round; compute the pair generator once
+        .transform(_ck)  # edges re-join every round; compute the pair generator once
     )
     labels = ids.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    ).transform(_ck)
     init_labels = labels
     n_ids = init_labels.count()
     for _ in range(max_iterations):
@@ -849,7 +853,7 @@ def dedup_clusters(
                 F.coalesce(F.col("_pcluster"), F.col("cluster_id")).alias("cluster_id"),
                 "_old",
             )
-            .localCheckpoint()
+            .transform(_ck)
         )
         changed = new_labels.filter(
             ~F.col("cluster_id").eqNullSafe(F.col("_old"))

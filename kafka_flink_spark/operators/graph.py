@@ -14,16 +14,24 @@ simplified recurrence.
 Scale shape: per iteration one join (edges ⋈ ranks, shuffled on the
 edge key) and one aggregation — the Pregel cost model measured for
 ``dedup_clusters`` in SCALING.md (rounds × shuffle, flat in corpus
-mass at fixed round count). ``localCheckpoint`` per round truncates
-the growing lineage, which is otherwise the classic iterative-Spark
-trap. Fixed iteration count (no convergence test) keeps the oracle
-expressible as unrolled SQL.
+mass at fixed round count). Per-round lineage truncation (otherwise
+the classic iterative-Spark trap) is a KNOB on every iterative op
+here: the default ``checkpoint_dir=None`` uses ``localCheckpoint`` —
+fastest, but its executor-local blocks are LOST on executor death, so
+on a real cluster one lost executor mid-iteration fails the job
+unrecoverably; pass ``checkpoint_dir`` (shared storage on a real
+cluster) for reliable ``checkpoint()`` that survives executor loss.
+Results are identical either way — see operators/iterative.py for the
+full durability/latency rationale. Fixed iteration count (no
+convergence test) keeps the oracle expressible as unrolled SQL.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kafka_flink_spark.operators.iterative import lineage_truncator
 
 PR_SCALE = 10**12
 PR_DAMP_NUM = 85
@@ -36,6 +44,7 @@ def pagerank(
     id_col: str = "id",
     iterations: int = 10,
     checkpoint_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: ``nodes`` one row per node (column
     ``id_col``), ``edges`` directed (columns ``src``/``dst``; pass
@@ -55,7 +64,8 @@ def pagerank(
     # recompute per materialization job — doubly so with fused rounds.
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    nodes = nodes.localCheckpoint()
+    _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
+    nodes = nodes.transform(_ck)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank needs at least one node")
@@ -67,13 +77,13 @@ def pagerank(
     # edge set (e.g. the co-purchase self-join + distinct) that means
     # the dominant cost executes twice. One checkpoint bounds it to
     # exactly one execution.
-    edges = edges.localCheckpoint()
+    edges = edges.transform(_ck)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # out-edges annotated with source degree, reused every round
-    out_e = edges.join(deg, "src").localCheckpoint()
+    out_e = edges.join(deg, "src").transform(_ck)
     pr = nodes.select(
         F.col(id_col), F.lit(PR_SCALE // n).cast("long").alias("pr")
-    ).localCheckpoint()
+    ).transform(_ck)
     for it in range(iterations):
         contrib = (
             out_e.join(pr, out_e.src == pr[id_col])
@@ -91,7 +101,7 @@ def pagerank(
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("pr"),
         )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            pr = pr.localCheckpoint()
+            pr = pr.transform(_ck)
     return pr
 
 
@@ -175,6 +185,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weakly-connected components: every node in ``nodes`` gets a
     ``component_id`` = the smallest LISTED node id reachable through
@@ -206,6 +217,7 @@ def connected_components(
         pairs,
         "doc_id",
         max_iterations,
+        checkpoint_dir,
     )
     return labels.select(
         F.col("doc_id").alias(id_col),
@@ -222,6 +234,7 @@ def label_propagation(
     edges: DataFrame,
     id_col: str = "id",
     iterations: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA,
     Raghavan/Albert/Kumara 2007, made deterministic): every node
@@ -249,8 +262,9 @@ def label_propagation(
         raise ValueError(f"iterations must be >= 1: {iterations}")
     # Pin the (possibly expensive) caller-derived relations: each is
     # read once per round.
-    edges = edges.select("src", "dst").localCheckpoint()
-    nodes = nodes.select(F.col(id_col)).localCheckpoint()
+    _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
+    edges = edges.select("src", "dst").transform(_ck)
+    nodes = nodes.select(F.col(id_col)).transform(_ck)
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("label"))
     for _ in range(iterations):
         msgs = edges.join(
@@ -273,7 +287,7 @@ def label_propagation(
                 F.col(id_col),
                 F.coalesce("_new", "label").alias("label"),
             )
-            .localCheckpoint()
+            .transform(_ck)
         )
     from pyspark.sql.window import Window
 
@@ -296,6 +310,7 @@ def bfs_levels(
     sources: DataFrame,
     id_col: str = "id",
     max_hops: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS: per node, the hop distance to the nearest
     source (0 for sources themselves), NULL if unreached within
@@ -311,7 +326,8 @@ def bfs_levels(
     relaxing settled nodes is a no-op the aggregate absorbs. Integer
     distances end-to-end; the unreachable sentinel stays internal
     (NULL leaves the operator)."""
-    edges = edges.select("src", "dst").localCheckpoint()
+    _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
+    edges = edges.select("src", "dst").transform(_ck)
     dist = (
         nodes.select(F.col(id_col))
         .join(
@@ -320,7 +336,7 @@ def bfs_levels(
             "left",
         )
         .select(F.col(id_col), F.col("_d").cast("long").alias("dist"))
-        .localCheckpoint()
+        .transform(_ck)
     )
     for _ in range(max_hops):
         nbr = (
@@ -345,7 +361,7 @@ def bfs_levels(
                     F.lit(_BFS_INF),
                 ).alias("dist"),
             )
-            .localCheckpoint()
+            .transform(_ck)
         )
     return dist
 
@@ -356,6 +372,7 @@ def kcore(
     id_col: str = "id",
     k: int = 3,
     rounds: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous k-core peeling (Seidman 1983 cores; the parallel
     peel of Montresor et al. 2013): each round simultaneously deletes
@@ -378,8 +395,9 @@ def kcore(
     """
     if k < 1 or rounds < 1:
         raise ValueError(f"k and rounds must be >= 1: k={k} rounds={rounds}")
-    edges = edges.select("src", "dst").localCheckpoint()
-    alive = nodes.select(F.col(id_col)).localCheckpoint()
+    _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
+    edges = edges.select("src", "dst").transform(_ck)
+    alive = nodes.select(F.col(id_col)).transform(_ck)
     deg = None
     for _ in range(rounds):
         deg = (
@@ -391,7 +409,7 @@ def kcore(
         alive = (
             deg.filter(F.col("deg") >= k)
             .select(F.col("src").alias(id_col), F.col("deg"))
-            .localCheckpoint()
+            .transform(_ck)
         )
     return alive.select(F.col(id_col), F.col("deg").cast("long").alias("core_degree"))
 
@@ -403,6 +421,7 @@ def personalized_pagerank(
     id_col: str = "id",
     iterations: int = 10,
     checkpoint_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to a SEED set
     — Haveliwala 2002's topic-sensitive PageRank): identical integer
@@ -420,8 +439,9 @@ def personalized_pagerank(
     """
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    nodes = nodes.localCheckpoint()
-    seeds = seeds.select(F.col(id_col)).distinct().localCheckpoint()
+    _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
+    nodes = nodes.transform(_ck)
+    seeds = seeds.select(F.col(id_col)).distinct().transform(_ck)
     ns = seeds.count()
     if ns == 0:
         raise ValueError("personalized_pagerank needs at least one seed")
@@ -430,14 +450,14 @@ def personalized_pagerank(
         seeds.withColumn("_seed", F.lit(1)), id_col, "left"
     ).select(
         F.col(id_col), F.coalesce("_seed", F.lit(0)).alias("_seed")
-    ).localCheckpoint()
-    edges = edges.localCheckpoint()
+    ).transform(_ck)
+    edges = edges.transform(_ck)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    out_e = edges.join(deg, "src").localCheckpoint()
+    out_e = edges.join(deg, "src").transform(_ck)
     pr = marked.select(
         F.col(id_col),
         (F.col("_seed") * F.lit(PR_SCALE // ns)).cast("long").alias("pr"),
-    ).localCheckpoint()
+    ).transform(_ck)
     for it in range(iterations):
         contrib = (
             out_e.join(pr, out_e.src == pr[id_col])
@@ -460,7 +480,7 @@ def personalized_pagerank(
             .alias("pr"),
         )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            pr = pr.localCheckpoint()
+            pr = pr.transform(_ck)
     return pr
 
 

@@ -122,7 +122,9 @@ def _merge_rec(rec: dict[str, Any], part: dict[str, Any]) -> None:
 def _emit(product: str, ws_us: int, kind: str, rec: dict[str, Any]) -> tuple:
     import datetime
 
-    ws = datetime.datetime.utcfromtimestamp(ws_us / 1_000_000)
+    ws = datetime.datetime.fromtimestamp(
+        ws_us / 1_000_000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
     return (
         product, ws, kind,
         rec["open"], rec["high"], rec["low"], rec["close"],
@@ -143,8 +145,25 @@ def allowed_lateness_candles(
     unique). Output: one ``on_time`` row per non-empty window at
     first firing, ``late_update`` re-fires for late-but-in-budget
     stragglers, ``dropped`` side-output aggregates beyond the budget.
+
+    REQUIRES ``spark.sql.session.timeZone=UTC`` (asserted at build
+    time): the pandas wall-time micros inside the state function are
+    compared against ``getCurrentWatermarkMs()`` — a UTC instant —
+    and ``_emit`` round-trips window starts through naive UTC
+    datetimes, so any other session timezone would silently shift
+    every window boundary and the reconstructed Flink clock by the
+    offset. ``session.get_spark`` pins UTC; external callers get a
+    loud error instead of shifted windows.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tz = trades.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            "allowed_lateness_candles requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): watermark-vs-wall-time comparisons and naive-UTC "
+            "window reconstruction shift by the zone offset otherwise"
+        )
 
     win_ms = window_minutes * 60_000
     late_ms = lateness_minutes * 60_000

@@ -106,7 +106,9 @@ def _fold_events(
 def _emit(product: str, seq: int | None, st: dict[str, Any], end_of_window: bool) -> tuple:
     import datetime
 
-    ws = datetime.datetime.utcfromtimestamp(st["window_start_us"] / 1_000_000)
+    ws = datetime.datetime.fromtimestamp(
+        st["window_start_us"] / 1_000_000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
     return (
         product,
         seq,
@@ -271,19 +273,32 @@ def running_candles_event_timers(
             out, st = _fold_events(pdf, st, window_minutes)
             rows.extend(out)
         if st is not None:
-            state.update(
-                (
-                    st["open"],
-                    st["high"],
-                    st["low"],
-                    st["close"],
-                    st["volume"],
-                    st["window_start_us"],
+            end_ms = st["window_start_us"] // 1_000 + win_ms
+            if end_ms <= state.getCurrentWatermarkMs():
+                # The global watermark — driven by OTHER keys' events —
+                # may already sit past this key's open window (all of
+                # this key's folded events were late-but-not-dropped).
+                # Arming a timer at or before the watermark is an
+                # IllegalArgumentException in Spark, so flush the final
+                # immediately instead of arming one (mirrors
+                # lateness.py's max(next, watermark+1) guard).
+                rows.append(_emit(key[0], None, st, end_of_window=True))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(
+                    (
+                        st["open"],
+                        st["high"],
+                        st["low"],
+                        st["close"],
+                        st["volume"],
+                        st["window_start_us"],
+                    )
                 )
-            )
-            # Arm the event-time timer at the open window's end; fires
-            # when the watermark (any key's events) passes it.
-            state.setTimeoutTimestamp(st["window_start_us"] // 1_000 + win_ms)
+                # Arm the event-time timer at the open window's end;
+                # fires when the watermark (any key's events) passes it.
+                state.setTimeoutTimestamp(end_ms)
         yield pd.DataFrame(rows, columns=cols)
 
     return (

@@ -90,94 +90,79 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1-5 covered
-# 230 distinct driver-checked names (227 hash-green + g7/g13/g16
-# rows-only, 0 failing — CORRECTNESS_r0{1..5}.json, VERDICT r5).
-# Round 6 closes the registry's evidence gap per VERDICT r5 task 1:
-# all 44 names with no hash-green row anywhere lead (the 41
-# session-4/5/6 additions VERDICT itemized, plus g7/g13/g16 which
-# convert from rows-only to hash-green this round via deterministic
-# within_bound booleans — VERDICT task 3). The two round-6 additions
-# (d13 capped-bucket dedup per VERDICT task 4, pipe10 banded-LSH
-# canonical selection per task 6) follow, and the 4 spare slots
-# re-attest d4 (its banding core was extracted into
-# dedup.hamming_near_pairs in round-5 session 6, after the r5 driver
-# run froze — d5 re-earned its row through the shared path, d4 has
-# not) and the three re-attests round 5 displaced (pipe3 exact-cap
-# pin, pipe4 persist pin, t28 regex widening — all sim-green,
-# never re-rowed).
+# FIRST 50 queries in iteration order each round; rounds 1-6 covered
+# 274 distinct driver-checked names, all green (CORRECTNESS_r0{1..6},
+# VERDICT r6). Round 7 executes the queue VERDICT r6 tasks 1 and 7
+# prescribe: the r6 run left NOTHING non-green, so the tuple leads
+# with the only 3 registry names that have never had a driver row
+# (io22/w31/w32, added after the r6 tuple froze; judge-verified 3/3
+# and sim-attested at both SFs), then re-attests t28 (displaced from
+# the rotation twice, r5 and r6) and the evidence tail: all 40
+# queries whose only driver row is round 1, plus this round's new
+# registration (w33 capped stream near-dup) and 5 load-bearing
+# round-2 rows (the flagship candle pair, the exact/ngram dedup
+# core, the as-of join) = 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- never hash-green (44) ----
-    # U6 cogroup twin first (VERDICT: last §2 surface piece w/o a row)
-    "u10_cogrouped_asof",
-    # sketches, converted rows-only -> within_bound hash-green (task 3)
-    "g7_approx_distinct_sketch",
-    "g13_approx_percentile_sketch",
-    "g16_hll_sketch_union",
-    # session-4 additions
-    "e13_linear_interpolation",
-    "e14_ewma_smoothing",
-    "e15_attribution_touch",
-    "t34_boilerplate_removal",
-    "t35_token_entropy",
-    "d10_lsh_recall_eval",
-    "d11_prefix_filter_jaccard",
-    "gr4_label_propagation",
-    "gr5_bfs_levels",
-    "io19_incremental_join_maintenance",
-    "io20_snapshot_diff",
-    "g23_pareto_frontier",
-    # session-5 additions
-    "e16_cep_followed_by",
-    "e17_ab_test_welch",
-    "fe1_decile_binning",
-    "fe2_target_encoding",
-    "fe3_feature_hashing",
-    "w27_stream_dynamic_gap_sessions",
-    "w28_stream_psi_drift",
-    "gr6_kcore_peeling",
-    "gr7_personalized_pagerank",
-    "qa3_psi_drift",
-    "qa4_partition_skew_report",
-    "v13_ivfpq_rerank_topk",
-    "pipe8_canonical_selection",
-    "d12_containment_pairs",
-    # session-6 additions
-    "t36_line_dedup",
-    "t37_dsir_importance",
-    "gr8_link_prediction",
-    "e18_cusum_changepoint",
-    "e19_seasonal_decompose",
-    "e20_survival_km",
-    "e21_top_paths",
-    "fe4_robust_scaler",
-    "fe5_rfm_segmentation",
-    "w29_stream_cusum_monitor",
-    "g24_association_rules",
-    "m8_perceptual_near_dup",
-    "cl2_silhouette_eval",
-    "pipe9_entity_resolution",
-    # ---- round-6 additions (2) ----
-    "d13_minhash_capped_skew",
-    "pipe10_canonical_selection_lsh",
-    # w30 (round-6 addition: W9 event-time timers inside the value
-    # hash) outranks the weakest re-attest (t28, whose round-5 regex
-    # widening is mirrored verbatim on both sides and sim-green) —
-    # the same never-checked-beats-re-attest judgment round 5 made.
-    "w30_stream_event_timer_finals",
-    # ---- re-attests (3) ----
-    "d4_simhash_signatures",
-    "pipe3_leakage_safe_split",
-    "pipe4_quality_dedup_corpus",
-    # ---- 50-query budget line (round 6): exactly 50 names ----
-    # Round-7 rotation queue (replace this tuple at r7 start): lead
-    # with any name the r6 CORRECTNESS run left non-green, then
-    # w31_stream_simhash_dedup, io22_dynamic_partition_pruning and
-    # w32_allowed_lateness_refire
-    # (added after the r6 tuple froze; sim-attested both SFs), then
-    # re-attest t28
-    # (displaced twice) and the oldest r1/r2-era green rows so
-    # cumulative evidence stays fresh.
+    # ---- never driver-checked (3) — VERDICT r6 task 1 ----
+    "io22_dynamic_partition_pruning",
+    "w31_stream_simhash_dedup",
+    "w32_allowed_lateness_refire",
+    # ---- round-7 addition: the capped stream near-dup (VERDICT r6
+    # task 3) — never-checked beats re-attest, as in r5/r6 ----
+    "w33_stream_simhash_dedup_capped",
+    # ---- twice-displaced re-attest ----
+    "t28_url_dedup",
+    # ---- oldest evidence: every round-1-only row (40) ----
+    "f1_filter_project",
+    "f2_null_semantics",
+    "g1_pricing_summary",
+    "g2_distinct_agg",
+    "g3_rollup",
+    "g4_cube",
+    "g5_having",
+    "g6_percentiles",
+    "g8_pivot",
+    "g9_unpivot",
+    "j1_join_broadcast_inner",
+    "j2_join_left_outer",
+    "j3_join_semi",
+    "j4_join_anti",
+    "j5_join_range",
+    "p4_passthrough",
+    "q_customer_distribution",
+    "q_disjunctive_parts",
+    "q_forecast_revenue",
+    "q_idle_rich_customers",
+    "q_large_orders",
+    "q_local_supplier_volume",
+    "q_nation_trade_flows",
+    "q_order_priority",
+    "q_promo_revenue",
+    "q_returned_items",
+    "q_shipping_priority",
+    "s1_sort_limit",
+    "sc1_datetime_functions",
+    "sc2_string_functions",
+    "sc3_json_functions",
+    "sc4_array_functions",
+    "set1_union_distinct",
+    "set2_intersect",
+    "set3_except",
+    "sub1_scalar_subquery",
+    "sub2_correlated_subquery",
+    "w1_topk_per_group",
+    "w2_lag_lead",
+    "w3_rank_dense_ntile",
+    # ---- round-2-era refresh (6) ----
+    "a1_ohlcv_tumbling_1h",
+    "a2_running_ohlcv",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "j6_asof_join_prev_close",
+    # ---- 50-query budget line (round 7): exactly 50 names ----
+    # Round-8 rotation queue (replace this tuple at r8 start): lead
+    # with any r7 non-green, then any new r7 registrations, then the
+    # remaining 35 round-2-only rows, oldest-first.
 )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_flink_spark.sources.fixtures import TRADES_ORACLE_CTE, trades_view
+from kafka_flink_spark.sources.fixtures import TRADES_ORACLE_CTE, scratch_dir, trades_view
 from kafka_flink_spark.streaming.candles_stream import (
     ohlcv_stream,
     run_available_now,
@@ -1309,7 +1309,6 @@ GROUP BY product, date_trunc('hour', ts)
 def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from kafka_flink_spark.streaming.stateful import running_candles_event_timers
 
@@ -1327,7 +1326,7 @@ def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(seq).cast("long").alias("seq"),
         )
 
-    tmpdir = tempfile.mkdtemp(prefix="w30_src_")
+    tmpdir = scratch_dir(prefix="w30_src_")  # atexit-cleaned; no cross-run leak
     src = os.path.join(tmpdir, "src")
     os.makedirs(src)
     parts = [trades, sentinel(2, 10**12), sentinel(4, 10**12 + 1)]
@@ -1407,7 +1406,6 @@ FROM documents d LEFT JOIN p USING (doc_id)
 def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from kafka_flink_spark.sources.fixtures import load_table
     from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
@@ -1418,7 +1416,7 @@ def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = docs.crossJoin(F.broadcast(mx)).withColumn(
         "bucket", F.floor(F.col("doc_id") * 3 / F.col("mxp1")).cast("int")
     )
-    tmpdir = tempfile.mkdtemp(prefix="w31_src_")
+    tmpdir = scratch_dir(prefix="w31_src_")  # atexit-cleaned; no cross-run leak
     src = os.path.join(tmpdir, "src")
     os.makedirs(src)
     for i in range(3):
@@ -1444,6 +1442,158 @@ def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("dup_of").isNotNull().alias("is_near_dup"),
+            "dup_of",
+        )
+    )
+
+
+_W33_FAMILY_N = 48
+_W33_CAP = 16
+_W33_BASE = " ".join(f"tok{j}" for j in range(100))
+
+
+def _w33_oracle() -> str:
+    """Capped-stream oracle: reproduce simhash_dedup_stream's
+    bucket_cap contract as pure set logic. rn = arrival position in a
+    (chunk_id, chunk_key) bucket (global doc_id order — the replay is
+    id-ranged files folded in id order); the first cap arrivals form
+    the history, later arrivals verify against the hub (rn=1) only.
+    Pair (a < b) emits iff b still joined the history (b.rn <= cap,
+    all earlier members visible) OR a is the hub."""
+    from kafka_flink_spark.operators.dedup import SIMHASH_BITS
+    from kafka_flink_spark.suite.llm_queries import _md5l
+
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    num_chunks = 7
+    base, extra = divmod(SIMHASH_BITS, num_chunks)
+    chunk_selects, off = [], 0
+    for c in range(num_chunks):
+        width = base + (1 if c < extra else 0)
+        chunk_selects.append(
+            f"SELECT doc_id, simhash, {c} AS chunk_id, "
+            f"((simhash >> {off}) & {(1 << width) - 1}) AS chunk_key FROM sig"
+        )
+        off += width
+    banded = "\n    UNION ALL ".join(chunk_selects)
+    tok_hash = _md5l("t")
+    return f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(9000000 + i AS BIGINT) AS doc_id,
+           '{_W33_BASE}' || ' va' || i || ' vb' || i || ' vc' || i || ' vd' || i AS text
+    FROM range({_W33_FAMILY_N}) t(i)
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), t -> {tok_hash}) AS hs
+    FROM docs_all
+),
+sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hashed),
+banded AS (
+    {banded}
+),
+rn AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY chunk_id, chunk_key ORDER BY doc_id) AS rn
+    FROM banded
+),
+emit AS (
+    SELECT b.doc_id,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_dups,
+           CAST(min(a.doc_id) AS BIGINT) AS dup_of
+    FROM rn a JOIN rn b
+      ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+     AND a.doc_id < b.doc_id
+     AND (b.rn <= {_W33_CAP} OR a.rn = 1)
+     AND bit_count(xor(a.simhash, b.simhash)) <= 6
+    GROUP BY b.doc_id
+)
+SELECT d.doc_id, COALESCE(e.n_dups, 0) AS n_dups, e.dup_of
+FROM docs_all d LEFT JOIN emit e USING (doc_id)
+"""
+
+
+@register(
+    "w33_stream_simhash_dedup_capped",
+    oracle=_w33_oracle(),
+    doc="Streaming near-dup dedup-on-ingest with the state-bucket cap "
+    "ENGAGED (bucket_cap=16) — the stream twin of d13's batch "
+    "hub-star contract, over documents plus a deterministic 48-doc "
+    "boilerplate family whose near-identical signatures concentrate "
+    "one (chunk, key) state group past the cap: once a bucket holds "
+    "16 signatures, later arrivals verify against the bucket hub "
+    "(min-id member) only and are NOT appended, so per-arrival work "
+    "and state are O(cap) instead of O(bucket) — dedup-on-ingest "
+    "that survives a 10M-doc boilerplate family at 100 TB. Output "
+    "carries n_dups = distinct flagged predecessors per doc, so the "
+    "star-vs-all-pairs narrowing sits INSIDE the value hash (family "
+    "members past the cap report the hub alone, not 16+ matches); "
+    "the oracle replays the documented capped emit rules exactly "
+    "(streaming/dedup_stream.simhash_dedup_stream bucket_cap "
+    "contract).",
+)
+def w33_stream_simhash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from kafka_flink_spark.sources.fixtures import load_table
+    from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id").cast("string")
+    fam = spark.range(_W33_FAMILY_N).select(
+        (F.lit(9000000) + F.col("id")).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit(_W33_BASE),
+            F.lit(" va"), i, F.lit(" vb"), i, F.lit(" vc"), i, F.lit(" vd"), i,
+        ).alias("text"),
+    )
+    docs_all = docs.unionByName(fam)
+    # id-range replay: real docs split in half by id, the family (ids
+    # 9000000+) arrives last — "earlier" == smaller id, as in w31.
+    mx = docs.agg((F.max("doc_id") + 1).alias("mxp1"))
+    ranged = docs_all.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket",
+        F.when(F.col("doc_id") >= 9000000, F.lit(2)).otherwise(
+            F.floor(F.col("doc_id") * 2 / F.col("mxp1")).cast("int")
+        ),
+    )
+    tmpdir = scratch_dir(prefix="w33_src_")
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(tmpdir, f"stage{b}")
+        ranged.filter(F.col("bucket") == b).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{b:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + b * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    matches = run_available_now(
+        simhash_dedup_stream(stream, bucket_cap=_W33_CAP), "update"
+    )
+    per_doc = matches.groupBy("doc_id").agg(
+        F.countDistinct("dup_of").alias("n_dups"),
+        F.min("dup_of").alias("dup_of"),
+    )
+    return (
+        docs_all.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
             "dup_of",
         )
     )
@@ -1532,7 +1682,6 @@ FROM (SELECT * FROM on_time
 def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
 
@@ -1565,7 +1714,7 @@ def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel(4),
         sentinel(6),
     ]
-    tmpdir = tempfile.mkdtemp(prefix="w32_src_")
+    tmpdir = scratch_dir(prefix="w32_src_")  # atexit-cleaned; no cross-run leak
     src = os.path.join(tmpdir, "src")
     os.makedirs(src)
     for i, df in enumerate(parts):

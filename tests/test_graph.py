@@ -291,3 +291,63 @@ def test_link_prediction_hub_cap_drops_apex(spark):
     }
     assert got[(1, 3)] == RA_SCALE // 2
     assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_reliable_checkpoint_knob_identical_results(spark, tmp_path):
+    """The durable-checkpoint knob (VERDICT r6 task 4): with
+    checkpoint_dir set, every iterative op truncates lineage via
+    reliable checkpoint() (survives executor loss on a real cluster)
+    instead of localCheckpoint (executor-local blocks, lost with the
+    executor) — and the results are IDENTICAL, because truncation
+    never changes values, only where materialized blocks live.
+    Checkpoint files actually land in the directory (the knob is
+    exercised, not silently ignored)."""
+    import os
+
+    from kafka_flink_spark.operators.clustering import kmeans_fit
+    from kafka_flink_spark.operators.graph import (
+        bfs_levels,
+        connected_components,
+        kcore,
+        label_propagation,
+        personalized_pagerank,
+    )
+
+    ckdir = str(tmp_path / "reliable_ck")
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 3), (4, 5), (5, 4)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    sym = edges_df.union(
+        edges_df.selectExpr("dst as src", "src as dst")
+    ).distinct()
+    seeds = spark.createDataFrame([(0,)], "id long")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    runs = [
+        lambda ck: pagerank(nodes_df, edges_df, "id", iterations=5, checkpoint_dir=ck),
+        lambda ck: personalized_pagerank(
+            nodes_df, edges_df, seeds, "id", iterations=5, checkpoint_dir=ck
+        ),
+        lambda ck: label_propagation(nodes_df, sym, "id", iterations=3, checkpoint_dir=ck),
+        lambda ck: bfs_levels(nodes_df, sym, seeds, "id", max_hops=3, checkpoint_dir=ck),
+        lambda ck: kcore(nodes_df, sym, "id", k=2, rounds=3, checkpoint_dir=ck),
+        lambda ck: connected_components(nodes_df, edges_df, "id", checkpoint_dir=ck),
+    ]
+    for run in runs:
+        assert rows(run(None)) == rows(run(ckdir))
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 7)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    # iterations >= 4 so _fit's every-4-rounds truncation actually fires
+    assert rows(kmeans_fit(vecs, k=3, iterations=5, checkpoint_dir=None)) == rows(
+        kmeans_fit(vecs, k=3, iterations=5, checkpoint_dir=ckdir)
+    )
+    # reliable checkpoint files were actually written
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found += files
+    assert found, "no reliable checkpoint files written under checkpoint_dir"

@@ -677,3 +677,38 @@ def test_line_dedup_matches_reference(spark, docs):
         assert r["n_lines"] == n_lines
         assert r["n_dup_lines"] == dup, (i, docs)
         assert r["dropped_tokens"] == dropped, (i, docs)
+
+
+sim_docs_strategy = st.lists(
+    st.lists(
+        # tiny vocab for shared tokens + a unicode straggler; token
+        # repetition inside a doc exercises the occurrence-count vote
+        st.sampled_from(["a", "b", "c", "dd", "é漢"]),
+        min_size=0,  # empty token list -> "" -> [''] single-token doc
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=sim_docs_strategy)
+@SET
+def test_stream_simhash_equals_batch_simhash(spark, docs):
+    """The streaming per-row signature (dedup_stream._simhash_series,
+    the numpy-vectorized body VERDICT r6 task 2 asked for) is
+    BIT-EQUAL to the batch corpus aggregation (dedup.simhash's
+    explode → 60 codegen bit sums) on every document — the contract
+    that makes w31's state-store index interoperable with every batch
+    near-dup operator."""
+    import pandas as pd
+
+    from kafka_flink_spark.operators.dedup import simhash
+    from kafka_flink_spark.streaming.dedup_stream import _simhash_series
+
+    texts = [" ".join(ws) for ws in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    stream = _simhash_series(pd.Series(texts, dtype=object)).tolist()
+    assert {i: s for i, s in enumerate(stream)} == batch

@@ -461,6 +461,55 @@ def test_event_time_timer_flushes_idle_key_window(spark):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def test_event_time_timer_key_behind_watermark_flushes_immediately(spark):
+    """Regression (ADVICE r6): a key whose folded events ALL belong to a
+    window whose end already sits at or before the global watermark —
+    driven past it by OTHER keys — must not arm a timer (Spark throws
+    IllegalArgumentException for timeout <= watermark) but flush its
+    final immediately. C first appears in batch 2 with a 10:30 event
+    while A has already pushed the watermark to 12:40; the query must
+    complete and C still gets exactly one end_of_window final."""
+    from kafka_flink_spark.streaming.stateful import running_candles_event_timers
+
+    tmpdir = tempfile.mkdtemp(prefix="evt_timer_late_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        files = [
+            [("2024-01-01 10:00:06", "A", 1.0, 1, 1)],
+            [("2024-01-01 12:40:00", "A", 2.0, 1, 2)],
+            # C is late-but-not-dropped: applyInPandasWithState does no
+            # late filtering, and C's 10:00-11:00 window end (11:00) is
+            # behind the 12:40 watermark when batch 2 runs.
+            [("2024-01-01 10:30:00", "C", 9.0, 3, 3)],
+            [("2024-01-01 13:40:00", "A", 4.0, 1, 4)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(
+                [(r[0], "I", r[1], r[2], r[3], r[4]) for r in rows],
+                "ts string, instrument_id string, product string, price double, qty long, seq long",
+            ).select(F.to_timestamp("ts").alias("ts"), "instrument_id", "product", "price", "qty", "seq")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema(TRADES_SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        out = run_available_now(running_candles_event_timers(stream, 60), "update").toPandas()
+        c_finals = out[(out["product"] == "C") & out["end_of_window"]]
+        assert len(c_finals) == 1, out.to_string()
+        assert c_finals.iloc[0]["volume"] == 3
+        assert c_finals.iloc[0]["open"] == 9.0 and c_finals.iloc[0]["close"] == 9.0
+        # C's state was removed, not parked: no second C row of any
+        # kind after its immediate flush.
+        assert len(out[out["product"] == "C"]) == 2  # 1 update + 1 final
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 def test_tws_running_candles_with_event_time_timers(spark):
     """Spark-4 transformWithStateInPandas path (W7/W8/W9 with real
     event-time timers): per-event running emits plus timer-driven
@@ -1147,6 +1196,62 @@ def test_simhash_dedup_stream_flags_history_matches_only(spark):
         assert per_doc[2] == 1  # within-batch, id order
         assert per_doc[3] == 1  # across batches via state, min of {1, 2}
         assert 4 not in per_doc  # distant text: no match
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_simhash_dedup_stream_bucket_cap_hub_star_contract(spark):
+    """The documented bucket_cap recall contract (VERDICT r6 task 3) on
+    a synthetic boilerplate family: with cap=2, docs 1 and 2 (identical
+    text, one bucket per chunk) fill the bucket; later family members
+    verify against the HUB (doc 1) only — so doc 3 and 4 are flagged
+    with dup_of {1}, never {1,2}, state stops growing, and an uncapped
+    run of the same replay flags {1,2} (the semantics the cap trades
+    away). Distant docs stay unflagged either way."""
+    from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content about spark state stores " * 8
+    tmpdir = tempfile.mkdtemp(prefix="sds_cap_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        files = [
+            [(1, base), (2, base)],
+            [(3, base), (4, base), (5, other)],
+        ]
+        for i, rows in enumerate(files):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+        def run(cap):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            out = run_available_now(
+                simhash_dedup_stream(stream, bucket_cap=cap), "update"
+            ).toPandas()
+            return {
+                d: set(g["dup_of"]) for d, g in out.groupby("doc_id")
+            }
+
+        capped = run(2)
+        assert 1 not in capped  # hub itself is never a dup
+        assert capped[2] == {1}
+        # past the cap: hub-star — doc 2 invisible to later arrivals
+        assert capped[3] == {1}
+        assert capped[4] == {1}
+        assert 5 not in capped
+        uncapped = run(None)
+        assert uncapped[3] == {1, 2}
+        assert uncapped[4] == {1, 2, 3}
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
