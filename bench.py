@@ -143,12 +143,14 @@ R6_OPS = (
     "io22_dynamic_partition_pruning",
 )
 
-# Streaming micro-batch replays, timed in a FRESH session (VERDICT r6
-# task 6): after ~10 min of batch sections the shared session's heap
-# fragmentation and accumulated state-store/checkpoint dirs made these
+# Streaming micro-batch replays, timed in a CHILD PROCESS with its own
+# JVM (VERDICT r6 task 6): after ~15 min of batch sections these were
 # position-dependent (w30: 16.6 s in-bench vs 7.2 s solo, SCALING.md
-# r6). A fresh session measures the code, not session age — the same
-# isolation discipline the throughput figure already uses.
+# r6). A fresh SparkSession in the SAME JVM is not enough — measured
+# this round, the recreated context still pays the parent's aged/
+# fragmented heap (stream medians 3x solo); only a separate process
+# measures the code, not session age. The throughput figure rides the
+# same child.
 STREAM_OPS = (
     "w30_stream_event_timer_finals",
     "w31_stream_simhash_dedup",
@@ -234,16 +236,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-
-    # Streaming replays: fresh session, fresh state-store dirs.
-    from kafka_flink_spark.session import get_session as _gs
-
     spark.stop()
-    stream_spark = _gs("kafka_flink_spark-bench-replays")
-    stream_timings = _time_section(
-        stream_spark, qs, sf_dir, [n for n in STREAM_OPS if n in qs], spread
+
+    # Streaming replays + throughput: own process, own JVM.
+    stream_timings, stream_spread, streaming_rate = _stream_section_child(
+        sf_dir, [n for n in STREAM_OPS if n in qs]
     )
-    streaming_rate = _streaming_rate_fresh_session(stream_spark)
+    spread.update(stream_spread)
 
     # Full per-section breakdown + noise bands go to a sidecar file:
     # round 5's single mega-line exceeded the driver's output tail
@@ -283,24 +282,57 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
-def _streaming_rate_fresh_session(spark) -> int:
-    """Measure streaming throughput in a FRESH session: after ~10 min
-    of batch sections (3 reps x 45 queries) the JVM heap is fragmented
-    and GC pressure knocks 10-20% off the replay rate — noise about
-    the bench ordering, not the engine. A production streaming job
-    owns its session; measuring it in one is the faithful setup."""
-    from kafka_flink_spark.session import get_session
+def _stream_section_child(
+    sf_dir: str, names: list[str]
+) -> tuple[dict[str, float], dict[str, list[float]], int]:
+    """Run the stream replays AND the throughput replay in a child
+    process (fresh JVM, fresh state-store dirs); returns (timings,
+    spreads, ev_per_s). Falls back to in-process measurement if the
+    child fails, so the bench line always prints."""
+    import subprocess
 
-    spark.stop()
-    fresh = get_session("kafka_flink_spark-bench-stream")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys, json\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from kafka_flink_spark.session import get_session\n"
+        "from kafka_flink_spark.suite import all_queries\n"
+        "import bench\n"
+        "spark = get_session('kafka_flink_spark-bench-replays')\n"
+        "qs = all_queries()\n"
+        "spread = {}\n"
+        f"t = bench._time_section(spark, qs, {sf_dir!r}, {names!r}, spread)\n"
+        "rate = bench._streaming_rate(spark)\n"
+        "print('BENCHSTREAM ' + json.dumps("
+        "{'t': t, 'spread': spread, 'rate': rate}))\n"
+        "spark.stop()\n"
+    )
     try:
-        return _streaming_rate(fresh)
-    finally:
-        fresh.stop()
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            check=True,
+            env=os.environ,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("BENCHSTREAM ")
+        ][-1]
+        d = json.loads(line[len("BENCHSTREAM "):])
+        return d["t"], d["spread"], int(d["rate"])
+    except Exception as exc:  # pragma: no cover - fallback path
+        print(f"stream child failed ({exc}); measuring in-process", file=sys.stderr)
+        from kafka_flink_spark.session import get_session
+        from kafka_flink_spark.suite import all_queries
 
+        spark = get_session("kafka_flink_spark-bench-replays")
+        spread: dict[str, list[float]] = {}
+        t = _time_section(spark, all_queries(), sf_dir, names, spread)
+        rate = _streaming_rate(spark)
+        spark.stop()
+        return t, spread, rate
 
 def _streaming_rate(spark) -> int:
     """Streaming OHLCV throughput (ev/s) on a 1M-event / 2k-key

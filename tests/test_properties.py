@@ -63,7 +63,12 @@ def test_ohlcv_matches_reference_fold(spark, rows):
 
     for (p, b), evs in buckets.items():
         evs.sort()
-        key = (p, datetime.datetime.utcfromtimestamp(b).isoformat())
+        key = (
+            p,
+            datetime.datetime.fromtimestamp(b, tz=datetime.timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat(),
+        )
         r = got[key]
         assert r["open"] == evs[0][2] and r["close"] == evs[-1][2]
         assert r["high"] == max(e[2] for e in evs)
