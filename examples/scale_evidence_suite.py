@@ -1,4 +1,4 @@
-"""Sketches, skew knobs, and timer streams — the round-6 public
+"""Sketches, skew knobs, and timer streams — the round-6/7 public
 surface, composed as an operations run would use it:
 
     python examples/scale_evidence_suite.py
@@ -14,7 +14,14 @@ surface, composed as an operations run would use it:
    banded-LSH production stage (same keeper contract, cheaper pairs),
 4. event-time timer finals: the streaming replay whose idle-key
    windows are closed by watermark timers, reconciled against the
-   batch candle set.
+   batch candle set,
+5. dedup-on-ingest with the state-bucket cap engaged: the streaming
+   SimHash index whose oversized buckets verify against their hub
+   only (O(cap) work/state per arrival — the batch d13 contract
+   streamed),
+6. an iterative op on the reliable-checkpoint path: PageRank with
+   checkpoint_dir set, the executor-loss-safe mode a 1000-executor
+   job runs (results identical to the localCheckpoint default).
 
 Every stage is declarative and broadcast-bounded; nothing reaches the
 driver except the printed summaries.
@@ -73,6 +80,33 @@ def main() -> None:
     print(
         f"4. timer stream: {n} window finals emitted "
         "(transitions + watermark timers == the complete batch candle set)"
+    )
+
+    w33 = qs["w33_stream_simhash_dedup_capped"](spark, SF_DIR)
+    flagged = w33.filter("n_dups > 0").count()
+    capped = w33.filter("doc_id >= 9000000 AND n_dups = 1").count()
+    print(
+        f"5. capped dedup-on-ingest: {flagged} docs flagged; "
+        f"family members whose only reported neighbour is the hub: {capped}"
+    )
+
+    import tempfile
+
+    from kafka_flink_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    nodes = spark.range(4).selectExpr("id")
+    with tempfile.TemporaryDirectory(prefix="pr_ck_") as ck:
+        local = {r.id: r.pr for r in pagerank(nodes, edges, "id", iterations=5).collect()}
+        durable = {
+            r.id: r.pr
+            for r in pagerank(nodes, edges, "id", iterations=5, checkpoint_dir=ck).collect()
+        }
+    print(
+        f"6. reliable-checkpoint PageRank: identical to localCheckpoint "
+        f"run on all {len(local)} nodes: {local == durable}"
     )
 
     spark.stop()
