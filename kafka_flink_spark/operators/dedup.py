@@ -786,6 +786,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair relation: every doc
     gets a ``cluster_id`` = the smallest doc id reachable through the
@@ -803,6 +804,13 @@ def dedup_clusters(
     data, becomes the cost. The driver reads only a changed-count
     scalar per round. Iterative and therefore not single-SQL-
     expressible — the oracle uses a recursive CTE.
+
+    ``broadcast_labels`` (None = auto below graph.BROADCAST_NODE_LIMIT
+    ids): the label relation is node-sized, so below the limit it
+    broadcasts into each round's joins and the (typically much larger)
+    pair/edge relation is never re-shuffled after its one pinning
+    materialization; above it the loop falls back to shuffle joins.
+    Values identical either way — physical join strategy only.
     """
     from kafka_flink_spark.operators.iterative import lineage_truncator
 
@@ -818,8 +826,14 @@ def dedup_clusters(
     ).transform(_ck)
     init_labels = labels
     n_ids = init_labels.count()
+    if broadcast_labels is None:
+        from kafka_flink_spark.operators.graph import BROADCAST_NODE_LIMIT
+
+        broadcast_labels = n_ids <= BROADCAST_NODE_LIMIT
+    _bc = F.broadcast if broadcast_labels else (lambda df: df)
     for _ in range(max_iterations):
-        neighbor = edges.join(labels, edges.dst == labels[id_col]).select(
+        lb = _bc(labels)
+        neighbor = edges.join(lb, edges.dst == lb[id_col]).select(
             F.col("src").alias(id_col), "cluster_id"
         )
         propagated = (
@@ -842,9 +856,11 @@ def dedup_clusters(
         # path through them). A relay's first appearance has no _old
         # — it counts as changed via the null-safe comparison.
         new_labels = (
-            propagated.join(parent, propagated.cluster_id == F.col("_pid"), "left")
+            propagated.join(
+                _bc(parent), propagated.cluster_id == F.col("_pid"), "left"
+            )
             .join(
-                labels.select(F.col(id_col), F.col("cluster_id").alias("_old")),
+                _bc(labels.select(F.col(id_col), F.col("cluster_id").alias("_old"))),
                 id_col,
                 "left",
             )

@@ -11,10 +11,16 @@ dangling-node mass is deliberately dropped (isolated nodes keep the
 base rank only); both the operator and its oracle implement the same
 simplified recurrence.
 
-Scale shape: per iteration one join (edges ⋈ ranks, shuffled on the
-edge key) and one aggregation — the Pregel cost model measured for
-``dedup_clusters`` in SCALING.md (rounds × shuffle, flat in corpus
-mass at fixed round count). Per-round lineage truncation (otherwise
+Scale shape: per iteration one join (edges ⋈ ranks) and one
+aggregation — the Pregel cost model measured for ``dedup_clusters``
+in SCALING.md (rounds × shuffle, flat in corpus mass at fixed round
+count). The node-sided relation in that join (ranks / labels /
+distances / alive set) auto-broadcasts below BROADCAST_NODE_LIMIT
+nodes, so the edge relation — the side that is actually big at
+100 TB — is shuffled ZERO times per round (one node-sized map-side-
+combined exchange remains); above the limit the loop falls back to
+shuffle joins (``broadcast_ranks`` overrides either way, values
+identical). Per-round lineage truncation (otherwise
 the classic iterative-Spark trap) is a KNOB on every iterative op
 here: the default ``checkpoint_dir=None`` uses ``localCheckpoint`` —
 fastest, but its executor-local blocks are LOST on executor death, so
@@ -37,6 +43,23 @@ PR_SCALE = 10**12
 PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
 
+# Auto-broadcast ceiling for the NODE-sized relation inside Pregel
+# loops (ranks / labels / distances / alive set). Each round joins the
+# edge relation against a node-sized table; below this many nodes the
+# node side broadcasts (~16-24 B/row -> <=100 MB, well inside executor
+# memory and Spark's broadcast limit), so the EDGE relation — the bulk
+# of the data, and the thing that explodes at 100 TB — is never
+# shuffled after its one pinning materialization: each round costs one
+# map-side-combined exchange of node-sized partial aggregates instead
+# of an edge-sized shuffle. Above the ceiling (billion-node graphs)
+# the loop falls back to shuffle joins, which is the correct plan
+# there. Override per call with ``broadcast_ranks=True/False``.
+BROADCAST_NODE_LIMIT = 4_000_000
+
+
+def _node_side(df: DataFrame, broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if broadcast else df
+
 
 def pagerank(
     nodes: DataFrame,
@@ -45,6 +68,7 @@ def pagerank(
     iterations: int = 10,
     checkpoint_every: int = 2,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: ``nodes`` one row per node (column
     ``id_col``), ``edges`` directed (columns ``src``/``dst``; pass
@@ -57,7 +81,14 @@ def pagerank(
     (measured ~30% faster at the bench graph: 6.9 s → 4.8 s for 10
     iterations) while keeping recompute-on-failure spans to two
     rounds. Results are identical for any cadence — integer
-    arithmetic is associativity-free."""
+    arithmetic is associativity-free.
+
+    ``broadcast_ranks`` (None = auto below BROADCAST_NODE_LIMIT
+    nodes): broadcast the node-sized rank relation into each round's
+    joins so the edge relation never shuffles after its pinning
+    materialization — per round ONE node-sized map-side-combined
+    exchange instead of an edge-sized shuffle. Values identical
+    either way; this is purely the physical join strategy."""
     # Pin the node relation once: it is re-read INSIDE every
     # iteration's update join, and callers often pass it as a derived
     # plan (a distinct over an edge self-join) that would otherwise
@@ -84,9 +115,12 @@ def pagerank(
     pr = nodes.select(
         F.col(id_col), F.lit(PR_SCALE // n).cast("long").alias("pr")
     ).transform(_ck)
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_NODE_LIMIT
     for it in range(iterations):
+        prb = _node_side(pr, broadcast_ranks)
         contrib = (
-            out_e.join(pr, out_e.src == pr[id_col])
+            out_e.join(prb, out_e.src == prb[id_col])
             .select(
                 F.col("dst"),
                 F.expr(
@@ -96,6 +130,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        contrib = _node_side(contrib, broadcast_ranks)
         pr = nodes.join(contrib, nodes[id_col] == contrib.dst, "left").select(
             F.col(id_col),
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("pr"),
@@ -235,6 +270,7 @@ def label_propagation(
     id_col: str = "id",
     iterations: int = 2,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (LPA,
     Raghavan/Albert/Kumara 2007, made deterministic): every node
@@ -266,9 +302,15 @@ def label_propagation(
     edges = edges.select("src", "dst").transform(_ck)
     nodes = nodes.select(F.col(id_col)).transform(_ck)
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("label"))
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= BROADCAST_NODE_LIMIT
     for _ in range(iterations):
         msgs = edges.join(
-            labels.select(F.col(id_col).alias("dst"), "label"), "dst"
+            _node_side(
+                labels.select(F.col(id_col).alias("dst"), "label"),
+                broadcast_ranks,
+            ),
+            "dst",
         ).select(F.col("src").alias(id_col), "label").unionByName(labels)
         best = (
             msgs.groupBy(id_col, "label")
@@ -282,7 +324,7 @@ def label_propagation(
             .select(F.col(id_col), F.col("_s.label").alias("_new"))
         )
         labels = (
-            labels.join(best, id_col, "left")
+            labels.join(_node_side(best, broadcast_ranks), id_col, "left")
             .select(
                 F.col(id_col),
                 F.coalesce("_new", "label").alias("label"),
@@ -311,6 +353,7 @@ def bfs_levels(
     id_col: str = "id",
     max_hops: int = 3,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Multi-source BFS: per node, the hop distance to the nearest
     source (0 for sources themselves), NULL if unreached within
@@ -338,11 +381,16 @@ def bfs_levels(
         .select(F.col(id_col), F.col("_d").cast("long").alias("dist"))
         .transform(_ck)
     )
+    if broadcast_ranks is None:
+        broadcast_ranks = dist.count() <= BROADCAST_NODE_LIMIT
     for _ in range(max_hops):
         nbr = (
             edges.join(
-                dist.filter(F.col("dist").isNotNull()).select(
-                    F.col(id_col).alias("dst"), "dist"
+                _node_side(
+                    dist.filter(F.col("dist").isNotNull()).select(
+                        F.col(id_col).alias("dst"), "dist"
+                    ),
+                    broadcast_ranks,
                 ),
                 "dst",
             )
@@ -350,7 +398,7 @@ def bfs_levels(
             .agg((F.min("dist") + 1).alias("_nb"))
         )
         dist = (
-            dist.join(nbr, id_col, "left")
+            dist.join(_node_side(nbr, broadcast_ranks), id_col, "left")
             .select(
                 F.col(id_col),
                 F.nullif(
@@ -373,6 +421,7 @@ def kcore(
     k: int = 3,
     rounds: int = 3,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Synchronous k-core peeling (Seidman 1983 cores; the parallel
     peel of Montresor et al. 2013): each round simultaneously deletes
@@ -398,11 +447,19 @@ def kcore(
     _ck = lineage_truncator(nodes.sparkSession, checkpoint_dir)
     edges = edges.select("src", "dst").transform(_ck)
     alive = nodes.select(F.col(id_col)).transform(_ck)
+    if broadcast_ranks is None:
+        broadcast_ranks = alive.count() <= BROADCAST_NODE_LIMIT
     deg = None
     for _ in range(rounds):
         deg = (
-            edges.join(alive.select(F.col(id_col).alias("src")), "src")
-            .join(alive.select(F.col(id_col).alias("dst")), "dst")
+            edges.join(
+                _node_side(alive.select(F.col(id_col).alias("src")), broadcast_ranks),
+                "src",
+            )
+            .join(
+                _node_side(alive.select(F.col(id_col).alias("dst")), broadcast_ranks),
+                "dst",
+            )
             .groupBy("src")
             .agg(F.count("*").alias("deg"))
         )
@@ -422,6 +479,7 @@ def personalized_pagerank(
     iterations: int = 10,
     checkpoint_every: int = 2,
     checkpoint_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to a SEED set
     — Haveliwala 2002's topic-sensitive PageRank): identical integer
@@ -458,9 +516,13 @@ def personalized_pagerank(
         F.col(id_col),
         (F.col("_seed") * F.lit(PR_SCALE // ns)).cast("long").alias("pr"),
     ).transform(_ck)
+    if broadcast_ranks is None:
+        # marked is node-sized; same auto rule as pagerank.
+        broadcast_ranks = marked.count() <= BROADCAST_NODE_LIMIT
     for it in range(iterations):
+        prb = _node_side(pr, broadcast_ranks)
         contrib = (
-            out_e.join(pr, out_e.src == pr[id_col])
+            out_e.join(prb, out_e.src == prb[id_col])
             .select(
                 F.col("dst"),
                 F.expr(
@@ -470,6 +532,7 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        contrib = _node_side(contrib, broadcast_ranks)
         pr = marked.join(contrib, marked[id_col] == contrib.dst, "left").select(
             F.col(id_col),
             (

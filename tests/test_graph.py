@@ -351,3 +351,40 @@ def test_reliable_checkpoint_knob_identical_results(spark, tmp_path):
     for root, _dirs, files in os.walk(ckdir):
         found += files
     assert found, "no reliable checkpoint files written under checkpoint_dir"
+
+
+def test_broadcast_ranks_knob_identical_results(spark):
+    """broadcast_ranks picks the physical join strategy for the
+    node-sized side of each Pregel round (broadcast below
+    BROADCAST_NODE_LIMIT nodes so the edge relation never re-shuffles;
+    shuffle joins above it). Values must be IDENTICAL either way —
+    integer arithmetic, same logical plan."""
+    from kafka_flink_spark.operators.graph import (
+        bfs_levels,
+        kcore,
+        label_propagation,
+        personalized_pagerank,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 3), (4, 5), (5, 4)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    sym = edges_df.union(
+        edges_df.selectExpr("dst as src", "src as dst")
+    ).distinct()
+    seeds = spark.createDataFrame([(0,)], "id long")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    runs = [
+        lambda b: pagerank(nodes_df, edges_df, "id", iterations=5, broadcast_ranks=b),
+        lambda b: personalized_pagerank(
+            nodes_df, edges_df, seeds, "id", iterations=5, broadcast_ranks=b
+        ),
+        lambda b: label_propagation(nodes_df, sym, "id", iterations=3, broadcast_ranks=b),
+        lambda b: bfs_levels(nodes_df, sym, seeds, "id", max_hops=3, broadcast_ranks=b),
+        lambda b: kcore(nodes_df, sym, "id", k=2, rounds=3, broadcast_ranks=b),
+    ]
+    for run in runs:
+        assert rows(run(True)) == rows(run(False))
