@@ -96,3 +96,110 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").cast("long").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k (theta) sketch — distinct-count AND set-intersection
+# estimation. The capability HLL fundamentally lacks: HLL registers can
+# union but not intersect (inclusion-exclusion on HLLs explodes the
+# relative error for small overlaps); a KMV sample IS a uniform hash
+# sample of the set, so any set expression — intersection, difference,
+# Jaccard — is estimable by filtering the merged sample below theta.
+# Like the CMS (and unlike HLL/GK), the estimate is a pure function of
+# md5 over the data, so it is fully deterministic and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_HASH_SPACE = 1 << 60
+
+
+def kmv_bottom_k(
+    df: DataFrame, set_col: str, member_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-set bottom-k sample: the ``k`` smallest distinct 60-bit md5
+    hashes over each set's members. Returns (set_col, h) rows, at most
+    ``k`` per set.
+
+    Scale shape: distinct (set, hash) is one map-side-combinable
+    aggregate over a narrow hash projection (members never shuffle as
+    raw values — 8-byte hashes do); the rank filter plans as
+    WindowGroupLimit, i.e. per-partition top-k heaps BEFORE the
+    exchange, so the shuffle carries at most ``k`` rows per set per
+    input partition, not the set. Samples from disjoint shards merge
+    by re-ranking the union (bottom-k of a union = bottom-k of the
+    per-shard bottom-k's) — the mergeability that matters on a
+    1000-executor cluster."""
+    from pyspark.sql.window import Window
+
+    hashed = (
+        df.select(F.col(set_col).alias("s"), F.col(member_col).alias("m"))
+        .select(
+            "s",
+            md5_long(F.concat(F.lit("kmv:"), F.col("m").cast("string"))).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("s").alias(set_col), "h")
+    )
+
+
+def kmv_intersection_estimates(
+    df: DataFrame, set_col: str, member_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise set-intersection estimates from per-set KMV samples
+    (the theta-sketch estimator, Dasgupta et al. 2016): for each set
+    pair A < B, theta = min(theta_A, theta_B) where theta_S is the
+    k-th smallest hash of S (or the full hash space when |S| < k —
+    the sample IS the set and the estimate is exact); the merged
+    sample's hashes present in BOTH samples and strictly below theta
+    are a uniform sample of A∩B at rate theta/HASH_SPACE, so
+    ``est = count * HASH_SPACE / theta``.
+
+    Everything after the per-set bottom-k (kmv_bottom_k, the only
+    corpus-scale stage) runs on <= k rows per set: the pair join,
+    theta table, and estimates are broadcast-sized regardless of input
+    volume. Deterministic: md5 hashing + integer thetas + one IEEE
+    double division at the end, identical in any engine.
+
+    Returns (set_a, set_b, est_common) with est_common rounded to 3
+    decimals; pair with an exact count to assert error bounds (the
+    registered g25 query emits est + exact + within_bound)."""
+    sample = kmv_bottom_k(df, set_col, member_col, k).select(
+        F.col(set_col).alias("s"), "h"
+    )
+    stats = sample.groupBy("s").agg(
+        F.max("h").alias("kth"), F.count("*").alias("nk")
+    )
+    theta = stats.select(
+        "s",
+        F.when(F.col("nk") < k, F.lit(KMV_HASH_SPACE))
+        .otherwise(F.col("kth"))
+        .alias("theta"),
+    )
+    a = sample.select(F.col("s").alias("set_a"), "h")
+    b = sample.select(F.col("s").alias("set_b"), "h")
+    common = a.join(b, "h").filter(F.col("set_a") < F.col("set_b"))
+    ta = theta.select(F.col("s").alias("set_a"), F.col("theta").alias("_ta"))
+    tb = theta.select(F.col("s").alias("set_b"), F.col("theta").alias("_tb"))
+    return (
+        common.join(F.broadcast(ta), "set_a")
+        .join(F.broadcast(tb), "set_b")
+        .withColumn("_theta", F.least("_ta", "_tb"))
+        .filter(F.col("h") < F.col("_theta"))
+        .groupBy("set_a", "set_b", "_theta")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "set_a",
+            "set_b",
+            F.round(
+                F.col("_c").cast("double")
+                * F.lit(float(KMV_HASH_SPACE))
+                / F.col("_theta").cast("double"),
+                3,
+            ).alias("est_common"),
+        )
+    )

@@ -3601,3 +3601,108 @@ def g24_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.orderBy(F.desc("lift"), "ante", "cons").limit(50)
+
+
+_KMV_SPACE = 1 << 60
+
+
+@register(
+    "g25_kmv_theta_intersection",
+    oracle=f"""
+WITH dm AS (SELECT DISTINCT event_type AS s, user_id AS m FROM events),
+hashed AS (
+    SELECT DISTINCT s,
+           CAST(('0x' || substr(md5('kmv:' || CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM dm
+),
+ranked AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed),
+sample AS (SELECT s, h FROM ranked WHERE rn <= 256),
+stats AS (SELECT s, max(h) AS kth, count(*) AS nk FROM sample GROUP BY s),
+theta AS (SELECT s, CASE WHEN nk < 256 THEN {_KMV_SPACE} ELSE kth END AS theta FROM stats),
+common AS (
+    SELECT a.s AS set_a, b.s AS set_b, a.h
+    FROM sample a JOIN sample b ON a.h = b.h AND a.s < b.s
+),
+est AS (
+    SELECT c.set_a, c.set_b,
+           round(CAST(count(*) AS DOUBLE) * {float(_KMV_SPACE)}
+                 / CAST(least(ta.theta, tb.theta) AS DOUBLE), 3) AS est_common
+    FROM common c JOIN theta ta ON ta.s = c.set_a JOIN theta tb ON tb.s = c.set_b
+    WHERE c.h < least(ta.theta, tb.theta)
+    GROUP BY c.set_a, c.set_b, least(ta.theta, tb.theta)
+),
+types AS (SELECT DISTINCT s FROM dm),
+pairs AS (SELECT a.s AS set_a, b.s AS set_b FROM types a JOIN types b ON a.s < b.s),
+exact AS (
+    SELECT a.s AS set_a, b.s AS set_b, count(*) AS exact_common
+    FROM dm a JOIN dm b ON a.m = b.m AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT p.set_a, p.set_b,
+       coalesce(e.est_common, 0.0) AS est_common,
+       CAST(coalesce(x.exact_common, 0) AS BIGINT) AS exact_common,
+       abs(coalesce(e.est_common, 0.0) - coalesce(x.exact_common, 0))
+           / greatest(coalesce(x.exact_common, 0), 1) <= 0.15 AS within_bound
+FROM pairs p
+LEFT JOIN est e ON e.set_a = p.set_a AND e.set_b = p.set_b
+LEFT JOIN exact x ON x.set_a = p.set_a AND x.set_b = p.set_b
+""",
+    doc="KMV / bottom-k (theta) sketch set-INTERSECTION estimation "
+    "(operators/sketches.kmv_intersection_estimates) — the sketch "
+    "capability HLL lacks: HLL registers union but cannot intersect "
+    "(inclusion-exclusion blows up relative error), while a KMV "
+    "bottom-k sample IS a uniform hash sample of the set, so audience "
+    "overlap / segment intersection is estimable by filtering the "
+    "merged samples below theta = min(theta_A, theta_B) and scaling "
+    "by the sample rate (Dasgupta et al. 2016, the Apache DataSketches "
+    "theta estimator). Deterministic md5 hashing end-to-end, so the "
+    "ESTIMATE itself is oracle-checked (the g15 discipline, vs g7/g16 "
+    "bound-assertions). Sets smaller than k are estimated exactly "
+    "(the sample is the whole set). Emits est + exact + within_bound "
+    "(rel err <= 0.15; measured worst 7.7% at sf0.1, ~2x margin); the "
+    "exact column exists only to make the bound auditable — at 100 TB "
+    "one runs only the sketch side: per-set bottom-k plans as "
+    "WindowGroupLimit (per-partition heaps before the exchange), "
+    "8-byte hashes shuffle instead of members, and everything after "
+    "the bottom-k is <= k rows per set.",
+)
+def g25_kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.sketches import (
+        KMV_HASH_SPACE,
+        kmv_intersection_estimates,
+    )
+
+    assert KMV_HASH_SPACE == _KMV_SPACE
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_intersection_estimates(ev, "event_type", "user_id")
+    dm = ev.select(
+        F.col("event_type").alias("s"), F.col("user_id").alias("m")
+    ).distinct()
+    types = dm.select("s").distinct()
+    pairs = (
+        types.alias("ta")
+        .join(types.alias("tb"), F.col("ta.s") < F.col("tb.s"))
+        .select(F.col("ta.s").alias("set_a"), F.col("tb.s").alias("set_b"))
+    )
+    exact = (
+        dm.alias("a")
+        .join(dm.alias("b"), F.col("a.m") == F.col("b.m"))
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("set_a"), F.col("b.s").alias("set_b"))
+        .agg(F.count("*").alias("exact_common"))
+    )
+    est_c = F.coalesce("est_common", F.lit(0.0))
+    exact_c = F.coalesce("exact_common", F.lit(0))
+    return (
+        pairs.join(F.broadcast(est), ["set_a", "set_b"], "left")
+        .join(F.broadcast(exact), ["set_a", "set_b"], "left")
+        .select(
+            "set_a",
+            "set_b",
+            est_c.alias("est_common"),
+            exact_c.cast("long").alias("exact_common"),
+            (
+                F.abs(est_c - exact_c) / F.greatest(exact_c, F.lit(1)) <= 0.15
+            ).alias("within_bound"),
+        )
+    )

@@ -1741,3 +1741,52 @@ def test_m8_ascii_guard_drops_multibyte_payloads(spark):
     )
     kept = [r.media_id for r in media.select("media_id").collect()]
     assert kept == [0], kept  # doc 3 (also an 'image' slot) is dropped
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    """g25: sets smaller than k are estimated EXACTLY (the bottom-k
+    sample is the whole set, theta = full hash space); sets larger
+    than k estimate within the 0.15 bound on a synthetic overlap far
+    above k (2000-member sets sharing 600 members, k=256)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.sketches import kmv_intersection_estimates
+
+    # small sets: A = 0..49, B = 25..74 -> exact overlap 25
+    rows = [("A", i) for i in range(50)] + [("B", i) for i in range(25, 75)]
+    small = spark.createDataFrame(rows, "s string, m long")
+    got = kmv_intersection_estimates(small, "s", "m").collect()
+    assert len(got) == 1 and got[0].est_common == 25.0
+
+    # large sets: A = 0..1999, B = 1400..3399 -> exact overlap 600
+    rows = [("A", i) for i in range(2000)] + [("B", i) for i in range(1400, 3400)]
+    big = spark.createDataFrame(rows, "s string, m long")
+    est = kmv_intersection_estimates(big, "s", "m").collect()[0].est_common
+    assert abs(est - 600) / 600 <= 0.15, est
+
+
+def test_kmv_bottom_k_mergeable_across_shards(spark):
+    """The property that matters on a 1000-executor cluster: bottom-k
+    of a union equals bottom-k of the per-shard bottom-k's — so KMV
+    samples from disjoint shards merge by re-ranking, no global pass."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.operators.sketches import kmv_bottom_k
+
+    rows = [("A", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "s string, m long")
+    whole = sorted(r.h for r in kmv_bottom_k(df, "s", "m", k=64).collect())
+
+    shard1 = df.filter(F.col("m") % 2 == 0)
+    shard2 = df.filter(F.col("m") % 2 == 1)
+    merged = kmv_bottom_k(shard1, "s", "m", k=64).unionByName(
+        kmv_bottom_k(shard2, "s", "m", k=64)
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    rerank = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .collect()
+    )
+    assert sorted(r.h for r in rerank) == whole
