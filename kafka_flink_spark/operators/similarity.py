@@ -1078,3 +1078,142 @@ def ivfpq_rerank_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def nn_descent(
+    df: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """NN-descent k-NN-graph refinement (Dong, Moses & Li, WWW 2011),
+    made deterministic: start from a trivial ring graph (neighbors =
+    the next ``k`` ids mod n — requires contiguous ids, which the
+    embeddings fixture has) and repeat ``rounds`` times: every two
+    nodes sharing a neighbor in the symmetrized graph become a
+    candidate pair, candidates are scored with exact cosine, and each
+    node keeps its top-k by (cos DESC, id ASC).
+
+    The principle ("a neighbor of a neighbor is likely a neighbor")
+    converges to near-exact k-NN graphs in O(log n)-ish rounds with
+    O(n·k²) candidate work per round — the scale path when the O(n²)
+    blocked-GEMM build (:func:`knn_graph`) is unaffordable: at 1B
+    vectors, n·k² (25B candidate pairs at k=5, spread over rounds and
+    executors) is tractable; n² (10¹⁸) is not. Fixed round count +
+    min-id tie-breaks keep every round a pure function of the data, so
+    the whole refinement is oracle-checkable as unrolled SQL (the
+    gr1/gr4 technique).
+
+    Plan shape per round: one apex self-join of the symmetrized id
+    graph (2nk rows, two shuffles), one distinct over candidate pairs,
+    one vector-lookup join per pair side, one WindowGroupLimit top-k.
+    Vectors travel only to score candidate pairs — n·k² rows of two
+    ids, never a corpus-wide vector shuffle. Lineage truncated per
+    round (operators/iterative.py knob).
+    """
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.operators.iterative import lineage_truncator
+
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1: k={k} rounds={rounds}")
+    _ck = lineage_truncator(df.sparkSession, checkpoint_dir)
+    vecs = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")).transform(
+        _ck
+    )
+    n = vecs.count()
+    va = vecs.select(F.col("vid").alias("_ida"), F.col("v").alias("_va"))
+    vb = vecs.select(F.col("vid").alias("_idb"), F.col("v").alias("_vb"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        """Exact cosine for canonical (a < b) id pairs."""
+        return (
+            pairs.join(va, pairs.a == va._ida)
+            .join(vb, pairs.b == vb._idb)
+            .select(
+                "a",
+                "b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("c"),
+            )
+        )
+
+    # Deterministic pseudo-random init: neighbor j of node u is
+    # md5(u:j) mod n — the standard random init (a ring/lattice init
+    # is NN-descent's worst case: no long-range mixing, neighborhoods
+    # expand arithmetically instead of multiplicatively), made a pure
+    # function of (u, j) so the unrolled-SQL oracle reproduces it.
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    ring = (
+        vecs.select(
+            F.col("vid").alias("u"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_j"),
+        )
+        .select(
+            "u",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit("nnd:"),
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("_j").cast("string"),
+                    )
+                ),
+                F.lit(n),
+            ).alias("w"),
+        )
+        .filter(F.col("u") != F.col("w"))  # hash may land on self
+    )
+    init_pairs = ring.select(
+        F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+    ).distinct()
+    # directed scored graph: (u, w, c)
+    g = (
+        score(init_pairs)
+        .select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
+        .unionByName(
+            score(init_pairs).select(
+                F.col("b").alias("u"), F.col("a").alias("w"), "c"
+            )
+        )
+        .join(ring, ["u", "w"], "left_semi")
+        .transform(_ck)
+    )
+    topw = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("w"))
+    for _ in range(rounds):
+        sym = g.select("u", "w").unionByName(
+            g.select(F.col("w").alias("u"), F.col("u").alias("w"))
+        )
+        p, q = sym.alias("p"), sym.alias("q")
+        cands = (
+            p.join(q, (F.col("p.u") == F.col("q.u")) & (F.col("p.w") < F.col("q.w")))
+            .select(F.col("p.w").alias("a"), F.col("q.w").alias("b"))
+            .distinct()
+        )
+        scored = score(cands)
+        directed = (
+            scored.select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
+            .unionByName(
+                scored.select(F.col("b").alias("u"), F.col("a").alias("w"), "c")
+            )
+            .unionByName(g)
+            .dropDuplicates(["u", "w"])
+        )
+        g = (
+            directed.withColumn("rn", F.row_number().over(topw))
+            .filter(F.col("rn") <= k)
+            .select("u", "w", "c")
+            .transform(_ck)
+        )
+    return (
+        g.withColumn("rn", F.row_number().over(topw))
+        .select(
+            F.col("u").alias("query_id"),
+            F.col("w").alias("neighbor_id"),
+            F.col("c").alias("cos_sim"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

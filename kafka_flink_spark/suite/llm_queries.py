@@ -4286,3 +4286,85 @@ def cl2_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("s"), 6).alias("mean_silhouette"),
         )
     )
+
+
+def _nn_descent_oracle(build_k: int, rounds: int, out_k: int) -> str:
+    """Unrolled-SQL NN-descent (the gr1/gr4 technique): the hash init
+    and each refinement round as CTE levels, bit-matching the
+    operator's deterministic recurrence."""
+    md5w = (
+        "CAST(('0x' || substr(md5('nnd:' || CAST(a.vec_id AS VARCHAR) || ':' "
+        "|| CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT n FROM nn)"
+    )
+    levels = [
+        f"""ring AS (
+    SELECT DISTINCT a.vec_id AS u, {md5w} AS w
+    FROM e a, range(1, {build_k + 1}) t(j)
+),
+g0 AS (
+    SELECT r.u, r.w, round({_duck_cosine("va.v", "vb.v")}, 6) AS c
+    FROM (SELECT u, w FROM ring WHERE u <> w) r
+    JOIN e va ON va.vec_id = r.u JOIN e vb ON vb.vec_id = r.w
+)"""
+    ]
+    for r in range(rounds):
+        levels.append(
+            f"""sym{r + 1} AS (SELECT u, w FROM g{r} UNION SELECT w AS u, u AS w FROM g{r}),
+cand{r + 1} AS (
+    SELECT DISTINCT p.w AS a, q.w AS b
+    FROM sym{r + 1} p JOIN sym{r + 1} q ON p.u = q.u AND p.w < q.w
+),
+sc{r + 1} AS (
+    SELECT ca.a, ca.b, round({_duck_cosine("va.v", "vb.v")}, 6) AS c
+    FROM cand{r + 1} ca JOIN e va ON va.vec_id = ca.a JOIN e vb ON vb.vec_id = ca.b
+),
+g{r + 1} AS (
+    SELECT u, w, c FROM (
+        SELECT u, w, c, row_number() OVER (PARTITION BY u ORDER BY c DESC, w) AS rn
+        FROM (
+            SELECT DISTINCT u, w, c FROM (
+                SELECT a AS u, b AS w, c FROM sc{r + 1}
+                UNION ALL SELECT b AS u, a AS w, c FROM sc{r + 1}
+                UNION ALL SELECT u, w, c FROM g{r}
+            )
+        )
+    ) WHERE rn <= {build_k}
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT count(*) AS n FROM e),
+{chain}
+SELECT u AS query_id, w AS neighbor_id, c AS cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT u, w, c, row_number() OVER (PARTITION BY u ORDER BY c DESC, w) AS rn
+      FROM g{rounds})
+WHERE rn <= {out_k}
+"""
+
+
+@register(
+    "v14_nn_descent_knn_graph",
+    oracle=_nn_descent_oracle(15, 2, 5),
+    doc="NN-descent k-NN-graph construction (Dong, Moses & Li, WWW "
+    "2011; operators/similarity.nn_descent) — the O(n*K^2)-per-round "
+    "scale path when the exact O(n^2) blocked-GEMM build (v5) is "
+    "unaffordable: at 1B vectors n^2 is 10^18 pair scores, NN-descent "
+    "is ~25B spread over a few rounds. Deterministic variant: "
+    "md5-hash pseudo-random init (a ring/lattice init is the "
+    "algorithm's worst case — no long-range mixing; measured 6.6% "
+    "recall vs 97% with the hash init at the same cost), fixed 2 "
+    "rounds of 'two nodes sharing a neighbor become candidates', "
+    "exact-cosine scoring of candidates only, (cos DESC, id ASC) "
+    "tie-breaks — so the whole refinement is a pure function of the "
+    "data and the unrolled-SQL oracle hash-matches it. Build width "
+    "K=15 then truncate to top-5 (the standard over-build: recall@5 "
+    "0.294 at K=5 vs 0.972 at K=15 on the fixture, both rounds=2, "
+    "pinned in tests). Vectors travel only to score candidate pairs; "
+    "per-node top-K plans as WindowGroupLimit.",
+)
+def v14_nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.similarity import nn_descent
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_descent(emb, k=15, rounds=2).filter(F.col("rn") <= 5)
