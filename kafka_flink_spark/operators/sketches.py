@@ -171,6 +171,15 @@ def kmv_intersection_estimates(
     sample = kmv_bottom_k(df, set_col, member_col, k).select(
         F.col(set_col).alias("s"), "h"
     )
+    return kmv_pairwise_from_samples(sample, k)
+
+
+def kmv_pairwise_from_samples(sample: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise intersection estimates from already-built bottom-k
+    samples — ``sample`` is (s, h) rows, at most ``k`` per set. The
+    tail shared by the batch estimator (g25) and the streaming sketch
+    state (w34), whose final state IS such a sample (bottom-k is
+    mergeable, so batch and stream samples coincide)."""
     stats = sample.groupBy("s").agg(
         F.max("h").alias("kth"), F.count("*").alias("nk")
     )
@@ -203,3 +212,50 @@ def kmv_intersection_estimates(
             ).alias("est_common"),
         )
     )
+
+
+# DuckDB reference implementation of the pairwise theta estimator over
+# the events fixture (event_type sets of user_id members, k=256) plus
+# the exact-intersection audit columns — the shared oracle for the
+# batch query (g25) and its streaming twin (w34, whose final state
+# equals the batch sample by mergeability). Lives next to the operator
+# so both suite modules can import it without cross-registering.
+KMV_ORACLE_SQL = f"""
+WITH dm AS (SELECT DISTINCT event_type AS s, user_id AS m FROM events),
+hashed AS (
+    SELECT DISTINCT s,
+           CAST(('0x' || substr(md5('kmv:' || CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM dm
+),
+ranked AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed),
+sample AS (SELECT s, h FROM ranked WHERE rn <= {KMV_K}),
+stats AS (SELECT s, max(h) AS kth, count(*) AS nk FROM sample GROUP BY s),
+theta AS (SELECT s, CASE WHEN nk < {KMV_K} THEN {KMV_HASH_SPACE} ELSE kth END AS theta FROM stats),
+common AS (
+    SELECT a.s AS set_a, b.s AS set_b, a.h
+    FROM sample a JOIN sample b ON a.h = b.h AND a.s < b.s
+),
+est AS (
+    SELECT c.set_a, c.set_b,
+           round(CAST(count(*) AS DOUBLE) * {float(KMV_HASH_SPACE)}
+                 / CAST(least(ta.theta, tb.theta) AS DOUBLE), 3) AS est_common
+    FROM common c JOIN theta ta ON ta.s = c.set_a JOIN theta tb ON tb.s = c.set_b
+    WHERE c.h < least(ta.theta, tb.theta)
+    GROUP BY c.set_a, c.set_b, least(ta.theta, tb.theta)
+),
+types AS (SELECT DISTINCT s FROM dm),
+pairs AS (SELECT a.s AS set_a, b.s AS set_b FROM types a JOIN types b ON a.s < b.s),
+exact AS (
+    SELECT a.s AS set_a, b.s AS set_b, count(*) AS exact_common
+    FROM dm a JOIN dm b ON a.m = b.m AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT p.set_a, p.set_b,
+       coalesce(e.est_common, 0.0) AS est_common,
+       CAST(coalesce(x.exact_common, 0) AS BIGINT) AS exact_common,
+       abs(coalesce(e.est_common, 0.0) - coalesce(x.exact_common, 0))
+           / greatest(coalesce(x.exact_common, 0), 1) <= 0.15 AS within_bound
+FROM pairs p
+LEFT JOIN est e ON e.set_a = p.set_a AND e.set_b = p.set_b
+LEFT JOIN exact x ON x.set_a = p.set_a AND x.set_b = p.set_b
+"""

@@ -3603,50 +3603,15 @@ def g24_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(F.desc("lift"), "ante", "cons").limit(50)
 
 
-_KMV_SPACE = 1 << 60
+from kafka_flink_spark.operators.sketches import (  # noqa: E402
+    KMV_HASH_SPACE as _KMV_SPACE,
+    KMV_ORACLE_SQL as _KMV_ORACLE,
+)
 
 
 @register(
     "g25_kmv_theta_intersection",
-    oracle=f"""
-WITH dm AS (SELECT DISTINCT event_type AS s, user_id AS m FROM events),
-hashed AS (
-    SELECT DISTINCT s,
-           CAST(('0x' || substr(md5('kmv:' || CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-    FROM dm
-),
-ranked AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed),
-sample AS (SELECT s, h FROM ranked WHERE rn <= 256),
-stats AS (SELECT s, max(h) AS kth, count(*) AS nk FROM sample GROUP BY s),
-theta AS (SELECT s, CASE WHEN nk < 256 THEN {_KMV_SPACE} ELSE kth END AS theta FROM stats),
-common AS (
-    SELECT a.s AS set_a, b.s AS set_b, a.h
-    FROM sample a JOIN sample b ON a.h = b.h AND a.s < b.s
-),
-est AS (
-    SELECT c.set_a, c.set_b,
-           round(CAST(count(*) AS DOUBLE) * {float(_KMV_SPACE)}
-                 / CAST(least(ta.theta, tb.theta) AS DOUBLE), 3) AS est_common
-    FROM common c JOIN theta ta ON ta.s = c.set_a JOIN theta tb ON tb.s = c.set_b
-    WHERE c.h < least(ta.theta, tb.theta)
-    GROUP BY c.set_a, c.set_b, least(ta.theta, tb.theta)
-),
-types AS (SELECT DISTINCT s FROM dm),
-pairs AS (SELECT a.s AS set_a, b.s AS set_b FROM types a JOIN types b ON a.s < b.s),
-exact AS (
-    SELECT a.s AS set_a, b.s AS set_b, count(*) AS exact_common
-    FROM dm a JOIN dm b ON a.m = b.m AND a.s < b.s
-    GROUP BY 1, 2
-)
-SELECT p.set_a, p.set_b,
-       coalesce(e.est_common, 0.0) AS est_common,
-       CAST(coalesce(x.exact_common, 0) AS BIGINT) AS exact_common,
-       abs(coalesce(e.est_common, 0.0) - coalesce(x.exact_common, 0))
-           / greatest(coalesce(x.exact_common, 0), 1) <= 0.15 AS within_bound
-FROM pairs p
-LEFT JOIN est e ON e.set_a = p.set_a AND e.set_b = p.set_b
-LEFT JOIN exact x ON x.set_a = p.set_a AND x.set_b = p.set_b
-""",
+    oracle=_KMV_ORACLE,
     doc="KMV / bottom-k (theta) sketch set-INTERSECTION estimation "
     "(operators/sketches.kmv_intersection_estimates) — the sketch "
     "capability HLL lacks: HLL registers union but cannot intersect "
@@ -3667,14 +3632,18 @@ LEFT JOIN exact x ON x.set_a = p.set_a AND x.set_b = p.set_b
     "the bottom-k is <= k rows per set.",
 )
 def g25_kmv_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_flink_spark.operators.sketches import (
-        KMV_HASH_SPACE,
-        kmv_intersection_estimates,
-    )
+    from kafka_flink_spark.operators.sketches import kmv_intersection_estimates
 
-    assert KMV_HASH_SPACE == _KMV_SPACE
     ev = load_table(spark, sf_dir, "events")
     est = kmv_intersection_estimates(ev, "event_type", "user_id")
+    return kmv_report_tail(ev, est)
+
+
+def kmv_report_tail(ev: DataFrame, est: DataFrame) -> DataFrame:
+    """Audit assembly shared by the batch (g25) and streaming (w34)
+    KMV queries: every unordered event-type pair, the sketch estimate,
+    the exact intersection, and the within_bound flag (rel err <=
+    0.15 vs max(exact, 1))."""
     dm = ev.select(
         F.col("event_type").alias("s"), F.col("user_id").alias("m")
     ).distinct()

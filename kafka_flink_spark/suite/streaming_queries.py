@@ -1745,3 +1745,78 @@ def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         "n",
     )
+
+
+from kafka_flink_spark.operators.sketches import KMV_ORACLE_SQL as _W34_ORACLE
+
+
+@register(
+    "w34_stream_kmv_overlap",
+    # g25's oracle VERBATIM (shared from operators/sketches.py):
+    # bottom-k samples are mergeable, so the stream's final state
+    # after the 3-batch replay must equal the batch sketch over the
+    # same rows — the streaming execution sits inside a batch value
+    # hash.
+    oracle=_W34_ORACLE,
+    doc="STREAMING KMV sketch — audience overlap as resident stream "
+    "state (streaming/sketch_stream.kmv_stream): events replay as "
+    "three event_id-range micro-batches; per event_type the state "
+    "store holds ONLY the k=256 smallest member hashes (k longs per "
+    "set, constant forever — the bounded-state contrast to exact "
+    "streaming distinct w16/w25, whose state grows with distinct "
+    "keys). Each batch folds its members into the sample "
+    "(applyInPandasWithState, update mode); the final per-set sample "
+    "feeds the same pairwise theta estimator as batch g25, and "
+    "because bottom-k is MERGEABLE (bottom-k of union == bottom-k of "
+    "per-shard bottom-ks, pinned in tests), the stream's estimates "
+    "equal the batch sketch exactly — g25's oracle checks this "
+    "query unchanged, putting the streaming state fold inside the "
+    "value hash.",
+)
+def w34_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from kafka_flink_spark.operators.sketches import kmv_pairwise_from_samples
+    from kafka_flink_spark.sources.fixtures import load_table
+    from kafka_flink_spark.streaming.sketch_stream import kmv_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("event_id", "event_type", "user_id")
+    # three event_id-range files -> deterministic multi-batch replay
+    mx = members.agg((F.max("event_id") + 1).alias("mxp1"))
+    ranged = members.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("event_id") * 3 / F.col("mxp1")).cast("int")
+    )
+    tmpdir = scratch_dir(prefix="w34_src_")  # atexit-cleaned; no cross-run leak
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        ranged.filter(F.col("bucket") == i).select(
+            "event_type", "user_id"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_available_now(
+        kmv_stream(stream, set_col="event_type", member_col="user_id"), "update"
+    )
+    final = out.groupBy("event_type").agg(
+        F.max_by("sample", "upd_seq").alias("sample")
+    )
+    sample = final.select(
+        F.col("event_type").alias("s"), F.explode("sample").alias("h")
+    )
+    est = kmv_pairwise_from_samples(sample)
+    from kafka_flink_spark.suite.relational_queries import kmv_report_tail
+
+    return kmv_report_tail(ev, est)
+

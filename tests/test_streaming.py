@@ -1467,3 +1467,52 @@ def test_allowed_lateness_out_of_orderness_defers_firing(spark):
         }, out.to_string()
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_kmv_stream_cross_batch_fold_and_bounded_state(spark):
+    """w34's state contract on hand data: the per-set sample FOLDS
+    across micro-batches (batch-2 members join batch-1's sample), is
+    capped at k (bounded state no matter the stream length), and the
+    final sample equals the batch bottom-k over all rows seen —
+    mergeability under the streaming execution."""
+    import hashlib
+
+    from kafka_flink_spark.streaming.sketch_stream import kmv_stream
+
+    k = 4
+    tmpdir = tempfile.mkdtemp(prefix="kmvs_")
+    try:
+        src = os.path.join(tmpdir, "src")
+        os.makedirs(src)
+        batches = [
+            [("A", i) for i in range(6)],          # 6 members > k
+            [("A", i) for i in range(4, 10)],      # overlap + new
+        ]
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "s string, m long")
+            part = os.path.join(tmpdir, f"p{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{i}.parquet")
+            shutil.copyfile(os.path.join(part, pq), dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("s string, m long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = run_available_now(
+            kmv_stream(stream, set_col="s", member_col="m", k=k), "update"
+        ).toPandas()
+        assert sorted(out["upd_seq"].tolist()) == [1, 2]  # one fold per batch
+        assert (out["sample"].map(len) <= k).all()  # bounded state
+        final = list(out.loc[out["upd_seq"].idxmax(), "sample"])
+        want = sorted(
+            {
+                int(hashlib.md5(f"kmv:{m}".encode()).hexdigest()[:15], 16)
+                for m in range(10)
+            }
+        )[:k]
+        assert final == want  # stream fold == batch bottom-k
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
