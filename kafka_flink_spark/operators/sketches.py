@@ -86,6 +86,21 @@ def cms_estimate(
     estimate <= true + e/width * N with probability 1 - exp(-depth)
     (error bound pinned in tests/test_llm_ops.py)."""
     sketch = cms_build(df, key_col, depth, width)
+    return cms_score(sketch, keys, key_col, depth, width)
+
+
+def cms_score(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Score a key set against an already-built sketch table (d,
+    bucket, c) — the tail shared by the batch estimator (g15) and the
+    streaming sketch (w35), whose final state IS such a table (CMS
+    counters merge by addition, so the stream's counters equal the
+    batch build's exactly)."""
     probes = keys.select(
         F.col(key_col), _key_hash(F.col(key_col)).alias("_h")
     ).select(
@@ -258,4 +273,26 @@ SELECT p.set_a, p.set_b,
 FROM pairs p
 LEFT JOIN est e ON e.set_a = p.set_a AND e.set_b = p.set_b
 LEFT JOIN exact x ON x.set_a = p.set_a AND x.set_b = p.set_b
+"""
+
+
+# DuckDB reference implementation of the CMS frequency estimator over
+# the lineitem fixture (l_partkey frequencies) — shared by the batch
+# query (g15) and its streaming twin (w35, whose final counters equal
+# the batch build's exactly: CMS counters merge by addition).
+_CMS_HASH_SQL = (
+    "CAST(('0x' || substr(md5('cms:' || CAST(l_partkey AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+CMS_ORACLE_SQL = f"""
+WITH hashed AS (SELECT l_partkey, {_CMS_HASH_SQL} AS h FROM lineitem),
+fanned AS (
+    SELECT l_partkey, d, (h >> CAST(8 * d AS INT)) & {CMS_WIDTH - 1} AS bucket
+    FROM hashed, range({CMS_DEPTH}) t(d)
+),
+sketch AS (SELECT d, bucket, count(*) AS c FROM fanned GROUP BY 1, 2),
+kb AS (SELECT DISTINCT l_partkey, d, bucket FROM fanned)
+SELECT kb.l_partkey, CAST(min(s.c) AS BIGINT) AS cms_est
+FROM kb JOIN sketch s ON kb.d = s.d AND kb.bucket = s.bucket
+GROUP BY 1
 """

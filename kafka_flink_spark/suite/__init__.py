@@ -107,9 +107,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "io22_dynamic_partition_pruning",
     "w31_stream_simhash_dedup",
     "w32_allowed_lateness_refire",
-    # ---- round-7 addition: the capped stream near-dup (VERDICT r6
-    # task 3) — never-checked beats re-attest, as in r5/r6 ----
+    # ---- round-7 additions — never-checked beats re-attest, as in
+    # r5/r6: the capped stream near-dup (VERDICT r6 task 3), then the
+    # session-2 trio (KMV sketch + its streaming twin + NN-descent),
+    # each sim-attested hash-green at sf0.001/0.01/0.1 before entering
+    # the tuple. They displace four round-2-era re-attests (a2, d2,
+    # j6, d1 -> r8 queue) under the 50-name budget. ----
     "w33_stream_simhash_dedup_capped",
+    "g25_kmv_theta_intersection",
+    "w34_stream_kmv_overlap",
+    "v14_nn_descent_knn_graph",
+    "w35_stream_cms_heavy_hitters",
     # ---- twice-displaced re-attest ----
     "t28_url_dedup",
     # ---- oldest evidence: every round-1-only row (40) ----
@@ -153,16 +161,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "w1_topk_per_group",
     "w2_lag_lead",
     "w3_rank_dense_ntile",
-    # ---- round-2-era refresh (6) ----
+    # ---- round-2-era refresh (1; a2/d1/d2/j6 displaced to r8) ----
     "a1_ohlcv_tumbling_1h",
-    "a2_running_ohlcv",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "j6_asof_join_prev_close",
     # ---- 50-query budget line (round 7): exactly 50 names ----
     # Round-8 rotation queue (replace this tuple at r8 start): lead
-    # with any r7 non-green, then any new r7 registrations, then the
-    # remaining 35 round-2-only rows, oldest-first.
+    # with any r7 non-green, then any new r8 registrations, then the
+    # displaced a2/d1/d2/j6 and the remaining round-2-only rows,
+    # oldest-first.
 )
 
 

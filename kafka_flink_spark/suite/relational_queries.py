@@ -1570,25 +1570,12 @@ def g13_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*cols)
 
 
-_CMS_HASH = (
-    "CAST(('0x' || substr(md5('cms:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT)"
-)
+from kafka_flink_spark.operators.sketches import CMS_ORACLE_SQL as _CMS_ORACLE  # noqa: E402
 
 
 @register(
     "g15_count_min_freq",
-    oracle=f"""
-WITH hashed AS (SELECT l_partkey, {_CMS_HASH} AS h FROM lineitem),
-fanned AS (
-    SELECT l_partkey, d, (h >> CAST(8 * d AS INT)) & 255 AS bucket
-    FROM hashed, range(4) t(d)
-),
-sketch AS (SELECT d, bucket, count(*) AS c FROM fanned GROUP BY 1, 2),
-kb AS (SELECT DISTINCT l_partkey, d, bucket FROM fanned)
-SELECT kb.l_partkey, CAST(min(s.c) AS BIGINT) AS cms_est
-FROM kb JOIN sketch s ON kb.d = s.d AND kb.bucket = s.bucket
-GROUP BY 1
-""",
+    oracle=_CMS_ORACLE,
     doc="Count-min sketch frequency estimation (operators/sketches.py), "
     "completing the sketch trio (HLL=g7, GK=g13, CMS=g15). Unlike "
     "those, the CMS estimate is fully deterministic (one md5 digest "

@@ -1820,3 +1820,73 @@ def w34_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmv_report_tail(ev, est)
 
+
+
+from kafka_flink_spark.operators.sketches import CMS_ORACLE_SQL as _W35_ORACLE
+
+
+@register(
+    "w35_stream_cms_heavy_hitters",
+    # g15's oracle VERBATIM (shared from operators/sketches.py): CMS
+    # counters merge by addition, so after the 3-batch replay the
+    # stream's counter table equals the batch build's exactly and the
+    # per-key estimates hash-match the batch query.
+    oracle=_W35_ORACLE,
+    doc="STREAMING count-min sketch — heavy-hitter frequency tracking "
+    "as a NATIVE streaming aggregation: lineitem part keys replay as "
+    "three l_orderkey-range micro-batches, each row fans out to "
+    "(depth, bucket) pairs in a narrow projection, and the sketch IS "
+    "a plain streaming groupBy(d, bucket).count() whose state is "
+    "provably bounded at depth*width = 1024 rows forever — no custom "
+    "stateful operator needed, which is the point: the sketch shape "
+    "turns an unbounded-key frequency question into a fixed-size "
+    "built-in aggregation (contrast w16's exact streaming distinct, "
+    "whose state grows with the key space; and w34's KMV, which needs "
+    "applyInPandasWithState because bottom-k is not a sum). The final "
+    "counters equal the batch build's exactly (counters merge by "
+    "addition), so scoring all part keys against the replayed sketch "
+    "hash-matches batch g15 under its oracle verbatim.",
+)
+def w35_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from kafka_flink_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _buckets,
+        _key_hash,
+        cms_score,
+    )
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mx = li.agg((F.max("l_orderkey") + 1).alias("mxp1"))
+    ranged = li.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket", F.floor(F.col("l_orderkey") * 3 / F.col("mxp1")).cast("int")
+    )
+    tmpdir = scratch_dir(prefix="w35_src_")  # atexit-cleaned; no cross-run leak
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        ranged.filter(F.col("bucket") == i).select("l_partkey").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("l_partkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    fanned = stream.select(_key_hash(F.col("l_partkey")).alias("_h")).select(
+        F.posexplode(_buckets(F.col("_h"), CMS_DEPTH, CMS_WIDTH)).alias("d", "bucket")
+    )
+    sketch = fanned.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    final_sketch = run_available_now(sketch, "complete")
+    keys = li.select("l_partkey").distinct()
+    return cms_score(final_sketch, keys, "l_partkey")
