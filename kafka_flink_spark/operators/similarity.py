@@ -1170,14 +1170,14 @@ def nn_descent(
     init_pairs = ring.select(
         F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
     ).distinct()
-    # directed scored graph: (u, w, c)
+    # directed scored graph: (u, w, c). Pin the scored canonical pairs
+    # before expanding: both direction legs read them, and without the
+    # checkpoint the scoring join executes once per leg.
+    init_scored = score(init_pairs).transform(_ck)
     g = (
-        score(init_pairs)
-        .select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
+        init_scored.select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
         .unionByName(
-            score(init_pairs).select(
-                F.col("b").alias("u"), F.col("a").alias("w"), "c"
-            )
+            init_scored.select(F.col("b").alias("u"), F.col("a").alias("w"), "c")
         )
         .join(ring, ["u", "w"], "left_semi")
         .transform(_ck)
@@ -1193,7 +1193,7 @@ def nn_descent(
             .select(F.col("p.w").alias("a"), F.col("q.w").alias("b"))
             .distinct()
         )
-        scored = score(cands)
+        scored = score(cands).transform(_ck)  # read by both direction legs
         directed = (
             scored.select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
             .unionByName(
