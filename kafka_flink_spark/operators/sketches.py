@@ -148,6 +148,10 @@ def kmv_bottom_k(
 
     hashed = (
         df.select(F.col(set_col).alias("s"), F.col(member_col).alias("m"))
+        # NULL members are ignored (a NULL hash would sort NULLS FIRST
+        # in Spark but NULLS LAST in most SQL engines — pin the
+        # semantics instead of inheriting an ordering accident).
+        .filter(F.col("m").isNotNull())
         .select(
             "s",
             md5_long(F.concat(F.lit("kmv:"), F.col("m").cast("string"))).alias("h"),
@@ -236,7 +240,8 @@ def kmv_pairwise_from_samples(sample: DataFrame, k: int = KMV_K) -> DataFrame:
 # equals the batch sample by mergeability). Lives next to the operator
 # so both suite modules can import it without cross-registering.
 KMV_ORACLE_SQL = f"""
-WITH dm AS (SELECT DISTINCT event_type AS s, user_id AS m FROM events),
+WITH dm AS (SELECT DISTINCT event_type AS s, user_id AS m FROM events
+            WHERE user_id IS NOT NULL),
 hashed AS (
     SELECT DISTINCT s,
            CAST(('0x' || substr(md5('kmv:' || CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) AS h

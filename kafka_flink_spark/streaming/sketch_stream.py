@@ -63,7 +63,7 @@ def kmv_stream(
             hs = list(hs)
         members_batch = set()
         for pdf in pdfs:
-            members_batch.update(pdf["_m"].tolist())
+            members_batch.update(m for m in pdf["_m"].tolist() if m is not None)
         new = {
             int(hashlib.md5(f"kmv:{m}".encode()).hexdigest()[:15], 16)
             for m in members_batch

@@ -3631,9 +3631,11 @@ def kmv_report_tail(ev: DataFrame, est: DataFrame) -> DataFrame:
     KMV queries: every unordered event-type pair, the sketch estimate,
     the exact intersection, and the within_bound flag (rel err <=
     0.15 vs max(exact, 1))."""
-    dm = ev.select(
-        F.col("event_type").alias("s"), F.col("user_id").alias("m")
-    ).distinct()
+    dm = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("s"), F.col("user_id").alias("m"))
+        .distinct()
+    )
     types = dm.select("s").distinct()
     pairs = (
         types.alias("ta")

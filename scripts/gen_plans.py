@@ -115,6 +115,15 @@ SHOWCASE = (
         "the driver, never a global Sort (plan-gated). O(k) driver "
         "memory at any corpus size.",
     ),
+    (
+        "g25_kmv_theta_intersection",
+        "KMV/theta sketch: the per-set bottom-k plans as a PARTIAL "
+        "WindowGroupLimit below the exchange (per-partition top-k heaps), "
+        "so the shuffle carries <= k hashes per set per input partition — "
+        "8-byte hashes, never members. Everything after the bottom-k "
+        "(theta table, pair join, estimates, exact audit) is "
+        "broadcast-sized (plan-gated).",
+    ),
 )
 
 
