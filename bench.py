@@ -147,6 +147,7 @@ R6_OPS = (
 R7_OPS = (
     "g25_kmv_theta_intersection",
     "v14_nn_descent_knn_graph",
+    "e22_holt_forecast",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own
@@ -316,8 +317,12 @@ def _stream_section_child(
         "spark = get_session('kafka_flink_spark-bench-replays')\n"
         "qs = all_queries()\n"
         "spread = {}\n"
-        f"t = bench._time_section(spark, qs, {sf_dir!r}, {names!r}, spread)\n"
+        # Rate FIRST: the throughput number must ride a fresh heap —
+        # measuring it after the stateful replays re-introduces the
+        # session-age skew the child process exists to remove (r7
+        # session-2: rate after 6 replays read 81k ev/s vs 138k fresh).
         "rate = bench._streaming_rate(spark)\n"
+        f"t = bench._time_section(spark, qs, {sf_dir!r}, {names!r}, spread)\n"
         "print('BENCHSTREAM ' + json.dumps("
         "{'t': t, 'spread': spread, 'rate': rate}))\n"
         "spark.stop()\n"

@@ -111,3 +111,81 @@ def ewma_oracle_sql(
     denom_list = ", ".join(repr(d) for d in denoms)
     denom = f"list_extract([{denom_list}], least(row_number() {over}, {max_lags}))"
     return f"round(({num}) / {denom}, {round_to})"
+
+
+HOLT_SCALE = 10**12
+
+
+def holt_linear(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    x_col: str = "x",
+    t_col: str = "d",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    with alpha = beta = 1/2, run as the TRUE recursion in INTEGER
+    fixed point (the gr1/gr7 discipline — scaled longs, units of
+    1/HOLT_SCALE):
+
+        L_t = (X_t + L_{t-1} + B_{t-1}) >> 1
+        B_t = (L_t - L_{t-1} + B_{t-1}) >> 1
+
+    with X_t = x_t * HOLT_SCALE, initialized textbook-style
+    (L_1 = X_1, B_1 = X_2 - X_1). The arithmetic right shift IS the
+    halving — it floors identically in Python and every SQL engine's
+    BIGINT `>>`, so each step is bit-reproducible and the DuckDB
+    recursive-CTE oracle hash-matches exactly. (A first float draft
+    with exact-dyadic 0.5 multiplies failed the oracle in the 6th
+    decimal: dyadic values land exactly ON the round-half boundary,
+    where Python banker's-rounds and SQL engines round half-away —
+    integer fixed point has no rounding at all.) Emits per (key, t):
+    the count, level/trend/one-step-ahead forecast as *_e12 longs.
+
+    Scale shape: the recursion is inherently sequential PER KEY, so it
+    runs in applyInPandas — but only AFTER the corpus-scale work (the
+    daily aggregation) has reduced the data to |keys| x |days| rows.
+    Python touches aggregate-sized rows, never events; each key's
+    series lives in one task; keys parallelize across the cluster.
+    Headroom: |X| <= count_max * 1e12 — int64-safe through counts of
+    ~9e6/day/key; the recursion keeps |L| near max |X|.
+    ``daily`` must carry one row per (key, t) (the recursion steps
+    over OBSERVED rows in t order)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, {t_col} long, x long, "
+        "level_e12 long, trend_e12 long, forecast_next_e12 long"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col).reset_index(drop=True)
+        xs = [int(v) * HOLT_SCALE for v in pdf[x_col]]
+        n = len(xs)
+        levels: list[int] = []
+        trends: list[int] = []
+        if n == 1:
+            levels, trends = [xs[0]], [0]
+        elif n >= 2:
+            l_prev = xs[0]
+            b_prev = xs[1] - xs[0]
+            levels, trends = [l_prev], [b_prev]
+            for t in range(1, n):
+                l_new = (xs[t] + l_prev + b_prev) >> 1
+                b_new = (l_new - l_prev + b_prev) >> 1
+                levels.append(l_new)
+                trends.append(b_new)
+                l_prev, b_prev = l_new, b_new
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                t_col: pdf[t_col],
+                "x": [v // HOLT_SCALE for v in xs],
+                "level_e12": levels,
+                "trend_e12": trends,
+                "forecast_next_e12": [
+                    lv + tr for lv, tr in zip(levels, trends)
+                ],
+            }
+        )
+
+    return daily.groupBy(key_col).applyInPandas(fit, out_schema)

@@ -1580,3 +1580,65 @@ def e21_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@register(
+    "e22_holt_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+ord AS (
+    SELECT event_type, d, x, x * 1000000000000 AS xs,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+second AS (SELECT event_type, xs AS xs2 FROM ord WHERE t = 2),
+rec AS (
+    SELECT o.event_type, o.d, o.t, o.x,
+           o.xs AS level,
+           CASE WHEN o.n >= 2 THEN s.xs2 - o.xs ELSE CAST(0 AS BIGINT) END AS trend
+    FROM ord o LEFT JOIN second s USING (event_type) WHERE o.t = 1
+    UNION ALL
+    SELECT o.event_type, o.d, o.t, o.x,
+           (o.xs + r.level + r.trend) >> 1 AS level,
+           (((o.xs + r.level + r.trend) >> 1) - r.level + r.trend) >> 1 AS trend
+    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+)
+SELECT event_type, d, x, level AS level_e12, trend AS trend_e12,
+       level + trend AS forecast_next_e12
+FROM rec
+""",
+    doc="Holt linear-trend double exponential smoothing over the "
+    "daily event count per type (operators/timeseries.holt_linear) — "
+    "the FORECASTING member of the time-series family (e13 "
+    "interpolation, e14 EWMA level, e18 changepoint, e19 seasonal "
+    "decomposition): level + trend state with alpha=beta=1/2 and the "
+    "one-step-ahead forecast L_t + B_t per day, in INTEGER fixed "
+    "point (scaled longs, arithmetic-shift halving — floors "
+    "identically in Python and BIGINT `>>`, so every step is "
+    "bit-reproducible and the recursive-CTE oracle hash-matches; a "
+    "float draft with exact-dyadic 0.5 multiplies failed in the 6th "
+    "decimal because dyadic values sit exactly ON round-half "
+    "boundaries, where banker's and half-away rounding disagree). "
+    "The TRUE coupled recursion (no closed form; e14's truncated "
+    "lag-bank trick loses the trend state), run per key over "
+    "AGGREGATE-sized rows in applyInPandas after the corpus-scale "
+    "daily aggregation — Python never touches events, each key's "
+    "series is one task, keys parallelize.",
+)
+def e22_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.timeseries import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    return holt_linear(daily, key_col="event_type", x_col="x", t_col="d")

@@ -243,3 +243,38 @@ def test_km_survival_matches_python_reference(spark):
     assert out[200].n_risk == 3 and out[200].n_events == 1
     assert abs(out[200].survival - 0.4) < 1e-9
     assert abs(out[200].hazard - round(1 / 3, 6)) < 1e-9
+
+
+def test_holt_linear_tracks_trend_and_matches_reference(spark):
+    """e22: on a clean linear series x_t = 10 + 5t the smoother locks
+    onto the line — level converges to x_t and trend to the true slope
+    (alpha=beta=1/2 reaches it exactly by t=2 for exact-linear input:
+    L_1=X_1, B_1=X_2-X_1 seeds ON the line and the recursion is a
+    fixed point there) — and the operator equals a hand-rolled Python
+    reference of the shifted recursion on an irregular series."""
+    from kafka_flink_spark.operators.timeseries import HOLT_SCALE, holt_linear
+
+    # exact line: level == x, trend == slope, forecast == next x
+    line = [(f"k", t, 10 + 5 * t) for t in range(1, 11)]
+    df = spark.createDataFrame(line, "event_type string, d long, x long")
+    rows = {r.d: r for r in holt_linear(df).collect()}
+    for t in range(2, 11):
+        assert rows[t].level_e12 == (10 + 5 * t) * HOLT_SCALE
+        assert rows[t].trend_e12 == 5 * HOLT_SCALE
+        assert rows[t].forecast_next_e12 == (10 + 5 * (t + 1)) * HOLT_SCALE
+
+    # irregular series vs the reference recursion
+    xs = [7, 3, 11, 2, 2, 30]
+    df2 = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "event_type string, d long, x long"
+    )
+    got = {r.d: (r.level_e12, r.trend_e12) for r in holt_linear(df2).collect()}
+    X = [v * HOLT_SCALE for v in xs]
+    l, b = X[0], X[1] - X[0]
+    want = {0: (l, b)}
+    for t in range(1, len(X)):
+        l_new = (X[t] + l + b) >> 1
+        b = (l_new - l + b) >> 1
+        l = l_new
+        want[t] = (l, b)
+    assert got == want
