@@ -148,6 +148,7 @@ R7_OPS = (
     "g25_kmv_theta_intersection",
     "v14_nn_descent_knn_graph",
     "e22_holt_forecast",
+    "pipe11_hybrid_retrieval_rrf",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own

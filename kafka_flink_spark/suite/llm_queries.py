@@ -4368,3 +4368,99 @@ def v14_nn_descent_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return nn_descent(emb, k=15, rounds=2).filter(F.col("rn") <= 5)
+
+
+@register(
+    "pipe11_hybrid_retrieval_rrf",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+qpos AS (
+    SELECT DISTINCT query_id, term, list_position(ts, term) AS first_pos
+    FROM (SELECT doc_id AS query_id, ts, unnest(ts) AS term FROM toks
+          WHERE doc_id IN {_QUERY_IDS})
+),
+qt AS (
+    SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id ORDER BY first_pos) AS rn
+        FROM qpos
+    ) WHERE rn <= 8
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_w FROM dl),
+tr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tr
+    WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+lexterm AS (
+    SELECT q.query_id, t.doc_id,
+           CAST(round(round(
+                round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                * round((22 * s.total_w * t.tf) * 1.0
+                        / (10 * s.total_w * t.tf + 3 * s.total_w
+                           + 9 * d.dl * s.n_docs), 6),
+                6) * 1000000, 0) AS BIGINT) AS s_e6
+    FROM tf t JOIN qt q ON t.term = q.term AND t.doc_id <> q.query_id
+         JOIN dft f ON t.term = f.term
+         JOIN dl d ON t.doc_id = d.doc_id, stats s
+),
+lexs AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS lex_e6
+         FROM lexterm GROUP BY 1, 2),
+lex AS (SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY lex_e6 DESC, doc_id) AS INT) AS lex_rank
+        FROM lexs),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {_QUERY_IDS}),
+vecsc AS (
+    SELECT q.query_id, e.vec_id AS doc_id,
+           round({_duck_cosine("q.qv", "e.v")}, 6) AS cos6
+    FROM e, qv q WHERE e.vec_id <> q.query_id
+),
+vec AS (
+    SELECT query_id, doc_id, CAST(rn AS INT) AS vec_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos6 DESC, doc_id) AS rn FROM vecsc
+    ) WHERE rn <= 50
+),
+fused AS (
+    SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank, v.vec_rank,
+           CAST(coalesce(1000000000000 // (60 + l.lex_rank), 0)
+              + coalesce(1000000000000 // (60 + v.vec_rank), 0) AS BIGINT)
+               AS rrf_e12
+    FROM lex l FULL OUTER JOIN vec v
+      ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_e12, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_e12 DESC, doc_id) AS rn FROM fused)
+WHERE rn <= 10
+""",
+    doc="Hybrid retrieval with Reciprocal Rank Fusion (Cormack 2009; "
+    "operators/retrieval.hybrid_retrieval_rrf) — the RAG serving "
+    "pipeline: a BM25 lexical arm (t31's exactness recipe, promoted "
+    "to per-(query, doc) scores via exact micro-unit-long cross-term "
+    "sums) and a brute-force-cosine vector arm (v1's contract, "
+    "top-50 shortlist) retrieve independently over the SAME corpus "
+    "(query = the first 8 distinct tokens + the embedding of 3 probe "
+    "docs), then fuse by rank only: rrf_e12 = sum of "
+    "1e12 div (60 + rank) per arm, integer fixed point, missing arm "
+    "contributes 0 — no score calibration between arms, the reason "
+    "RRF is the production hybrid-search default. Top-10 per query "
+    "under (rrf DESC, doc_id). Arms swap freely (IVF/LSH shortlist "
+    "v2-v13 at scale); the fusion tail touches only shortlist-sized "
+    "rows.",
+)
+def pipe11_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.retrieval import hybrid_retrieval_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_retrieval_rrf(docs, emb, _QUERY_IDS)

@@ -1819,3 +1819,45 @@ def test_nn_descent_recall_vs_exact(spark):
     narrow = nn_descent(emb, k=5, rounds=2).select("query_id", "neighbor_id")
     recall_narrow = narrow.join(exact, ["query_id", "neighbor_id"]).count() / total
     assert recall_narrow < recall_wide
+
+
+def test_hybrid_rrf_fusion_math_and_missing_arm(spark):
+    """pipe11's fusion contract on hand data: a doc ranked by BOTH
+    arms beats a doc with a better single-arm rank (1e12//(60+1) +
+    1e12//(60+2) > 1e12//(60+1)); a doc missing from one arm scores
+    only its present arm; the integer div matches Python's floor."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.operators.retrieval import RRF_SCALE, hybrid_retrieval_rrf
+
+    # corpus: q=0; doc 1 matches lexically AND by vector; doc 2 is the
+    # lexical runner-up only; doc 3 is vector-only (no shared terms).
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta zz"),
+        (2, "alpha yy yy yy yy yy"),
+        (3, "qq rr ss"),
+    ]
+    # vectors: q=0 at [1,0]; doc3 identical direction; doc1 close;
+    # doc2 orthogonal.
+    embs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.0]),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<double>")
+    out = hybrid_retrieval_rrf(ddf, edf, (0,), n_query_terms=3, vec_shortlist=3, k=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    # lexical ranks: doc1 (2 matching terms) > doc2 (1 term) ; doc3 absent
+    assert rows[1].lex_rank == 1 and rows[2].lex_rank == 2
+    assert rows[3].lex_rank is None
+    # vector ranks: doc3 (cos 1.0) > doc1 > doc2
+    assert rows[3].vec_rank == 1 and rows[1].vec_rank == 2 and rows[2].vec_rank == 3
+    # exact integer fusion
+    assert rows[1].rrf_e12 == RRF_SCALE // 61 + RRF_SCALE // 62
+    assert rows[3].rrf_e12 == RRF_SCALE // 61
+    assert rows[2].rrf_e12 == RRF_SCALE // 62 + RRF_SCALE // 63
+    # both-arms doc wins the fused ranking
+    assert rows[1].rn == 1
