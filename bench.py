@@ -149,6 +149,7 @@ R7_OPS = (
     "v14_nn_descent_knn_graph",
     "e22_holt_forecast",
     "pipe11_hybrid_retrieval_rrf",
+    "gr9_modularity",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own

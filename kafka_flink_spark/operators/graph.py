@@ -613,3 +613,80 @@ def link_prediction_ra(
         "left_anti",
     )
     return non_adj.orderBy(F.desc("ra_e12"), "u", "w").limit(k)
+
+
+MOD_SCALE = 10**12
+
+
+def modularity(
+    labels: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman-Girvan modularity of a node partition (Newman & Girvan
+    2004): Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard score for how
+    much denser communities are than a degree-preserving random
+    rewiring (Q > 0.3 is conventionally "real structure"). The
+    evaluate-your-own-output metric for LPA (gr4), completing the
+    pattern of cl2 (silhouette for k-means) and v10/d10 (recall for
+    ANN/LSH).
+
+    Exactness: everything folds to ONE integer numerator
+    ``q_num = Σ_c (4·m·e_c − d_c²)`` over exact longs, and modularity
+    = q_num / (4m²) is ONE IEEE division of two exactly-representable
+    integers (both < 2^53 through m ~ 30M edges) — bit-identical in
+    any engine, rounded to 6 only at the output (the t21/t31 recipe).
+
+    Scale shape: intra-community edge counts are one join of the
+    canonical (a < b) edge list against the broadcast-or-shuffled
+    label relation on each endpoint + a map-side-combinable count;
+    degree sums are a node-sized aggregate; the final fold is
+    community-sized. ``edges`` must list both orientations (the
+    symmetric co-purchase builder's output); communities with no
+    edge-touching member contribute 0 and are not counted in
+    ``n_communities``."""
+    lab = labels.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_c"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # read by the m count and the intra join
+    )
+    mm = und.agg(F.count("*").cast("long").alias("m"))
+    la = lab.withColumnsRenamed({"_id": "a", "_c": "ca"})
+    lb = lab.withColumnsRenamed({"_id": "b", "_c": "cb"})
+    eintra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    dcom = (
+        deg.join(lab.withColumnsRenamed({"_id": "src"}), "src")
+        .groupBy(F.col("_c").alias("c"))
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    percom = dcom.join(eintra, "c", "left").select(
+        "c", F.coalesce("e_c", F.lit(0)).alias("e_c"), "d_c"
+    )
+    agg = percom.crossJoin(F.broadcast(mm)).agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c"))
+        .cast("long")
+        .alias("q_num"),
+    )
+    return agg.crossJoin(F.broadcast(mm)).select(
+        "n_communities",
+        F.col("m").alias("m_edges"),
+        "q_num",
+        F.round(
+            F.col("q_num").cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("modularity"),
+    )

@@ -2777,6 +2777,18 @@ def g22_hot_key_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _lpa_oracle(iters: int = 2) -> str:
+    return f"""
+WITH {_lpa_cte_chain(iters)}
+SELECT id AS part_id,
+       CAST(label AS BIGINT) AS community_id,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l{iters}
+"""
+
+
+def _lpa_cte_chain(iters: int = 2) -> str:
+    """The LPA unrolled-CTE body (edges/nodes/l0..l{iters}) shared by
+    gr4's oracle and gr9's modularity tail."""
     levels = []
     for k in range(iters):
         levels.append(
@@ -2801,20 +2813,14 @@ l{k + 1} AS (
 )"""
         )
     chain = ",\n".join(levels)
-    return f"""
-WITH edges AS (
+    return f"""edges AS (
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ),
 nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
 l0 AS (SELECT id, id AS label FROM nodes),
-{chain}
-SELECT id AS part_id,
-       CAST(label AS BIGINT) AS community_id,
-       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
-FROM l{iters}
-"""
+{chain}"""
 
 
 @register(
@@ -3664,3 +3670,72 @@ def kmv_report_tail(ev: DataFrame, est: DataFrame) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+def _gr9_oracle() -> str:
+    return f"""
+WITH {_lpa_cte_chain(2)},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+lab AS (SELECT id, label FROM l2),
+eintra AS (
+    SELECT la.label AS c, CAST(count(*) AS BIGINT) AS e_c
+    FROM und u JOIN lab la ON u.a = la.id JOIN lab lb ON u.b = lb.id
+    WHERE la.label = lb.label GROUP BY 1
+),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+dcom AS (SELECT la.label AS c, CAST(sum(d.d) AS BIGINT) AS d_c
+         FROM deg d JOIN lab la ON d.id = la.id GROUP BY 1),
+percom AS (
+    SELECT dc.c, coalesce(e.e_c, 0) AS e_c, dc.d_c
+    FROM dcom dc LEFT JOIN eintra e ON e.c = dc.c
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT) AS q_num
+    FROM percom
+)
+SELECT n_communities, (SELECT m FROM mm) AS m_edges, q_num,
+       round(CAST(q_num AS DOUBLE)
+             / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE), 6)
+           AS modularity
+FROM agg
+"""
+
+
+@register(
+    "gr9_modularity",
+    oracle=_gr9_oracle(),
+    doc="Newman-Girvan modularity of gr4's LPA partition over the "
+    "part co-purchase graph (operators/graph.modularity) — the "
+    "evaluate-your-own-output metric for community detection, "
+    "completing the pattern of cl2 (silhouette for k-means) and "
+    "v10/d10 (recall for ANN/LSH): Q = sum_c [e_c/m - (d_c/2m)^2], "
+    "how much denser the communities are than a degree-preserving "
+    "random rewiring. Everything folds to ONE integer numerator "
+    "q_num = sum_c(4*m*e_c - d_c^2) over exact longs; modularity is "
+    "ONE IEEE division of two exactly-representable integers (< 2^53 "
+    "through ~30M edges), bit-identical in any engine. Intra-edge "
+    "counts are one canonical-edge join against the label relation; "
+    "degree sums are node-sized; the oracle replays LPA through the "
+    "shared unrolled-CTE chain and the same fold.",
+)
+def gr9_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.graph import label_propagation, modularity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()  # consumed by LPA and by the modularity fold
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    lp = label_propagation(nodes, edges, "id", iterations=2)
+    labels = lp.select("id", F.col("community_id").alias("label"))
+    return modularity(labels, edges)

@@ -388,3 +388,27 @@ def test_broadcast_ranks_knob_identical_results(spark):
     ]
     for run in runs:
         assert rows(run(True)) == rows(run(False))
+
+
+def test_modularity_two_cliques_textbook(spark):
+    """gr9's operator on the textbook graph: two triangles joined by
+    one bridge under the perfect partition — m=7, e_c=3 each,
+    d_c=7 each, q_num = 2*(4*7*3 - 49) = 70, Q = 70/196 = 0.357143.
+    Also: the degenerate everyone-in-one-community partition of the
+    same graph scores 0 (e_c=m, d_c=2m -> q_num = 4m^2 - 4m^2)."""
+    from kafka_flink_spark.operators.graph import modularity
+
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, 0 if i <= 2 else 3) for i in range(6)], "id long, label long"
+    )
+    row = modularity(labels, edges).collect()[0]
+    assert (row.n_communities, row.m_edges, row.q_num) == (2, 7, 70)
+    assert row.modularity == 0.357143
+
+    one = spark.createDataFrame([(i, 0) for i in range(6)], "id long, label long")
+    row1 = modularity(one, edges).collect()[0]
+    assert row1.q_num == 0 and row1.modularity == 0.0
