@@ -208,6 +208,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    # Throughput FIRST, in its own child process, before any other JVM
+    # exists: measured in-bench rates were 50-81k ev/s vs 144k for the
+    # identical replay in a solo child — the parent JVM's teardown/GC
+    # and minutes of batch work contaminate any later measurement, in
+    # EITHER child order. The only clean window is before the bench
+    # itself dirties the box.
+    _, _, streaming_rate = _stream_section_child(sf_dir, [])
+
     from kafka_flink_spark.session import get_session
     from kafka_flink_spark.suite import all_queries
 
@@ -252,9 +260,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     spark.stop()
 
-    # Streaming replays + throughput: own process, own JVM.
-    stream_timings, stream_spread, streaming_rate = _stream_section_child(
-        sf_dir, [n for n in STREAM_OPS if n in qs]
+    # Streaming replays: own process, own JVM (the rate already ran in
+    # its own pre-bench child above).
+    stream_timings, stream_spread, _ = _stream_section_child(
+        sf_dir, [n for n in STREAM_OPS if n in qs], measure_rate=False
     )
     spread.update(stream_spread)
 
@@ -301,7 +310,7 @@ def main() -> None:
 
 
 def _stream_section_child(
-    sf_dir: str, names: list[str]
+    sf_dir: str, names: list[str], measure_rate: bool = True
 ) -> tuple[dict[str, float], dict[str, list[float]], int]:
     """Run the stream replays AND the throughput replay in a child
     process (fresh JVM, fresh state-store dirs); returns (timings,
@@ -319,11 +328,12 @@ def _stream_section_child(
         "spark = get_session('kafka_flink_spark-bench-replays')\n"
         "qs = all_queries()\n"
         "spread = {}\n"
-        # Rate FIRST: the throughput number must ride a fresh heap —
-        # measuring it after the stateful replays re-introduces the
-        # session-age skew the child process exists to remove (r7
-        # session-2: rate after 6 replays read 81k ev/s vs 138k fresh).
-        "rate = bench._streaming_rate(spark)\n"
+        # Rate FIRST when measured: the throughput number must ride a
+        # fresh heap (rate after 6 replays read 81k ev/s vs 144k
+        # fresh; rate in a post-batch child read 50k — main()'s
+        # pre-bench child is the only clean window, so the stream-
+        # section child skips it).
+        f"rate = bench._streaming_rate(spark) if {measure_rate!r} else 0\n"
         f"t = bench._time_section(spark, qs, {sf_dir!r}, {names!r}, spread)\n"
         "print('BENCHSTREAM ' + json.dumps("
         "{'t': t, 'spread': spread, 'rate': rate}))\n"
@@ -350,7 +360,7 @@ def _stream_section_child(
         spark = get_session("kafka_flink_spark-bench-replays")
         spread: dict[str, list[float]] = {}
         t = _time_section(spark, all_queries(), sf_dir, names, spread)
-        rate = _streaming_rate(spark)
+        rate = _streaming_rate(spark) if measure_rate else 0
         spark.stop()
         return t, spread, rate
 
