@@ -717,3 +717,54 @@ def test_stream_simhash_equals_batch_simhash(spark, docs):
     batch = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
     stream = _simhash_series(pd.Series(texts, dtype=object)).tolist()
     assert {i: s for i, s in enumerate(stream)} == batch
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@SET
+def test_kmv_exact_below_k_property(spark, a, b):
+    """g25 under hypothesis: with both member sets below k the KMV
+    sample IS the set and the intersection estimate equals the exact
+    count (including zero overlap -> no emitted pair)."""
+    from kafka_flink_spark.operators.sketches import kmv_intersection_estimates
+
+    rows = [("A", m) for m in a] + [("B", m) for m in b]
+    df = spark.createDataFrame(rows, "s string, m long")
+    got = kmv_intersection_estimates(df, "s", "m").collect()
+    exact = len(a & b)
+    if exact == 0:
+        assert got == []
+    else:
+        assert len(got) == 1 and got[0].est_common == float(exact)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40)
+)
+@SET
+def test_holt_linear_matches_reference_property(spark, xs):
+    """e22 under hypothesis: the operator equals the textbook shifted
+    recursion (integer fixed point, arithmetic-shift halving) for any
+    non-negative integer series, including constants and single
+    points."""
+    from kafka_flink_spark.operators.timeseries import HOLT_SCALE, holt_linear
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "event_type string, d long, x long"
+    )
+    got = {r.d: (r.level_e12, r.trend_e12, r.forecast_next_e12)
+           for r in holt_linear(df).collect()}
+    X = [v * HOLT_SCALE for v in xs]
+    if len(X) == 1:
+        want = {0: (X[0], 0, X[0])}
+    else:
+        l, b = X[0], X[1] - X[0]
+        want = {0: (l, b, l + b)}
+        for t in range(1, len(X)):
+            l_new = (X[t] + l + b) >> 1
+            b = (l_new - l + b) >> 1
+            l = l_new
+            want[t] = (l, b, l + b)
+    assert got == want
