@@ -72,6 +72,7 @@ def hybrid_retrieval_rrf(
     emb: DataFrame,
     query_ids: tuple[int, ...],
     n_query_terms: int = 8,
+    lex_shortlist: int = 50,
     vec_shortlist: int = 50,
     k: int = 10,
     rrf_k: int = RRF_K,
@@ -132,8 +133,16 @@ def hybrid_retrieval_rrf(
         "query_id", F.col(doc_id_col), per_term_e6.alias("s_e6")
     ).groupBy("query_id", doc_id_col).agg(F.sum("s_e6").cast("long").alias("lex_e6"))
     wl = Window.partitionBy("query_id").orderBy(F.desc("lex_e6"), F.asc(doc_id_col))
-    lex = lex_scores.withColumn("lex_rank", F.row_number().over(wl)).select(
-        "query_id", doc_id_col, "lex_rank"
+    # Shortlist BOTH arms: without the cap, one stopword-like query
+    # term makes the lexical partition corpus-sized and the fusion
+    # join/window processes corpus x queries rows, although only the
+    # first ~k ranks can reach the fused top-k (1e12/(60+rank) decays
+    # fast). The cap keeps the docstring's bound honest: everything
+    # after ranking touches at most (shortlist x queries) rows.
+    lex = (
+        lex_scores.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= lex_shortlist)
+        .select("query_id", doc_id_col, "lex_rank")
     )
 
     # ---- vector arm: brute-force cosine shortlist (v1 contract) ----

@@ -106,10 +106,18 @@ def cms_score(
     ).select(
         key_col, F.posexplode(_buckets(F.col("_h"), depth, width)).alias("d", "bucket")
     )
+    # LEFT join + coalesce 0: a (d, bucket) cell with no sketch row
+    # means NO key in the build data hashed there — its counter is 0,
+    # and the min must see it (an inner join would silently exclude
+    # empty depths and overestimate out-of-corpus keys, violating the
+    # CMS contract; in-corpus keys always populate their own cells, so
+    # existing callers were unaffected).
     return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").cast("long").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce("c", F.lit(0))).cast("long").alias("cms_est")
+        )
     )
 
 

@@ -43,31 +43,30 @@ def kmv_stream(
     ``operators.sketches.kmv_pairwise_from_samples`` for intersection
     estimates at any point in the stream's life.
 
-    The hash is bit-identical to the batch ``kmv_bottom_k``
-    (md5('kmv:' || member)[:15 hex] — functions/hashing.py recipe), so
-    stream state == batch sample exactly (mergeability), which is what
-    lets a batch SQL oracle value-check the streaming run.
+    Hashing happens JVM-SIDE with the batch twin's exact expression
+    (``md5_long(concat('kmv:', member))`` — functions/hashing.py), in
+    a narrow projection BEFORE the stateful operator: the state-store
+    shuffle carries 8-byte hashes, never raw members, and stream/batch
+    bit-identity holds BY CONSTRUCTION (one shared expression), not by
+    a parallel Python re-implementation. NULL members are ignored (the
+    batch contract). The Python state function only merges longs.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kafka_flink_spark.functions.hashing import md5_long
 
     out_schema = f"{set_col} string, upd_seq long, sample array<long>"
     state_schema = "seq long, hashes array<long>"
 
     def fn(key, pdfs, state: GroupState):
-        import hashlib
-
         seq, hs = 0, []
         if state.exists:
             seq, hs = state.get
             hs = list(hs)
-        members_batch = set()
+        new = set()
         for pdf in pdfs:
-            members_batch.update(m for m in pdf["_m"].tolist() if m is not None)
-        new = {
-            int(hashlib.md5(f"kmv:{m}".encode()).hexdigest()[:15], 16)
-            for m in members_batch
-        }
+            new.update(int(h) for h in pdf["_h"].tolist())
         merged = sorted(set(hs) | new)[:k]
         seq += 1
         state.update((seq, merged))
@@ -76,8 +75,12 @@ def kmv_stream(
         )
 
     return (
-        members.select(
-            F.col(set_col).alias("_s"), F.col(member_col).cast("string").alias("_m")
+        members.filter(F.col(member_col).isNotNull())
+        .select(
+            F.col(set_col).alias("_s"),
+            md5_long(
+                F.concat(F.lit("kmv:"), F.col(member_col).cast("string"))
+            ).alias("_h"),
         )
         .groupBy("_s")
         .applyInPandasWithState(

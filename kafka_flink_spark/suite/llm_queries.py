@@ -4411,10 +4411,14 @@ lexterm AS (
 ),
 lexs AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS lex_e6
          FROM lexterm GROUP BY 1, 2),
-lex AS (SELECT query_id, doc_id,
-               CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY lex_e6 DESC, doc_id) AS INT) AS lex_rank
-        FROM lexs),
+lex AS (
+    SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY lex_e6 DESC, doc_id) AS rn
+        FROM lexs
+    ) WHERE rn <= 50
+),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {_QUERY_IDS}),
 vecsc AS (

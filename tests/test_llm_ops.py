@@ -1861,3 +1861,19 @@ def test_hybrid_rrf_fusion_math_and_missing_arm(spark):
     assert rows[2].rrf_e12 == RRF_SCALE // 62 + RRF_SCALE // 63
     # both-arms doc wins the fused ranking
     assert rows[1].rn == 1
+
+
+def test_cms_out_of_corpus_key_estimates_zero(spark):
+    """cms_score must see empty (d, bucket) cells as 0 counters: a key
+    absent from the build data whose buckets nobody else hit estimates
+    0, never a silently-reduced min over populated depths only."""
+    from kafka_flink_spark.operators.sketches import cms_estimate
+
+    build = spark.createDataFrame([("k1",)] * 5 + [("k2",)] * 3, "key string")
+    probe = spark.createDataFrame(
+        [("k1",), ("k2",), ("never_seen_key_xyz",)], "key string"
+    )
+    got = {r.key: r.cms_est for r in cms_estimate(build, probe, "key").collect()}
+    assert got["k1"] >= 5 and got["k2"] >= 3
+    assert "never_seen_key_xyz" in got  # key must not vanish
+    assert got["never_seen_key_xyz"] == 0  # tiny corpus: buckets empty
