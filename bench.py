@@ -167,6 +167,7 @@ STREAM_OPS = (
     "w33_stream_simhash_dedup_capped",
     "w34_stream_kmv_overlap",
     "w35_stream_cms_heavy_hitters",
+    "w36_stream_ann_serving",
 )
 
 

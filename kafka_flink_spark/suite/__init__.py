@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "e22_holt_forecast",
     "pipe11_hybrid_retrieval_rrf",
     "gr9_modularity",
+    "w36_stream_ann_serving",
     # ---- twice-displaced re-attest ----
     "t28_url_dedup",
     # ---- oldest evidence: every round-1-only row (40) ----
@@ -161,15 +162,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "set3_except",
     "sub1_scalar_subquery",
     "sub2_correlated_subquery",
-    "w1_topk_per_group",
     # ---- round-2-era refresh: none left — a1 yielded its slot to
     # e22 (the flagship is smoke-checked through entry() every round);
     # w3 and w2 yielded the last round-1 slots to pipe11 and gr9. ----
     # ---- 50-query budget line (round 7): exactly 50 names ----
     # Round-8 rotation queue (replace this tuple at r8 start): lead
     # with any r7 non-green, then any new r8 registrations, then the
-    # displaced w2/w3/a1/a2/d1/d2/j6 and the remaining round-2-only
-    # rows, oldest-first.
+    # displaced w1/w2/w3/a1/a2/d1/d2/j6 and the remaining
+    # round-2-only rows, oldest-first.
 )
 
 

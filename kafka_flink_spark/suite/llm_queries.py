@@ -625,8 +625,9 @@ def m3_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(query_ids_sql: str | None = None) -> str:
     cos = _duck_cosine
+    qids = query_ids_sql or str(_QUERY_IDS)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT {S.N_CELLS}),
@@ -645,7 +646,7 @@ qscore AS (
     SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
            round({cos("e.v", "c.centroid")}, 6) AS cos_c
     FROM e CROSS JOIN cents c
-    WHERE e.vec_id IN {_QUERY_IDS}
+    WHERE e.vec_id IN {qids}
 ),
 probes AS (
     SELECT query_id, qv, cid AS cell

@@ -1890,3 +1890,145 @@ def w35_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_sketch = run_available_now(sketch, "complete")
     keys = li.select("l_partkey").distinct()
     return cms_score(final_sketch, keys, "l_partkey")
+
+
+_W36_QUERY_IDS = tuple(range(9))
+
+
+def _w36_oracle() -> str:
+    from kafka_flink_spark.suite.llm_queries import _ivf_oracle
+
+    return _ivf_oracle(str(_W36_QUERY_IDS))
+
+
+@register(
+    "w36_stream_ann_serving",
+    oracle=_w36_oracle(),
+    doc="STREAMING vector-search serving — online ANN over a static "
+    "indexed corpus (the vector-database query path): nine query "
+    "vectors arrive as three micro-batches and are answered by v3's "
+    "IVF index via a stream-static join. The streaming plan has NO "
+    "window functions (illegal on streams): per-row probed cells come "
+    "from a broadcast centroid array + sort_array/slice HOFs (narrow), "
+    "candidates from the stream-static inner join against the "
+    "batch-built cell assignment, and per-query top-10 from an "
+    "update-mode collect_list aggregation sliced after replay. "
+    "Answers are EXACTLY v3's batch IVF results for the same query "
+    "ids — the oracle is the shared _ivf_oracle parameterized to the "
+    "nine ids — so the serving path sits inside the value hash. At "
+    "scale the collect_list state per in-flight query is bounded by "
+    "the probed cells' population (n_probe/n_cells of the corpus); "
+    "production serving caps it with a per-cell shortlist like v13's.",
+)
+def w36_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from kafka_flink_spark.operators.similarity import (
+        N_CELLS,
+        N_PROBE,
+        _as_double,
+        cosine,
+    )
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id"), _as_double("embedding").alias("v"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("centroid"))
+    )
+    # static side: corpus cell assignment (batch — windows legal here)
+    cscore = e.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "cid",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_c"),
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assigned = (
+        cscore.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("neighbor_id", "cv", F.col("cid").alias("cell"))
+        .localCheckpoint()
+    )
+    cent_row = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "centroid"))).alias("_cents")
+    ).withColumn("_k", F.lit(1))
+
+    # stage the 9 query vectors as three 3-query files
+    qvecs = e.filter(F.col("vec_id").isin(*_W36_QUERY_IDS))
+    tmpdir = scratch_dir(prefix="w36_src_")  # atexit-cleaned
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        qvecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("_k", F.lit(1))
+    )
+    # per-row probed cells: broadcast centroid array + narrow HOFs —
+    # sort_array on struct(negc, cid) == (cos DESC, cid ASC)
+    probed = (
+        stream.join(F.broadcast(cent_row), "_k")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                (
+                                    -F.round(cosine(F.col("v"), c["centroid"]), 6)
+                                ).alias("negc"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    N_PROBE,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", "qv", F.col("_p.cid").alias("cell"))
+    )
+    cands = (
+        probed.join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.struct(
+                (-F.round(cosine(F.col("qv"), F.col("cv")), 6)).alias("negc"),
+                F.col("neighbor_id").alias("nid"),
+            ).alias("_c"),
+        )
+    )
+    per_query = cands.groupBy("query_id").agg(F.collect_list("_c").alias("cands"))
+    out = run_available_now(per_query, "update")
+    final = out.groupBy("query_id").agg(
+        F.max_by("cands", F.size("cands")).alias("cands")
+    )
+    return final.select(
+        "query_id",
+        F.posexplode(F.slice(F.sort_array("cands"), 1, 10)).alias("_i", "_s"),
+    ).select(
+        "query_id",
+        F.col("_s.nid").alias("neighbor_id"),
+        (-F.col("_s.negc")).alias("cos_sim"),
+        (F.col("_i") + 1).cast("int").alias("rn"),
+    )
