@@ -152,6 +152,12 @@ R7_OPS = (
     "gr9_modularity",
 )
 
+# Round-8 additions, timed as an eighth section.
+R8_OPS = (
+    "t38_unicode_nfc",
+    "fe6_linear_model_score",
+)
+
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own
 # JVM (VERDICT r6 task 6): after ~15 min of batch sections these were
 # position-dependent (w30: 16.6 s in-bench vs 7.2 s solo, SCALING.md
@@ -257,6 +263,9 @@ def main() -> None:
     r7_timings = _time_section(
         spark, qs, sf_dir, [n for n in R7_OPS if n in qs], spread
     )
+    r8_timings = _time_section(
+        spark, qs, sf_dir, [n for n in R8_OPS if n in qs], spread
+    )
 
     total = round(sum(timings.values()), 3)
     spark.stop()
@@ -281,6 +290,7 @@ def main() -> None:
         "r5_queries": r5_timings,
         "r6_queries": r6_timings,
         "r7_queries": r7_timings,
+        "r8_queries": r8_timings,
         "stream_queries": stream_timings,
         "spread_min_max": spread,
     }
@@ -303,6 +313,7 @@ def main() -> None:
                 "r5_total": round(sum(r5_timings.values()), 3),
                 "r6_total": round(sum(r6_timings.values()), 3),
                 "r7_total": round(sum(r7_timings.values()), 3),
+                "r8_total": round(sum(r8_timings.values()), 3),
                 "stream_total": round(sum(stream_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": streaming_rate,
             }

@@ -829,7 +829,15 @@ def dedup_clusters(
     if broadcast_labels is None:
         from kafka_flink_spark.operators.graph import BROADCAST_NODE_LIMIT
 
-        broadcast_labels = n_ids <= BROADCAST_NODE_LIMIT
+        # The label relation is NOT bounded by n_ids: pair endpoints
+        # absent from ``ids`` enter the loop as relay nodes (see the
+        # LEFT-join note below), so auto-broadcast must budget for the
+        # superset. ids ∪ endpoints is an upper bound on every round's
+        # label count; edges is symmetrized, so distinct src covers
+        # all endpoints. One extra count job over the already-pinned
+        # edge relation, paid only on the auto path.
+        n_endpoints = edges.select("src").distinct().count()
+        broadcast_labels = (n_ids + n_endpoints) <= BROADCAST_NODE_LIMIT
     _bc = F.broadcast if broadcast_labels else (lambda df: df)
     for _ in range(max_iterations):
         lb = _bc(labels)

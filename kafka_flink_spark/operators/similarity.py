@@ -1089,12 +1089,18 @@ def nn_descent(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """NN-descent k-NN-graph refinement (Dong, Moses & Li, WWW 2011),
-    made deterministic: start from a trivial ring graph (neighbors =
-    the next ``k`` ids mod n — requires contiguous ids, which the
-    embeddings fixture has) and repeat ``rounds`` times: every two
-    nodes sharing a neighbor in the symmetrized graph become a
-    candidate pair, candidates are scored with exact cosine, and each
-    node keeps its top-k by (cos DESC, id ASC).
+    made deterministic: initialize each node ``u`` with ``k``
+    pseudo-random neighbors ``md5("nnd:u:j") mod n`` for ``j`` in
+    ``1..k`` (requires contiguous ids ``0..n-1``, which the embeddings
+    fixture has — the hash is reduced mod n back into the id space),
+    then repeat ``rounds`` times: every two nodes sharing a neighbor
+    in the symmetrized graph become a candidate pair, candidates are
+    scored with exact cosine, and each node keeps its top-k by
+    (cos DESC, id ASC). The hash init is a pure function of (u, j),
+    so the unrolled-SQL oracle reproduces it exactly, while giving the
+    long-range mixing random init provides (a ring/lattice init is the
+    algorithm's worst case: neighborhoods expand arithmetically, not
+    multiplicatively).
 
     The principle ("a neighbor of a neighbor is likely a neighbor")
     converges to near-exact k-NN graphs in O(log n)-ish rounds with

@@ -13,6 +13,8 @@ not the raw text, when callers select narrowly.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1952,4 +1954,117 @@ def dsir_importance(
             F.sum("r_e9").cast("long").alias("imp_e9"),
         )
         .withColumn("mean_imp_e9", F.round(F.col("imp_e9") / F.col("n_tokens"), 3))
+    )
+
+
+def unicode_normalize(
+    df: DataFrame,
+    col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column —
+    the zeroth preprocessing step of any multilingual corpus: crawls
+    mix composed (U+00E9) and decomposed (U+0065 U+0301) encodings of
+    the same text, and every downstream hash-based operator (exact
+    dedup t4, MinHash d3, line dedup t36) treats the two as different
+    bytes unless the corpus is normalized first.
+
+    Spark has no normalization builtin, so this is the documented
+    Python escape hatch: an Arrow-batched ``pandas_udf`` over
+    ``unicodedata.normalize`` — a narrow per-row projection that fuses
+    with the scan (no shuffle, no state), so at 100 TB it runs at
+    scan speed × Arrow transfer cost, exactly like the classifier
+    stage (:func:`model_quality_scores`). NFC agrees bit-for-bit with
+    DuckDB's utf8proc ``nfc_normalize`` (both implement UAX #15), so
+    the op is fully oracle-checkable despite the Python body.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out_col or col, _norm(F.col(col)))
+
+
+def linear_model_score(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    w_len: int = 3,
+) -> DataFrame:
+    """Linear-classifier inference over hashing-trick features,
+    entirely in whole-stage codegen — the pure-JVM scale path for
+    model-based quality filtering, complementing
+    :func:`model_quality_scores` (which demonstrates the Arrow/Python
+    escape hatch for non-linear models). A fasttext-style quality
+    filter at inference time IS a linear map over sparse bag-of-words
+    features; expressing it as explode → hash → partial-aggregable
+    sum → broadcast-join the weight vector keeps the whole stage in
+    Tungsten: no Python, no Arrow transfer, and the only exchange
+    carries ≤ ``n_buckets`` rows per document regardless of length.
+
+    Features reuse fe3's signed hashing-trick encoder (same ``fh:`` /
+    ``fhs:`` hash family, so one featurization pass can serve both);
+    the weight vector is a deterministic md5-derived fixture
+    (``w(b) = md5_long('lmw:' || b) mod 2001 - 1000``, integers in
+    [-1000, 1000]) standing in for offline-trained coefficients — a
+    real deployment swaps the generated relation for a 256-row
+    parquet of learned weights and every plan property is unchanged.
+    The margin is exact integer arithmetic, so the decision boundary
+    (and the oracle hash) is bit-identical across engines; no sigmoid
+    — monotone in the margin, so thresholding the margin IS
+    thresholding the probability.
+
+    Returns (id_col, n_tokens, margin, keep).
+    """
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    spark = df.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (md5_long(F.concat(F.lit("lmw:"), F.col("id").cast("string"))) % 2001 - 1000)
+        .cast("long")
+        .alias("w"),
+    )
+    tok = df.select(
+        id_col, F.explode(F.split(col, " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hashed = tok.select(
+        id_col,
+        (md5_long(F.concat(F.lit("fh:"), F.col("t"))) % n_buckets).alias("bucket"),
+        F.when(md5_long(F.concat(F.lit("fhs:"), F.col("t"))) % 2 == 1, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    # partial-aggregable: (doc, bucket) counts combine map-side before
+    # the one exchange; the broadcast weight join adds no shuffle.
+    vec = hashed.groupBy(id_col, "bucket").agg(
+        F.sum("sgn").alias("x"), F.count("*").alias("cnt")
+    )
+    return (
+        vec.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("x") * F.col("w")).cast("long").alias("bow_margin"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("bow_margin") + F.lit(int(w_len)) * F.col("n_tokens"))
+            .cast("long")
+            .alias("margin"),
+            (
+                (F.col("bow_margin") + F.lit(int(w_len)) * F.col("n_tokens")) > 0
+            ).alias("keep"),
+        )
     )

@@ -90,86 +90,79 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1-6 covered
-# 274 distinct driver-checked names, all green (CORRECTNESS_r0{1..6},
-# VERDICT r6). Round 7 executes the queue VERDICT r6 tasks 1 and 7
-# prescribe: the r6 run left NOTHING non-green, so the tuple leads
-# with the only 3 registry names that have never had a driver row
-# (io22/w31/w32, added after the r6 tuple froze; judge-verified 3/3
-# and sim-attested at both SFs), then re-attests t28 (displaced from
-# the rotation twice, r5 and r6) and the evidence tail: all 40
-# queries whose only driver row is round 1, plus this round's new
-# registration (w33 capped stream near-dup) and 5 load-bearing
-# round-2 rows (the flagship candle pair, the exact/ngram dedup
-# core, the as-of join) = 50.
+# FIRST 50 queries in iteration order each round; rounds 1-7 covered
+# every registered name at least once, all green (CORRECTNESS_r01-07,
+# VERDICT r7: "zero never-green"). Round 8 executes VERDICT r7 task 1
+# ("r8 rotation = oldest-evidence + touched-family refresh"): lead
+# with the round's 2 new registrations (never driver-checked), then
+# the 3 round-1-only rows, then ALL 41 round-2-only rows (the oldest
+# evidence in the registry, including the full m*/t1-t14/v1-v6
+# families — v1-v6 and the d-family sit on r7-touched similarity.py /
+# dedup.py), then 4 round-4-era rows from r7-touched modules named by
+# VERDICT task 2 (gr1/cl1) plus the touched-module stalest (d9 on
+# dedup.py, v7 on similarity.py) = exactly 50. The remaining <=r4-era
+# rows (r3-era relational/streaming and the rest of r4) queue for r9,
+# oldest-first; graph/cluster names that miss this rotation are
+# covered by the r8 self-sweep section in VERIFICATION.md.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- never driver-checked (3) — VERDICT r6 task 1 ----
-    "io22_dynamic_partition_pruning",
-    "w31_stream_simhash_dedup",
-    "w32_allowed_lateness_refire",
-    # ---- round-7 additions — never-checked beats re-attest, as in
-    # r5/r6: the capped stream near-dup (VERDICT r6 task 3), then the
-    # session-2 trio (KMV sketch + its streaming twin + NN-descent),
-    # each sim-attested hash-green at sf0.001/0.01/0.1 before entering
-    # the tuple. They displace four round-2-era re-attests (a2, d2,
-    # j6, d1 -> r8 queue) under the 50-name budget. ----
-    "w33_stream_simhash_dedup_capped",
-    "g25_kmv_theta_intersection",
-    "w34_stream_kmv_overlap",
-    "v14_nn_descent_knn_graph",
-    "w35_stream_cms_heavy_hitters",
-    "e22_holt_forecast",
-    "pipe11_hybrid_retrieval_rrf",
-    "gr9_modularity",
-    "w36_stream_ann_serving",
-    # ---- twice-displaced re-attest ----
-    "t28_url_dedup",
-    # ---- oldest evidence: every round-1-only row (40) ----
-    "f1_filter_project",
-    "f2_null_semantics",
-    "g1_pricing_summary",
-    "g2_distinct_agg",
-    "g3_rollup",
-    "g4_cube",
-    "g5_having",
-    "g6_percentiles",
-    "g8_pivot",
-    "g9_unpivot",
-    "j1_join_broadcast_inner",
-    "j2_join_left_outer",
-    "j3_join_semi",
-    "j4_join_anti",
-    "j5_join_range",
-    "p4_passthrough",
-    "q_customer_distribution",
-    "q_disjunctive_parts",
-    "q_forecast_revenue",
-    "q_idle_rich_customers",
-    "q_large_orders",
-    "q_local_supplier_volume",
-    "q_nation_trade_flows",
-    "q_order_priority",
-    "q_promo_revenue",
-    "q_returned_items",
-    "q_shipping_priority",
-    "s1_sort_limit",
-    "sc1_datetime_functions",
-    "sc2_string_functions",
-    "sc3_json_functions",
-    "sc4_array_functions",
-    "set1_union_distinct",
-    "set2_intersect",
-    "set3_except",
-    "sub1_scalar_subquery",
-    "sub2_correlated_subquery",
-    # ---- round-2-era refresh: none left — a1 yielded its slot to
-    # e22 (the flagship is smoke-checked through entry() every round);
-    # w3 and w2 yielded the last round-1 slots to pipe11 and gr9. ----
-    # ---- 50-query budget line (round 7): exactly 50 names ----
-    # Round-8 rotation queue (replace this tuple at r8 start): lead
-    # with any r7 non-green, then any new r8 registrations, then the
-    # displaced w1/w2/w3/a1/a2/d1/d2/j6 and the remaining
-    # round-2-only rows, oldest-first.
+    # ---- round-8 additions, never driver-checked (2) ----
+    "t38_unicode_nfc",
+    "fe6_linear_model_score",
+    # ---- round-1-only rows (3) ----
+    "w1_topk_per_group",
+    "w2_lag_lead",
+    "w3_rank_dense_ntile",
+    # ---- round-2-only rows (41) ----
+    "a1_ohlcv_tumbling_1h",
+    "a2_running_ohlcv",
+    "a3_running_ohlcv_windowed",
+    "a5_ohlcv_cascade_1h_to_1d",
+    "a6_sql_ohlc_5m",
+    "a7_udf_ohlc_window",
+    "a8_flink_tumble_sql",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d6_embedding_near_dup",
+    "d8_semantic_dedup",
+    "j6_asof_join_prev_close",
+    "j7_asof_join_tolerance",
+    "k5_nested_sink_shape",
+    "m1_media_decode",
+    "m2_frame_samples",
+    "m3_media_embed",
+    "m4_media_exact_dedup",
+    "m5_binary_file_ingest",
+    "m6_media_resize",
+    "p1_candles_json_rows",
+    "qa1_column_profile",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t5_doc_chunks",
+    "t6_hash_sample",
+    "t7_tfidf_top_terms",
+    "t8_bigram_counts",
+    "t10_vocab_coverage",
+    "t11_repetition_signals",
+    "t12_decontamination",
+    "t13_pii_redaction",
+    "t14_token_freq_score",
+    "v1_cosine_topk",
+    "v2_lsh_ann_topk",
+    "v3_ivf_ann_topk",
+    "v4_multiprobe_ann_topk",
+    "v5_knn_graph",
+    "v6_quantized_topk",
+    # ---- r7-touched modules, r4-era evidence (4) ----
+    "gr1_pagerank_copurchase",
+    "cl1_kmeans_profile",
+    "d9_incremental_dedup",
+    "v7_ann_knn_graph",
+    # ---- 50-query budget line (round 8): exactly 50 names ----
+    # Round-9 rotation queue (replace this tuple at r9 start): lead
+    # with any r8 non-green, then any new r9 registrations, then the
+    # 47 r3-era rows oldest-first, then the remaining r4-era rows.
 )
 
 

@@ -4469,3 +4469,109 @@ def pipe11_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_retrieval_rrf(docs, emb, _QUERY_IDS)
+
+
+@register(
+    "t38_unicode_nfc",
+    oracle=f"""
+WITH snip AS (
+    SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+),
+forms AS (
+    SELECT doc_id,
+           replace(s, 'e', 'e' || chr(769)) AS decomposed,
+           replace(s, 'e', chr(233)) AS composed
+    FROM snip
+)
+SELECT doc_id,
+       CAST(length(decomposed) AS BIGINT) AS n_decomposed,
+       CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS n_nfc,
+       nfc_normalize(decomposed) = composed AS composed_match
+FROM forms
+""",
+    doc="Unicode NFC normalization (operators/text.unicode_normalize) "
+    "- the zeroth multilingual-corpus step: crawls mix composed "
+    "(U+00E9) and decomposed (U+0065 U+0301) encodings, and every "
+    "hash-based dedup treats them as different bytes unless "
+    "normalized. The fixture text is ASCII, so the query SYNTHESIZES "
+    "the mix deterministically (every 'e' in a 40-char snippet gains "
+    "a combining acute) and checks the normalizer folds it back to "
+    "the directly-composed form. Spark side is the documented Python "
+    "escape hatch (Spark has no normalization builtin): Arrow-batched "
+    "pandas_udf over unicodedata.normalize, a narrow projection fused "
+    "with the scan - no shuffle, scan-speed at 100 TB; both engines "
+    "implement UAX #15 (CPython unicodedata / DuckDB utf8proc), so "
+    "lengths and the composed-equality bit match exactly.",
+)
+def t38_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Explicit escapes: decomposed = e + combining acute (U+0301),
+    # composed = the precomposed e-acute (U+00E9). replace(), not
+    # regexp: the needle is a literal.
+    forms = docs.select(
+        "doc_id",
+        F.replace(
+            F.substring("text", 1, 40), F.lit("e"), F.lit("e\u0301")
+        ).alias("decomposed"),
+        F.replace(
+            F.substring("text", 1, 40), F.lit("e"), F.lit("\u00e9")
+        ).alias("composed"),
+    )
+    nfc = X.unicode_normalize(forms, "decomposed", "NFC", out_col="nfc")
+    return nfc.select(
+        "doc_id",
+        F.length("decomposed").cast("long").alias("n_decomposed"),
+        F.length("nfc").cast("long").alias("n_nfc"),
+        (F.col("nfc") == F.col("composed")).alias("composed_match"),
+    )
+
+
+@register(
+    "fe6_linear_model_score",
+    oracle=f"""
+WITH w AS (
+    SELECT CAST(range AS BIGINT) AS bucket,
+           {_md5l("'lmw:' || CAST(range AS VARCHAR)")} % 2001 - 1000 AS w
+    FROM range(256)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           {_md5l("'fh:' || t")} % 256 AS bucket,
+           CASE WHEN {_md5l("'fhs:' || t")} % 2 = 1 THEN 1 ELSE -1 END AS sgn
+    FROM tok WHERE t <> ''
+),
+vec AS (
+    SELECT doc_id, bucket, sum(sgn) AS x, count(*) AS cnt
+    FROM hashed GROUP BY doc_id, bucket
+),
+m AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(x * w.w) AS BIGINT) AS bow_margin
+    FROM vec JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(bow_margin + 3 * n_tokens AS BIGINT) AS margin,
+       (bow_margin + 3 * n_tokens) > 0 AS keep
+FROM m
+""",
+    doc="Linear-classifier quality filtering in pure whole-stage "
+    "codegen (operators/text.linear_model_score) - fasttext-style "
+    "inference IS a linear map over sparse bag-of-words features, so "
+    "the JVM scale path is explode -> fe3's signed hashing-trick "
+    "encoder (same fh:/fhs: hash family; one featurization pass "
+    "serves both) -> partial-aggregable (doc, bucket) sums -> "
+    "broadcast-join a 256-row md5-derived weight fixture (stand-in "
+    "for offline-trained coefficients; swap in a learned-weights "
+    "parquet and the plan is unchanged) -> per-doc integer margin + "
+    "keep bit. No Python, no Arrow, no sigmoid (thresholding the "
+    "margin IS thresholding the probability); the only exchange "
+    "carries <= 256 rows per doc regardless of length. Complements "
+    "model_quality_scores (t26), which demonstrates the Arrow escape "
+    "hatch for non-linear scorers.",
+)
+def fe6_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.linear_model_score(load_table(spark, sf_dir, "documents"))

@@ -1901,26 +1901,11 @@ def _w36_oracle() -> str:
     return _ivf_oracle(str(_W36_QUERY_IDS))
 
 
-@register(
-    "w36_stream_ann_serving",
-    oracle=_w36_oracle(),
-    doc="STREAMING vector-search serving — online ANN over a static "
-    "indexed corpus (the vector-database query path): nine query "
-    "vectors arrive as three micro-batches and are answered by v3's "
-    "IVF index via a stream-static join. The streaming plan has NO "
-    "window functions (illegal on streams): per-row probed cells come "
-    "from a broadcast centroid array + sort_array/slice HOFs (narrow), "
-    "candidates from the stream-static inner join against the "
-    "batch-built cell assignment, and per-query top-10 from an "
-    "update-mode collect_list aggregation sliced after replay. "
-    "Answers are EXACTLY v3's batch IVF results for the same query "
-    "ids — the oracle is the shared _ivf_oracle parameterized to the "
-    "nine ids — so the serving path sits inside the value hash. At "
-    "scale the collect_list state per in-flight query is bounded by "
-    "the probed cells' population (n_probe/n_cells of the corpus); "
-    "production serving caps it with a per-cell shortlist like v13's.",
-)
-def w36_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _w36_per_query_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build w36's STREAMING frame up to the update-mode per-query
+    candidate aggregation (shared by the query and the plan gate in
+    tests/test_plans.py, which asserts the streaming side plans with
+    zero Window operators)."""
     import os
     import shutil
 
@@ -2018,7 +2003,30 @@ def w36_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_c"),
         )
     )
-    per_query = cands.groupBy("query_id").agg(F.collect_list("_c").alias("cands"))
+    return cands.groupBy("query_id").agg(F.collect_list("_c").alias("cands"))
+
+
+@register(
+    "w36_stream_ann_serving",
+    oracle=_w36_oracle(),
+    doc="STREAMING vector-search serving — online ANN over a static "
+    "indexed corpus (the vector-database query path): nine query "
+    "vectors arrive as three micro-batches and are answered by v3's "
+    "IVF index via a stream-static join. The streaming plan has NO "
+    "window functions (illegal on streams): per-row probed cells come "
+    "from a broadcast centroid array + sort_array/slice HOFs (narrow), "
+    "candidates from the stream-static inner join against the "
+    "batch-built cell assignment, and per-query top-10 from an "
+    "update-mode collect_list aggregation sliced after replay. "
+    "Answers are EXACTLY v3's batch IVF results for the same query "
+    "ids — the oracle is the shared _ivf_oracle parameterized to the "
+    "nine ids — so the serving path sits inside the value hash. At "
+    "scale the collect_list state per in-flight query is bounded by "
+    "the probed cells' population (n_probe/n_cells of the corpus); "
+    "production serving caps it with a per-cell shortlist like v13's.",
+)
+def w36_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_query = _w36_per_query_stream(spark, sf_dir)
     out = run_available_now(per_query, "update")
     final = out.groupBy("query_id").agg(
         F.max_by("cands", F.size("cands")).alias("cands")

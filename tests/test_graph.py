@@ -412,3 +412,47 @@ def test_modularity_two_cliques_textbook(spark):
     one = spark.createDataFrame([(i, 0) for i in range(6)], "id long, label long")
     row1 = modularity(one, edges).collect()[0]
     assert row1.q_num == 0 and row1.modularity == 0.0
+
+
+def test_checkpoint_knob_failure_modes(spark, tmp_path):
+    """The durability HALF of the checkpoint knob (VERDICT r7 task 6 —
+    the parity test above proves identical values; this proves the
+    modes differ exactly where documented). Executor-block loss is
+    simulated by unpersisting every persisted RDD after the iterative
+    op finishes (on a real cluster: an executor dies and its
+    block-manager blocks vanish; localCheckpoint truncated the lineage
+    so the blocks are unrecomputable):
+
+    * reliable path (checkpoint_dir set): the result re-reads from the
+      checkpoint FILES and survives — the 100 TB mode, where losing at
+      least one of 1000 executors mid-job is ~certain;
+    * local path (default): accessing the result after the loss raises
+      (checkpoint block not found) — the documented failure mode that
+      makes localCheckpoint a local-mode/short-job optimization only.
+    """
+    import pytest
+
+    from kafka_flink_spark.operators.graph import connected_components
+
+    edges = [(0, 1), (1, 2), (3, 4)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    expected = [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)]  # (id, component)
+
+    def drop_all_persisted_blocks():
+        pers = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = pers.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
+    reliable = connected_components(
+        nodes_df, edges_df, "id", checkpoint_dir=str(tmp_path / "ck")
+    )
+    drop_all_persisted_blocks()
+    got = sorted((r[0], r[1]) for r in reliable.collect())
+    assert got == expected
+
+    local = connected_components(nodes_df, edges_df, "id", checkpoint_dir=None)
+    drop_all_persisted_blocks()
+    with pytest.raises(Exception, match="(?i)checkpoint|block|not found"):
+        local.collect()

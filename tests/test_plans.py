@@ -1056,11 +1056,16 @@ def test_kmv_bottom_k_plans_window_group_limit(spark):
     ev = load_table(spark, SF_SMALL, "events")
     df = kmv_bottom_k(ev, "event_type", "user_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # two WindowGroupLimit nodes: partial (below exchange) + final
+    # two WindowGroupLimit nodes: partial (below exchange) + final.
+    # In the executedPlan string, parents print above children, so the
+    # claimed shape is final-WGL ... Exchange ... partial-WGL: the
+    # first WGL occurrence must precede the first Exchange, and a
+    # second WGL must follow that Exchange (map-side top-k heaps).
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
-    first_exchange = plan.find("Exchange")
     first_wgl = plan.find("WindowGroupLimit")
-    assert first_wgl != -1 and first_exchange != -1
+    first_exchange = plan.find("Exchange")
+    assert -1 < first_wgl < first_exchange, plan[:2000]
+    assert plan.find("WindowGroupLimit", first_exchange) != -1, plan[:2000]
 
 
 def test_pagerank_broadcast_ranks_no_edge_shuffle_join(spark):
@@ -1093,3 +1098,38 @@ def test_pagerank_broadcast_ranks_no_edge_shuffle_join(spark):
 
     broadcast_plan = round_plan(F.broadcast(pr))
     assert "BroadcastHashJoin" in broadcast_plan, broadcast_plan[:1500]
+
+
+def test_hybrid_rrf_shortlist_bounded_fusion(spark):
+    """pipe11: the fusion tail must touch only shortlist-sized rows —
+    every rank cap (query-term top-8, lex top-50, vec top-50, fused
+    top-k) plans as WindowGroupLimit (partial+final pairs), never a
+    global sort: no RangePartitioning anywhere. Small sides broadcast
+    (query terms / df / stats / query vectors), so the only
+    shuffle-requiring join is the full-outer fusion of two
+    already-shortlisted arms."""
+    df = spark_queries()["pipe11_hybrid_retrieval_rrf"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 4 rank caps x >=2 WGL nodes (map-side partial + final each)
+    assert plan.count("WindowGroupLimit") >= 8, plan.count("WindowGroupLimit")
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert has_broadcast_join(df)
+    assert "FullOuter" in plan, plan[:2000]
+
+
+def test_stream_ann_serving_window_free_plan(spark):
+    """w36's streaming claim: the serving-side plan contains NO Window
+    operator (illegal on streams — probed cells come from broadcast
+    centroid array + sort_array/slice HOFs instead) while still being
+    a genuine stream (StreamingRelation source, stream-static Join,
+    update-mode-compatible Aggregate). Gate on the analyzed logical
+    plan: physical planning requires writeStream.start()."""
+    from kafka_flink_spark.suite.streaming_queries import _w36_per_query_stream
+
+    s = _w36_per_query_stream(spark, SF_SMALL)
+    assert s.isStreaming
+    lp = s._jdf.queryExecution().analyzed().toString()
+    assert "Window [" not in lp, lp[:2000]
+    assert "StreamingRelation" in lp
+    assert "Join" in lp
+    assert "Aggregate" in lp
