@@ -124,6 +124,29 @@ SHOWCASE = (
         "(theta table, pair join, estimates, exact audit) is "
         "broadcast-sized (plan-gated).",
     ),
+    (
+        "pipe11_hybrid_retrieval_rrf",
+        "Hybrid RRF fusion: all four rank caps (query-term top-8, lex "
+        "top-50, vec top-50, fused top-k) plan as WindowGroupLimit "
+        "partial+final pairs — no RangePartitioning/global sort anywhere "
+        "(plan-gated); query terms / df / corpus stats / query vectors all "
+        "broadcast, so the only shuffle-requiring join is the full-outer "
+        "fusion of two already-shortlisted arms.",
+    ),
+    (
+        "fe6_linear_model_score",
+        "Linear-classifier inference in pure codegen: explode -> signed "
+        "hashing-trick encode -> partial-aggregable (doc, bucket) sums -> "
+        "BroadcastHashJoin against the 256-row weight relation -> per-doc "
+        "margin. No Python, no Arrow; the exchange payload is <= 256 rows "
+        "per document regardless of document length.",
+    ),
+    (
+        "t38_unicode_nfc",
+        "Unicode NFC via Arrow-batched pandas_udf: ArrowEvalPython rides a "
+        "zero-exchange narrow pipeline fused with the scan — the documented "
+        "Python escape hatch costs batch transfer only, never a shuffle.",
+    ),
 )
 
 
