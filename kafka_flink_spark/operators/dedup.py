@@ -832,12 +832,22 @@ def dedup_clusters(
         # The label relation is NOT bounded by n_ids: pair endpoints
         # absent from ``ids`` enter the loop as relay nodes (see the
         # LEFT-join note below), so auto-broadcast must budget for the
-        # superset. ids ∪ endpoints is an upper bound on every round's
-        # label count; edges is symmetrized, so distinct src covers
-        # all endpoints. One extra count job over the already-pinned
-        # edge relation, paid only on the auto path.
-        n_endpoints = edges.select("src").distinct().count()
-        broadcast_labels = (n_ids + n_endpoints) <= BROADCAST_NODE_LIMIT
+        # superset ids ∪ endpoints. Tiered decision so the common
+        # cases stay one cheap job: (1) n_ids alone over the limit →
+        # never broadcast, no job; (2) n_ids + |sym edges| within the
+        # limit → broadcast (|endpoints| <= |sym edges|, every
+        # endpoint appears as a src; shuffle-free count over the
+        # pinned edge relation); (3) only in the ambiguous band —
+        # few ids, huge edge relation, e.g. a dense graph whose
+        # endpoint set may still be small — pay one distinct-count
+        # job for the tight bound.
+        if n_ids > BROADCAST_NODE_LIMIT:
+            broadcast_labels = False
+        elif n_ids + edges.count() <= BROADCAST_NODE_LIMIT:
+            broadcast_labels = True
+        else:
+            n_endpoints = edges.select("src").distinct().count()
+            broadcast_labels = (n_ids + n_endpoints) <= BROADCAST_NODE_LIMIT
     _bc = F.broadcast if broadcast_labels else (lambda df: df)
     for _ in range(max_iterations):
         lb = _bc(labels)
