@@ -156,6 +156,7 @@ R7_OPS = (
 R8_OPS = (
     "t38_unicode_nfc",
     "fe6_linear_model_score",
+    "t39_script_detection",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own

@@ -105,9 +105,10 @@ def _load() -> None:
 # oldest-first; graph/cluster names that miss this rotation are
 # covered by the r8 self-sweep section in VERIFICATION.md.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 additions, never driver-checked (2) ----
+    # ---- round-8 additions, never driver-checked (3) ----
     "t38_unicode_nfc",
     "fe6_linear_model_score",
+    "t39_script_detection",
     # ---- round-1-only rows (3) ----
     "w1_topk_per_group",
     "w2_lag_lead",
@@ -154,11 +155,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "v4_multiprobe_ann_topk",
     "v5_knn_graph",
     "v6_quantized_topk",
-    # ---- r7-touched modules, r4-era evidence (4) ----
+    # ---- r7-touched modules, r4-era evidence (3; v7 displaced by
+    # t39 under the 50-name budget -> r9 queue, covered by the r8
+    # full-registry sweep meanwhile) ----
     "gr1_pagerank_copurchase",
     "cl1_kmeans_profile",
     "d9_incremental_dedup",
-    "v7_ann_knn_graph",
     # ---- 50-query budget line (round 8): exactly 50 names ----
     # Round-9 rotation queue (replace this tuple at r9 start): lead
     # with any r8 non-green, then any new r9 registrations, then the

@@ -4575,3 +4575,78 @@ FROM m
 )
 def fe6_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.linear_model_score(load_table(spark, sf_dir, "documents"))
+
+
+_T39_SRC = "aeiounstrl"
+_T39_MAPS = (  # doc_id % 4 -> (target chars, expected family)
+    None,  # 0: untranslated ASCII stays Latin-dominant
+    "аеиоунстрл",  # 1: Cyrillic
+    "一二三四五六七八九十",  # 2: Han
+    "αειουνστρλ",  # 3: Greek
+)
+
+
+@register(
+    "t39_script_detection",
+    oracle=f"""
+WITH snip AS (
+    SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+),
+tr AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 1 THEN translate(s, 'aeiounstrl', 'аеиоунстрл')
+                WHEN 2 THEN translate(s, 'aeiounstrl', '一二三四五六七八九十')
+                WHEN 3 THEN translate(s, 'aeiounstrl', 'αειουνστρλ')
+                ELSE s END AS s
+    FROM snip
+),
+cnt AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(s, '\\p{{Cyrillic}}')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(s, '\\p{{Han}}')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(s, '\\p{{Greek}}')) AS BIGINT) AS n_greek
+    FROM tr
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+       CASE
+         WHEN n_latin * 4 + 3 >= n_cyrillic * 4 + 2
+              AND n_latin * 4 + 3 >= n_han * 4 + 1
+              AND n_latin * 4 + 3 >= n_greek * 4 THEN 'latin'
+         WHEN n_cyrillic * 4 + 2 >= n_han * 4 + 1
+              AND n_cyrillic * 4 + 2 >= n_greek * 4 THEN 'cyrillic'
+         WHEN n_han * 4 + 1 >= n_greek * 4 THEN 'han'
+         ELSE 'greek'
+       END AS dominant_script,
+       round(n_latin * 1.0 /
+             greatest(n_latin + n_cyrillic + n_han + n_greek, 1), 6)
+           AS latin_ratio
+FROM cnt
+""",
+    doc="Unicode-script detection (operators/text.script_profile) - "
+    "the CCNet script filter that must precede stopword language-ID "
+    "(t3 assumes a known script family; a Cyrillic or Han document "
+    "scores 0 on every Latin stopword profile). The ASCII fixture is "
+    "made multiscript DETERMINISTICALLY (doc_id mod 4 translates 10 "
+    "frequent letters to Cyrillic / Han / Greek; variant 0 stays "
+    "Latin), then per-doc script character counts, a deterministic "
+    "dominant-script argmax (count*4+priority is unique per script, "
+    "so the nested >= chain never ties), and the Latin ratio. Pure "
+    "zero-shuffle codegen - one regexp_count per script class fused "
+    "with the scan; Java \\p{IsXxx} and RE2 \\p{Xxx} classes "
+    "select identical code points, so all counts sit inside the "
+    "value hash.",
+)
+def t39_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snip = F.substring("text", 1, 60)
+    translated = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 1, F.translate(snip, _T39_SRC, _T39_MAPS[1]))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.translate(snip, _T39_SRC, _T39_MAPS[2]))
+        .when(F.pmod("doc_id", F.lit(4)) == 3, F.translate(snip, _T39_SRC, _T39_MAPS[3]))
+        .otherwise(snip)
+    )
+    return X.script_profile(
+        docs.select("doc_id", translated.alias("text")), "text", "doc_id"
+    )

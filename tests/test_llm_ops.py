@@ -1877,3 +1877,33 @@ def test_cms_out_of_corpus_key_estimates_zero(spark):
     assert got["k1"] >= 5 and got["k2"] >= 3
     assert "never_seen_key_xyz" in got  # key must not vanish
     assert got["never_seen_key_xyz"] == 0  # tiny corpus: buckets empty
+
+
+def test_script_profile_dominance_and_ties(spark):
+    """script_profile hand cases: each script dominates when its
+    characters outnumber the rest; EQUAL counts resolve by the fixed
+    priority order latin > cyrillic > han > greek (the unique
+    count*4+priority encoding); empty text counts all-zero and falls
+    back to latin. Zero exchanges: the profile is a pure projection."""
+    from kafka_flink_spark.operators.text import script_profile
+    from kafka_flink_spark.plans import count_exchanges
+
+    rows = [
+        (0, "hello world"),                  # latin only
+        (1, "\u043f\u0440\u0438\u0432\u0435\u0442 ok"),  # 6 cyr vs 2 lat
+        (2, "\u4e00\u4e8c\u4e09 ab"),      # 3 han vs 2 lat
+        (3, "\u03b1\u03b2\u03b3 ab"),      # 3 greek vs 2 lat
+        (4, "ab \u0430\u0431"),             # 2 lat == 2 cyr -> latin (priority)
+        (5, "\u4e00 \u03b1"),               # 1 han == 1 greek -> han (priority)
+        (6, ""),                               # all zero -> latin fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert got[0].dominant_script == "latin"
+    assert got[1].dominant_script == "cyrillic" and got[1].n_cyrillic == 6
+    assert got[2].dominant_script == "han" and got[2].n_han == 3
+    assert got[3].dominant_script == "greek" and got[3].n_greek == 3
+    assert got[4].dominant_script == "latin"
+    assert got[5].dominant_script == "han"
+    assert got[6].dominant_script == "latin" and got[6].latin_ratio == 0.0
+    assert count_exchanges(script_profile(df)) == 0
