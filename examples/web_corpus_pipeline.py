@@ -5,9 +5,12 @@ stage shrinks the corpus before the next pays its cost):
 
     python examples/web_corpus_pipeline.py
 
+0. Unicode NFC normalization + script profiling (t38/t39 — the
+   encoding/script gates every multilingual crawl applies first),
 1. URL canonicalization + URL-level dedup (t28 — no content touched
    for recrawl variants),
-2. Gopher quality rule battery (t29),
+2. Gopher quality rule battery (t29) + linear-classifier margin gate
+   (fe6 — the pure-codegen fasttext-style quality filter),
 3. exact content dedup (d1),
 4. winnowing fingerprints for cross-doc overlap reporting (t30),
 5. BM25 spot-check of a few probe terms (t31),
@@ -34,6 +37,9 @@ def main() -> None:
     from kafka_flink_spark.operators.text import (
         bm25_scores,
         gopher_quality_rules,
+        linear_model_score,
+        script_profile,
+        unicode_normalize,
         winnowing_fingerprints,
     )
     from kafka_flink_spark.operators.urls import url_dedup
@@ -44,16 +50,27 @@ def main() -> None:
     spark = get_session("web-corpus-pipeline")
     docs = load_table(spark, SF_DIR, "documents")
 
+    # 0. normalize encodings, then gate on script (the fixture is
+    # ASCII, so everything profiles Latin — on a real crawl this drops
+    # the documents the Latin stopword language-ID cannot score)
+    docs = unicode_normalize(docs, "text", "NFC")
+    scripts = script_profile(docs).filter("dominant_script = 'latin'")
+    docs = docs.join(scripts.select("doc_id"), "doc_id")
+    print(f"after NFC + Latin-script gate: {docs.count()} docs")
+
     # 1. URL-level dedup (synthesized URLs stand in for the crawl index)
     with_url = docs.select("doc_id", _url_synth_col().alias("url"))
     url_kept = url_dedup(with_url).select(F.col("keep_id").alias("doc_id"))
     survivors = docs.join(url_kept, "doc_id")
     print(f"after URL dedup: {survivors.count()} docs (of {docs.count()})")
 
-    # 2. quality gate
+    # 2. quality gates: rule battery, then the classifier margin
     quality = gopher_quality_rules(survivors).filter("keep").select("doc_id")
     clean = survivors.join(quality, "doc_id")
     print(f"after Gopher rules: {clean.count()} docs")
+    scored = linear_model_score(clean).filter("keep").select("doc_id")
+    clean = clean.join(scored, "doc_id")
+    print(f"after classifier margin gate: {clean.count()} docs")
 
     # 3. exact content dedup
     reps = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
