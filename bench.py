@@ -157,6 +157,7 @@ R8_OPS = (
     "t38_unicode_nfc",
     "fe6_linear_model_score",
     "t39_script_detection",
+    "t40_stupid_backoff_lm",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own
@@ -175,6 +176,7 @@ STREAM_OPS = (
     "w34_stream_kmv_overlap",
     "w35_stream_cms_heavy_hitters",
     "w36_stream_ann_serving",
+    "w37_stream_classifier_gate",
 )
 
 

@@ -2133,3 +2133,130 @@ def script_profile(
             F.col("n_latin") / F.greatest(total, F.lit(1)), 6
         ).alias("latin_ratio"),
     )
+
+
+def stupid_backoff_scores(
+    train: DataFrame,
+    score: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram language-model scoring with STUPID BACKOFF (Brants et
+    al., EMNLP 2007 — the scheme invented FOR distributed web-scale
+    LMs: no discounting pass, no normalization, every level a plain
+    count ratio, which is why it MapReduces where Kneser-Ney doesn't).
+    Completes the LM-quality-filter family: t14 scores unigram
+    typicality, t18 smoothed bigram conditionals on the training
+    corpus itself; this scores HELD-OUT documents against a model
+    trained on the rest, so the backoff path genuinely fires on
+    unseen trigrams (self-scoring never backs off — every observed
+    trigram has count ≥ 1).
+
+    Per held-out trigram w1 w2 w3:
+
+    * seen:            S = c(w1w2w3) / c(w1w2)
+    * backoff level 1: S = 0.4 · c(w2w3) / c(w2)
+    * backoff level 2: S = 0.16 · c(w3) / N
+    * OOV: 0
+
+    Integer-exact cross-engine: each level is ONE correctly-rounded
+    IEEE divide of exactly-representable integers scaled to 1e-9
+    units — 0.4 = 2/5 and 0.16 = 4/25 fold into the integer
+    numerator/denominator (2·c·1e9 stays under 2^53 for counts up to
+    ~4.5M; swap to decimal(38,0) beyond that), the t18 recipe
+    extended to the backoff chain. Scores sum per document as longs.
+
+    Plan: three count aggregates over the training corpus (trigram /
+    bigram / unigram — map-side partial, keys are md5-compressible
+    but kept as strings here since the model relations join by key
+    once), then the held-out trigrams LEFT-join the three models on
+    their keys; the unigram model and corpus-size row broadcast. Per
+    level the exchange carries (key, count) — never document text.
+    Returns (id_col, n_trigrams, n_seen, n_backoff1, n_backoff2,
+    n_oov, sb_e9, mean_sb_e9).
+    """
+    def trigram_rows(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.col(col), " ")
+        cols = [F.col(id_col)] if with_id else []
+        return df.filter(F.size(toks) >= 3).select(
+            *cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + F.lit(1)),
+                        F.element_at(toks, i + F.lit(2)),
+                    ),
+                )
+            ).alias("tri"),
+        )
+
+    tri_train = trigram_rows(train, with_id=False)
+    c123 = tri_train.groupBy("tri").agg(F.count("*").alias("c123"))
+    toks_train = train.select(F.explode(F.split(F.col(col), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    big_train = train.filter(F.size(F.split(F.col(col), " ")) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.split(F.col(col), " ")) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split(F.col(col), " "), i),
+                    F.element_at(F.split(F.col(col), " "), i + F.lit(1)),
+                ),
+            )
+        ).alias("bg")
+    )
+    c_bg = big_train.groupBy("bg").agg(F.count("*").alias("cbg"))
+    c_uni = toks_train.groupBy("w").agg(F.count("*").alias("c1"))
+    n_total = toks_train.agg(F.count("*").alias("n_tok"))
+
+    tri = trigram_rows(score, with_id=True).select(
+        id_col,
+        "tri",
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("tri"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("tri"), F.lit(" "), F.lit(2)),
+        ).alias("ctx12"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("tri"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("tri"), F.lit(" "), F.lit(3)),
+        ).alias("ctx23"),
+        F.split_part(F.col("tri"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("tri"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    joined = (
+        tri.join(c123, "tri", "left")
+        .join(c_bg.select(F.col("bg").alias("ctx12"), F.col("cbg").alias("c12")), "ctx12", "left")
+        .join(c_bg.select(F.col("bg").alias("ctx23"), F.col("cbg").alias("c23")), "ctx23", "left")
+        .join(F.broadcast(c_uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2"))), "w2", "left")
+        .join(F.broadcast(c_uni.select(F.col("w").alias("w3"), F.col("c1").alias("c3"))), "w3", "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    seen = F.col("c123").isNotNull()
+    bo1 = F.col("c23").isNotNull()
+    bo2 = F.col("c3").isNotNull()
+    score_e9 = (
+        F.when(seen, F.round(F.col("c123") * F.lit(1e9) / F.col("c12")))
+        .when(bo1, F.round(F.col("c23") * F.lit(2e9) / (F.col("c2") * 5)))
+        .when(bo2, F.round(F.col("c3") * F.lit(4e9) / (F.col("n_tok") * 25)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum(seen.cast("long")).cast("long").alias("n_seen"),
+            F.sum((~seen & bo1).cast("long")).cast("long").alias("n_backoff1"),
+            F.sum((~seen & ~bo1 & bo2).cast("long")).cast("long").alias("n_backoff2"),
+            F.sum((~seen & ~bo1 & ~bo2).cast("long")).cast("long").alias("n_oov"),
+            F.sum(score_e9).cast("long").alias("sb_e9"),
+        )
+        .withColumn("mean_sb_e9", F.round(F.col("sb_e9") / F.col("n_trigrams"), 3))
+    )

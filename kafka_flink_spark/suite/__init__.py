@@ -105,10 +105,12 @@ def _load() -> None:
 # oldest-first; graph/cluster names that miss this rotation are
 # covered by the r8 self-sweep section in VERIFICATION.md.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 additions, never driver-checked (3) ----
+    # ---- round-8 additions, never driver-checked (5) ----
     "t38_unicode_nfc",
     "fe6_linear_model_score",
     "t39_script_detection",
+    "t40_stupid_backoff_lm",
+    "w37_stream_classifier_gate",
     # ---- round-1-only rows (3) ----
     "w1_topk_per_group",
     "w2_lag_lead",
@@ -154,13 +156,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "v3_ivf_ann_topk",
     "v4_multiprobe_ann_topk",
     "v5_knn_graph",
-    "v6_quantized_topk",
-    # ---- r7-touched modules, r4-era evidence (3; v7 displaced by
-    # t39 under the 50-name budget -> r9 queue, covered by the r8
-    # full-registry sweep meanwhile) ----
+    # v6_quantized_topk displaced by t40 -> r9 queue (swept green r8)
+    # ---- r7-touched modules, r4-era evidence (2; v7 displaced by
+    # t39 and d9 by w37 under the 50-name budget -> r9 queue, both
+    # covered by the r8 full-registry sweep meanwhile) ----
     "gr1_pagerank_copurchase",
     "cl1_kmeans_profile",
-    "d9_incremental_dedup",
     # ---- 50-query budget line (round 8): exactly 50 names ----
     # Round-9 rotation queue (replace this tuple at r9 start): lead
     # with any r8 non-green, then any new r9 registrations, then the

@@ -4526,9 +4526,7 @@ def t38_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fe6_linear_model_score",
-    oracle=f"""
+_FE6_ORACLE = f"""
 WITH w AS (
     SELECT CAST(range AS BIGINT) AS bucket,
            {_md5l("'lmw:' || CAST(range AS VARCHAR)")} % 2001 - 1000 AS w
@@ -4557,7 +4555,12 @@ SELECT doc_id, n_tokens,
        CAST(bow_margin + 3 * n_tokens AS BIGINT) AS margin,
        (bow_margin + 3 * n_tokens) > 0 AS keep
 FROM m
-""",
+"""
+
+
+@register(
+    "fe6_linear_model_score",
+    oracle=_FE6_ORACLE,
     doc="Linear-classifier quality filtering in pure whole-stage "
     "codegen (operators/text.linear_model_score) - fasttext-style "
     "inference IS a linear map over sparse bag-of-words features, so "
@@ -4650,3 +4653,94 @@ def t39_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.script_profile(
         docs.select("doc_id", translated.alias("text")), "text", "doc_id"
     )
+
+
+@register(
+    "t40_stupid_backoff_lm",
+    oracle="""
+WITH train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 <> 4),
+held AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 4),
+tri_tr AS (
+    SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
+    FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM train WHERE len(w) >= 3)
+),
+c123 AS (SELECT tri, count(*) AS c123 FROM tri_tr GROUP BY tri),
+bg_tr AS (
+    SELECT w[i] || ' ' || w[i+1] AS bg
+    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM train WHERE len(w) >= 2)
+),
+cbg AS (SELECT bg, count(*) AS cbg FROM bg_tr GROUP BY bg),
+uni AS (
+    SELECT t AS w, count(*) AS c1
+    FROM (SELECT unnest(w) AS t FROM train) WHERE t <> '' GROUP BY t
+),
+ntot AS (
+    SELECT count(*) AS n_tok
+    FROM (SELECT unnest(w) AS t FROM train) WHERE t <> ''
+),
+tri_h AS (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri,
+           w[i] || ' ' || w[i+1] AS ctx12,
+           w[i+1] || ' ' || w[i+2] AS ctx23,
+           w[i+1] AS w2, w[i+2] AS w3
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+          FROM held WHERE len(w) >= 3)
+),
+j AS (
+    SELECT h.doc_id,
+           c123.c123,
+           b12.cbg AS c12, b23.cbg AS c23,
+           u2.c1 AS c2, u3.c1 AS c3,
+           ntot.n_tok
+    FROM tri_h h
+    LEFT JOIN c123 ON h.tri = c123.tri
+    LEFT JOIN cbg b12 ON h.ctx12 = b12.bg
+    LEFT JOIN cbg b23 ON h.ctx23 = b23.bg
+    LEFT JOIN uni u2 ON h.w2 = u2.w
+    LEFT JOIN uni u3 ON h.w3 = u3.w
+    CROSS JOIN ntot
+),
+scored AS (
+    SELECT doc_id,
+           c123 IS NOT NULL AS seen,
+           c23 IS NOT NULL AS bo1,
+           c3 IS NOT NULL AS bo2,
+           CAST(CASE
+             WHEN c123 IS NOT NULL THEN round(c123 * 1e9 / c12)
+             WHEN c23 IS NOT NULL THEN round(c23 * 2e9 / (c2 * 5))
+             WHEN c3 IS NOT NULL THEN round(c3 * 4e9 / (n_tok * 25))
+             ELSE 0 END AS BIGINT) AS s_e9
+    FROM j
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN NOT seen AND bo1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff1,
+       CAST(sum(CASE WHEN NOT seen AND NOT bo1 AND bo2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+       CAST(sum(CASE WHEN NOT seen AND NOT bo1 AND NOT bo2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(s_e9) AS BIGINT) AS sb_e9,
+       round(sum(s_e9) * 1.0 / count(*), 3) AS mean_sb_e9
+FROM scored GROUP BY doc_id
+""",
+    doc="Trigram LM scoring with STUPID BACKOFF (Brants 2007 - the "
+    "scheme invented FOR distributed web-scale LMs: every level a "
+    "plain count ratio, no discounting pass, which is why it "
+    "MapReduces where Kneser-Ney does not; operators/text."
+    "stupid_backoff_scores). Trains on 80% of the corpus (doc_id mod "
+    "5 <> 4, the d9 split) and scores the HELD-OUT 20%, so the "
+    "backoff chain genuinely fires on unseen trigrams - self-scoring "
+    "never backs off. Per level ONE correctly-rounded IEEE divide of "
+    "exactly-representable integers in 1e-9 units (0.4 = 2/5 and "
+    "0.16 = 4/25 fold into the integer numerator/denominator - the "
+    "t18 exactness recipe extended to the chain); per-doc sums are "
+    "long aggregates. Completes the LM-quality-filter family: t14 "
+    "unigram, t18 smoothed bigram self-likelihood, t40 held-out "
+    "backoff scoring - the CCNet 'perplexity filter' shape without "
+    "transcendentals.",
+)
+def t40_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 4)
+    held = docs.filter(F.col("doc_id") % 5 == 4)
+    return X.stupid_backoff_scores(train, held)

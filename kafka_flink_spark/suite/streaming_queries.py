@@ -2040,3 +2040,93 @@ def w36_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("_s.negc")).alias("cos_sim"),
         (F.col("_i") + 1).cast("int").alias("rn"),
     )
+
+
+from kafka_flink_spark.suite.llm_queries import _FE6_ORACLE as _W37_ORACLE  # noqa: E402
+
+
+@register(
+    "w37_stream_classifier_gate",
+    oracle=_W37_ORACLE,
+    doc="STREAMING quality filtering on ingest - fe6's linear "
+    "classifier as a resident job (the filter-on-arrival stage of a "
+    "streaming corpus pipeline): documents arrive as three doc-range "
+    "micro-batches, tokens explode and hash per batch (stateless, "
+    "scan-fused), the 256-row md5-derived weight vector joins as a "
+    "BROADCAST static side (stream-static join - the model swaps "
+    "without restarting semantics), and one update-mode per-doc "
+    "aggregation folds signed-weight sums + token counts; margin and "
+    "keep are stateless post-projections. Each doc arrives whole in "
+    "one batch, so replayed update rows ARE finals and the answer is "
+    "bit-equal to batch fe6 - the shared oracle puts the streaming "
+    "path inside the value hash (the w34/w35/w36 pattern, filling "
+    "the streaming x classifier cell). State: one 2-long row per doc "
+    "in flight; production bounds it with a watermark on arrival "
+    "time.",
+)
+def w37_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from kafka_flink_spark.functions.hashing import md5_long
+    from kafka_flink_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(256).select(
+        F.col("id").alias("bucket"),
+        (md5_long(F.concat(F.lit("lmw:"), F.col("id").cast("string"))) % 2001 - 1000)
+        .cast("long")
+        .alias("w"),
+    )
+
+    tmpdir = scratch_dir(prefix="w37_src_")  # atexit-cleaned
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(tmpdir, f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(stage, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    tok = stream.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    hashed = tok.select(
+        "doc_id",
+        (md5_long(F.concat(F.lit("fh:"), F.col("t"))) % 256).alias("bucket"),
+        F.when(md5_long(F.concat(F.lit("fhs:"), F.col("t"))) % 2 == 1, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    # single stateful aggregation (no intermediate bucket agg on the
+    # stream - chained streaming aggregations need append+watermark);
+    # the broadcast weight join happens BELOW it, stateless.
+    agg = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("sgn") * F.col("w")).cast("long").alias("bow_margin"),
+        )
+    )
+    out = run_available_now(agg, "update")
+    # each doc lives in exactly one batch; max_by(n_tokens) collapses
+    # any duplicate update emissions to the final fold
+    final = out.groupBy("doc_id").agg(
+        F.max_by(F.struct("n_tokens", "bow_margin"), "n_tokens").alias("_s")
+    )
+    return final.select(
+        "doc_id",
+        F.col("_s.n_tokens").alias("n_tokens"),
+        (F.col("_s.bow_margin") + 3 * F.col("_s.n_tokens")).cast("long").alias("margin"),
+        ((F.col("_s.bow_margin") + 3 * F.col("_s.n_tokens")) > 0).alias("keep"),
+    )

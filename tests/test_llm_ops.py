@@ -1907,3 +1907,31 @@ def test_script_profile_dominance_and_ties(spark):
     assert got[5].dominant_script == "han"
     assert got[6].dominant_script == "latin" and got[6].latin_ratio == 0.0
     assert count_exchanges(script_profile(df)) == 0
+
+
+def test_stupid_backoff_all_levels_hand_corpus(spark):
+    """stupid_backoff_scores hand corpus covering every level of the
+    chain: train = 'a b c a b c' (c123: 'a b c'=2, bigrams 'a b'=2
+    'b c'=2 'c a'=1, unigrams a/b/c=2 each, N=6).
+
+    * 'a b c x': 'a b c' seen -> 2e9/2 = 1e9; 'b c x' has no 'c x'
+      bigram and x untrained -> OOV 0.
+    * 'x y b': trigram unseen, 'y b' unseen, b trained -> level-2
+      backoff 0.16*2/6 -> round(2*4e9/150) = 53333333.
+    * 'c c a': trigram unseen, 'c a' trained (1) -> level-1 backoff
+      0.4*1/2 -> 2e8.
+    """
+    from kafka_flink_spark.operators.text import stupid_backoff_scores
+
+    train = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(100, "a b c x"), (101, "x y b"), (102, "c c a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in stupid_backoff_scores(train, held).collect()}
+    r = got[100]
+    assert (r.n_trigrams, r.n_seen, r.n_oov) == (2, 1, 1) and r.sb_e9 == 10**9
+    r = got[101]
+    assert (r.n_trigrams, r.n_backoff2) == (1, 1) and r.sb_e9 == 53333333
+    r = got[102]
+    assert (r.n_trigrams, r.n_backoff1) == (1, 1) and r.sb_e9 == 2 * 10**8
