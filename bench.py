@@ -158,6 +158,7 @@ R8_OPS = (
     "fe6_linear_model_score",
     "t39_script_detection",
     "t40_stupid_backoff_lm",
+    "v15_graph_ann_search",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own

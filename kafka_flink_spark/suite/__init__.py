@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t39_script_detection",
     "t40_stupid_backoff_lm",
     "w37_stream_classifier_gate",
+    "v15_graph_ann_search",
     # ---- round-1-only rows (3) ----
     "w1_topk_per_group",
     "w2_lag_lead",
@@ -155,7 +156,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "v2_lsh_ann_topk",
     "v3_ivf_ann_topk",
     "v4_multiprobe_ann_topk",
-    "v5_knn_graph",
+    # v5_knn_graph displaced by v15 -> r9 queue; v15's oracle replays
+    # the ENTIRE v5 exact graph, so a green v15 row transitively
+    # re-attests v5's semantics (and v5 swept green r8 regardless).
     # v6_quantized_topk displaced by t40 -> r9 queue (swept green r8)
     # ---- r7-touched modules, r4-era evidence (2; v7 displaced by
     # t39 and d9 by w37 under the 50-name budget -> r9 queue, both

@@ -4744,3 +4744,82 @@ def t40_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 5 != 4)
     held = docs.filter(F.col("doc_id") % 5 == 4)
     return X.stupid_backoff_scores(train, held)
+
+
+def _graph_ann_oracle(k: int = 10, k_graph: int = 8, beam: int = 8, rounds: int = 4, n_entries: int = 8) -> str:
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    cos = _duck_cosine("q.qv", "e.v")
+    entry_hash = _md5l("'gann:' || CAST(query_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    n_entries_plus_1 = n_entries + 1
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+g AS (
+    SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_duck_cosine("a.v", "b.v")}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_duck_cosine("a.v", "b.v")}, 6) DESC,
+                            b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+    WHERE rn <= {k_graph}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+n AS (SELECT count(*) AS n FROM e),
+f0 AS (SELECT DISTINCT query_id, node FROM (
+    SELECT query_id,
+           {entry_hash} % (SELECT n FROM n) AS node
+    FROM q, range(1, {n_entries_plus_1}) r(j))
+    WHERE node <> query_id),
+s0 AS (SELECT c.query_id, c.node, round({cos}, 6) AS cs
+       FROM f0 c JOIN q ON c.query_id = q.query_id
+       JOIN e ON c.node = e.vec_id)"""
+    ]
+    prev = "f0"
+    all_s = ["s0"]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS (SELECT DISTINCT query_id, node FROM (
+    SELECT f.query_id, g.dst AS node FROM {prev} f JOIN g ON f.node = g.src
+    UNION ALL SELECT query_id, node FROM {prev})
+    WHERE node <> query_id),
+s{r} AS (SELECT c.query_id, c.node, round({cos}, 6) AS cs
+       FROM c{r} c JOIN q ON c.query_id = q.query_id
+       JOIN e ON c.node = e.vec_id),
+f{r} AS (SELECT query_id, node FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cs DESC, node) AS rn FROM s{r}) WHERE rn <= {beam})""")
+        prev = f"f{r}"
+        all_s.append(f"s{r}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in all_s)
+    parts.append(f""",
+vis AS (SELECT DISTINCT query_id, node, cs FROM ({union})
+        WHERE node <> query_id)
+SELECT query_id, node AS neighbor_id, cs AS cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cs DESC, node) AS rn FROM vis)
+WHERE rn <= {k}""")
+    return "".join(parts)
+
+
+@register(
+    "v15_graph_ann_search",
+    oracle=_graph_ann_oracle(),
+    doc="ANN QUERY over the k-NN-graph index (operators/similarity."
+    "graph_ann_search) - greedy beam search, the HNSW/NSG serving "
+    "principle on a flat graph: 8 md5-derived entry points per query "
+    "(the DiskANN medoid-plus-random-starts recipe - load-bearing "
+    "here because the i.i.d.-random fixture embeddings have no "
+    "navigable manifold, where a single walk stalls at recall ~0.15; "
+    "multi-entry measures 0.53, floor-tested >= 0.4), 4 rounds of "
+    "expand-the-beam's-graph-neighbors + exact rescoring, beam 8, "
+    "answer = top-10 of everything visited. Completes the index "
+    "family's QUERY paths (LSH buckets v2/v4, IVF cells v3/v8, PQ "
+    "codes v11-v13) with the graph index v5/v7/v14 only BUILT. Fully "
+    "deterministic (fixed entry/rounds, (cos DESC, id ASC) ties), so "
+    "the whole search unrolls to SQL CTEs over v5's exact-graph "
+    "oracle. Per query per round: beam x k_graph id-joins + exact "
+    "scores - independent of corpus size; the corpus-scale cost is "
+    "the one-time index build, which is the ANN trade.",
+)
+def v15_graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.graph_ann_search(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS)
