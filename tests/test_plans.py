@@ -1133,3 +1133,91 @@ def test_stream_ann_serving_window_free_plan(spark):
     assert "StreamingRelation" in lp
     assert "Join" in lp
     assert "Aggregate" in lp
+
+
+def test_round8_text_classifier_plans(spark):
+    """Round-8 scan-path ops keep their docstring plan claims: t38's
+    NFC is an Arrow projection fused with the scan (ArrowEvalPython,
+    ZERO exchanges); t39's script profile is pure codegen (zero
+    exchanges, no Python operator at all); fe6's classifier is
+    whole-stage JVM — exactly 2 exchanges (bucket partial-agg +
+    per-doc agg), the weight vector joins broadcast, and no Python
+    evaluator appears anywhere in the plan."""
+    t38 = spark_queries()["t38_unicode_nfc"](spark, SF_SMALL)
+    p38 = t38._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(t38) == 0 and "ArrowEvalPython" in p38, p38[:1500]
+
+    t39 = spark_queries()["t39_script_detection"](spark, SF_SMALL)
+    p39 = t39._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(t39) == 0, p39[:1500]
+    assert "EvalPython" not in p39, p39[:1500]
+
+    fe6 = spark_queries()["fe6_linear_model_score"](spark, SF_SMALL)
+    p6 = fe6._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(fe6) == 2, count_exchanges(fe6)
+    assert has_broadcast_join(fe6)
+    assert "EvalPython" not in p6, p6[:1500]
+
+
+def test_stupid_backoff_bounded_exchanges_no_cartesian(spark):
+    """t40: three corpus-model aggregates + the held-out scoring
+    joins — at most 8 hash exchanges, the unigram/corpus-size sides
+    broadcast, and no CartesianProduct (every join is keyed; the one
+    crossJoin carries a single broadcast scalar row)."""
+    df = spark_queries()["t40_stupid_backoff_lm"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_exchanges(df) <= 8, count_exchanges(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_graph_ann_search_no_cartesian_no_global_sort(spark):
+    """v15: the beam search's per-round top-beam plans as
+    WindowGroupLimit (per-partition heaps), never a global sort (no
+    RangePartitioning), and no CartesianProduct anywhere — the only
+    quadratic work is inside the blocked-GEMM index build's grouped
+    Arrow stage, not a join explosion."""
+    df = spark_queries()["v15_graph_ann_search"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
+
+
+def test_stream_classifier_gate_window_free_broadcast_join(spark):
+    """w37's streaming frame: no Window operator (none needed — the
+    per-doc fold is ONE update-mode aggregation), the weight relation
+    joins the stream, and the plan is a genuine stream. Gate on the
+    analyzed logical plan like w36's."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="w37_gate_")
+    try:
+        docs.limit(10).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            f"{tmp}/src"
+        )
+        weights = spark.range(256).select(
+            F.col("id").alias("bucket"),
+            (md5_long(F.concat(F.lit("lmw:"), F.col("id").cast("string"))) % 2001 - 1000).alias("w"),
+        )
+        tok = stream.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        hashed = tok.select(
+            "doc_id", (md5_long(F.concat(F.lit("fh:"), F.col("t"))) % 256).alias("bucket")
+        )
+        agg = hashed.join(F.broadcast(weights), "bucket").groupBy("doc_id").count()
+        assert agg.isStreaming
+        lp = agg._jdf.queryExecution().analyzed().toString()
+        assert "Window [" not in lp, lp[:1500]
+        assert "StreamingRelation" in lp
+        assert "Join" in lp
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
