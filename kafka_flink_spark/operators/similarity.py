@@ -1276,7 +1276,13 @@ def graph_ann_search(
 
     base = df.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
     g = graph if graph is not None else knn_graph(df, k=k_graph, id_col=id_col, vec_col=vec_col)
-    edges = g.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    # Pin the edge relation: every round joins it, and without the
+    # checkpoint the final DAG re-embeds the whole index-build subtree
+    # once per round (measured 22% warm / 3x cold at sf0.1). The pin
+    # is index-sized (n x k_graph id pairs), never vectors.
+    edges = g.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
     qv = base.filter(F.col("nid").isin(*query_ids)).select(
         F.col("nid").alias("query_id"), F.col("v").alias("qv")
     )

@@ -2101,8 +2101,13 @@ def script_profile(
     engine. At 100 TB this runs at scan speed like every operator in
     this module.
     """
+    # coalesce: regexp_count(NULL) is NULL, which would fall through
+    # every >= comparison and mislabel a null document 'greek' (the
+    # ELSE arm); zero counts classify it 'latin' like empty text.
     cnt_cols = [
-        F.regexp_count(F.col(col), F.lit(java_re)).cast("long").alias(f"n_{name}")
+        F.coalesce(F.regexp_count(F.col(col), F.lit(java_re)), F.lit(0))
+        .cast("long")
+        .alias(f"n_{name}")
         for name, java_re, _re2, _prio in SCRIPT_CLASSES
     ]
     base = df.select(F.col(id_col), F.col(col), *cnt_cols)

@@ -1896,6 +1896,7 @@ def test_script_profile_dominance_and_ties(spark):
         (4, "ab \u0430\u0431"),             # 2 lat == 2 cyr -> latin (priority)
         (5, "\u4e00 \u03b1"),               # 1 han == 1 greek -> han (priority)
         (6, ""),                               # all zero -> latin fallback
+        (7, None),                              # NULL text -> zero counts, latin
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in script_profile(df).collect()}
@@ -1906,6 +1907,7 @@ def test_script_profile_dominance_and_ties(spark):
     assert got[4].dominant_script == "latin"
     assert got[5].dominant_script == "han"
     assert got[6].dominant_script == "latin" and got[6].latin_ratio == 0.0
+    assert got[7].dominant_script == "latin" and got[7].n_latin == 0
     assert count_exchanges(script_profile(df)) == 0
 
 
