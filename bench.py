@@ -159,6 +159,7 @@ R8_OPS = (
     "t39_script_detection",
     "t40_stupid_backoff_lm",
     "v15_graph_ann_search",
+    "e23_holt_winters_forecast",
 )
 
 # Streaming micro-batch replays, timed in a CHILD PROCESS with its own

@@ -189,3 +189,89 @@ def holt_linear(
         )
 
     return daily.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+def holt_winters(
+    daily: DataFrame,
+    period: int = 7,
+    key_col: str = "event_type",
+    x_col: str = "x",
+    t_col: str = "d",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960) with alpha = beta = gamma = 1/2 and season length
+    ``period`` — :func:`holt_linear` plus a rotating seasonal-index
+    state, completing the forecasting pair (weekly-periodic daily
+    series are exactly what the plain Holt trend mis-extrapolates).
+    Same integer fixed-point discipline (scaled longs, units of
+    1/HOLT_SCALE; the arithmetic right shift IS every halving, which
+    floors identically in Python and BIGINT ``>>`` — including for
+    negative seasonal deviations, so each step is bit-reproducible):
+
+        L_t = ((X_t - S_{t-m}) + L_{t-1} + B_{t-1}) >> 1
+        B_t = ((L_t - L_{t-1}) + B_{t-1}) >> 1
+        S_t = ((X_t - L_t) + S_{t-m}) >> 1
+        forecast_{t+1} = L_t + B_t + S_{t+1-m}
+
+    Shift-only naive initialization from the first ``period``
+    observations (no division, so no cross-engine floor-semantics
+    trap): L = X_1, B = 0, S_i = X_i - X_1 for i = 1..m; the
+    recursion emits rows from t = m+1 on (keys with <= m observed
+    rows emit nothing — both engines agree). Oracle: a recursive CTE
+    whose row state carries the m seasonal values as a LIST, rotated
+    with ``list_append(seas[2:m], S_t)`` each step.
+
+    Scale shape identical to holt_linear: the recursion is
+    sequential PER KEY over aggregate-sized rows (applyInPandas
+    after the corpus-scale daily aggregation); Python never touches
+    events, keys parallelize. The recursion steps over OBSERVED rows
+    in t order (same caveat as holt_linear: gap-fill first if
+    calendar alignment matters).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, {t_col} long, x long, level_e12 long, "
+        "trend_e12 long, seasonal_e12 long, forecast_next_e12 long"
+    )
+    m = int(period)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col).reset_index(drop=True)
+        xs = [int(v) * HOLT_SCALE for v in pdf[x_col]]
+        n = len(xs)
+        if n <= m:
+            return pd.DataFrame(
+                {c.split()[0]: [] for c in out_schema.split(", ")}
+            ).astype({t_col: "int64"}, errors="ignore")
+        level = xs[0]
+        trend = 0
+        seas = [x - xs[0] for x in xs[:m]]  # oldest -> newest
+        rows = []
+        for t in range(m, n):  # 0-based; emits observation t+1 = m+1..n
+            s_old = seas[0]
+            l_new = ((xs[t] - s_old) + level + trend) >> 1
+            b_new = ((l_new - level) + trend) >> 1
+            s_new = ((xs[t] - l_new) + s_old) >> 1
+            seas = seas[1:] + [s_new]
+            level, trend = l_new, b_new
+            rows.append(
+                (
+                    pdf[key_col].iloc[t],
+                    int(pdf[t_col].iloc[t]),
+                    xs[t] // HOLT_SCALE,
+                    level,
+                    trend,
+                    s_new,
+                    level + trend + seas[0],
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                key_col, t_col, "x", "level_e12", "trend_e12",
+                "seasonal_e12", "forecast_next_e12",
+            ],
+        )
+
+    return daily.groupBy(key_col).applyInPandas(fit, out_schema)

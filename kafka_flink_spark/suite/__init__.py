@@ -112,6 +112,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "t40_stupid_backoff_lm",
     "w37_stream_classifier_gate",
     "v15_graph_ann_search",
+    "e23_holt_winters_forecast",
     # ---- round-1-only rows (3) ----
     "w1_topk_per_group",
     "w2_lag_lead",
@@ -119,7 +120,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-2-only rows (41) ----
     "a1_ohlcv_tumbling_1h",
     "a2_running_ohlcv",
-    "a3_running_ohlcv_windowed",
+    # a3_running_ohlcv_windowed displaced by e23 -> r9 queue (its
+    # semantics = a2's fold + the w-family windowing, both sampled
+    # here; a3 itself swept green twice this round)
     "a5_ohlcv_cascade_1h_to_1d",
     "a6_sql_ohlc_5m",
     "a7_udf_ohlc_window",

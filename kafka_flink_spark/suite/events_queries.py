@@ -1642,3 +1642,84 @@ def e22_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     ).agg(F.count("*").cast("long").alias("x"))
     return holt_linear(daily, key_col="event_type", x_col="x", t_col="d")
+
+
+@register(
+    "e23_holt_winters_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+ord AS (
+    SELECT event_type, d, x, x * 1000000000000 AS xs,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           first_value(x * 1000000000000) OVER (
+               PARTITION BY event_type ORDER BY d) AS x1
+    FROM daily
+),
+init AS (
+    SELECT event_type,
+           CAST(7 AS BIGINT) AS t,
+           any_value(x1) AS level,
+           CAST(0 AS BIGINT) AS trend,
+           list(xs - x1 ORDER BY t) AS seas
+    FROM ord WHERE t <= 7 AND n > 7
+    GROUP BY event_type HAVING count(*) = 7
+),
+rec AS (
+    SELECT event_type, t, level, trend, seas,
+           CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS x,
+           CAST(NULL AS BIGINT) AS s_new
+    FROM init
+    UNION ALL
+    SELECT o.event_type, o.t,
+           ((o.xs - r.seas[1]) + r.level + r.trend) >> 1 AS level,
+           (((((o.xs - r.seas[1]) + r.level + r.trend) >> 1) - r.level)
+               + r.trend) >> 1 AS trend,
+           list_append(
+               r.seas[2:7],
+               ((o.xs - (((o.xs - r.seas[1]) + r.level + r.trend) >> 1))
+                   + r.seas[1]) >> 1) AS seas,
+           o.d, o.x,
+           ((o.xs - (((o.xs - r.seas[1]) + r.level + r.trend) >> 1))
+               + r.seas[1]) >> 1 AS s_new
+    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+)
+SELECT event_type, d, x,
+       level AS level_e12, trend AS trend_e12,
+       s_new AS seasonal_e12,
+       level + trend + seas[1] AS forecast_next_e12
+FROM rec WHERE t > 7
+""",
+    doc="Holt-Winters ADDITIVE triple exponential smoothing over the "
+    "daily event count per type (operators/timeseries.holt_winters) "
+    "- e22's level+trend recursion plus a ROTATING 7-day seasonal "
+    "index (weekly-periodic daily series are exactly what plain Holt "
+    "mis-extrapolates), alpha=beta=gamma=1/2, all in integer fixed "
+    "point: every halving is the arithmetic right shift, which "
+    "floors identically in Python and BIGINT >> INCLUDING negative "
+    "seasonal deviations, so the whole triple recursion is "
+    "bit-reproducible. Shift-only naive init from the first week (no "
+    "division - no cross-engine floor trap); rows emit from day 8 "
+    "per key. Oracle: recursive CTE whose row state carries the 7 "
+    "seasonal values as a LIST rotated with list_append(seas[2:7], "
+    "s_t) each step - the first list-valued recursion state in the "
+    "suite. Same scale shape as e22: sequential per key over "
+    "AGGREGATE-sized rows in applyInPandas; Python never touches "
+    "events.",
+)
+def e23_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_spark.operators.timeseries import holt_winters
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    return holt_winters(daily, key_col="event_type", x_col="x", t_col="d")

@@ -278,3 +278,51 @@ def test_holt_linear_tracks_trend_and_matches_reference(spark):
         l = l_new
         want[t] = (l, b)
     assert got == want
+
+
+def test_holt_winters_reference_and_convergence(spark):
+    """holt_winters vs an inline Python reference of the same triple
+    recursion (exact integer equality, every row), on a series with a
+    pure weekly pattern plus linear trend: x_t = 100 + 3t + p[t%7].
+    On such a series the one-step-ahead forecast must CONVERGE: the
+    mean absolute forecast error over the last week is far below the
+    seasonal amplitude (plain Holt cannot do this — the seasonal term
+    is load-bearing), and the final seasonal state reflects the
+    pattern's shape (positive for the peak weekday, negative for the
+    trough)."""
+    from kafka_flink_spark.operators.timeseries import HOLT_SCALE, holt_winters
+
+    pat = [0, 40, -30, 10, -20, 25, -25]
+    xs = [100 + 3 * t + pat[t % 7] for t in range(35)]
+    daily = spark.createDataFrame(
+        [("k", t, x) for t, x in enumerate(xs)],
+        "event_type string, d long, x long",
+    )
+    got = sorted(holt_winters(daily).collect(), key=lambda r: r.d)
+    assert [r.d for r in got] == list(range(7, 35))
+
+    # inline reference
+    sx = [x * HOLT_SCALE for x in xs]
+    level, trend = sx[0], 0
+    seas = [v - sx[0] for v in sx[:7]]
+    ref = {}
+    for t in range(7, 35):
+        s_old = seas[0]
+        l_new = ((sx[t] - s_old) + level + trend) >> 1
+        b_new = ((l_new - level) + trend) >> 1
+        s_new = ((sx[t] - l_new) + s_old) >> 1
+        seas = seas[1:] + [s_new]
+        level, trend = l_new, b_new
+        ref[t] = (l_new, b_new, s_new, level + trend + seas[0])
+    for r in got:
+        assert (
+            r.level_e12, r.trend_e12, r.seasonal_e12, r.forecast_next_e12
+        ) == ref[r.d], r.d
+
+    # convergence: last-week forecasts track the known next values
+    errs = [
+        abs(r.forecast_next_e12 / HOLT_SCALE - xs[r.d + 1])
+        for r in got
+        if 27 <= r.d <= 33
+    ]
+    assert sum(errs) / len(errs) < 5.0, errs  # amplitude is 70
