@@ -2177,49 +2177,41 @@ def stupid_backoff_scores(
     once), then the held-out trigrams LEFT-join the three models on
     their keys; the unigram model and corpus-size row broadcast. Per
     level the exchange carries (key, count) — never document text.
-    Returns (id_col, n_trigrams, n_seen, n_backoff1, n_backoff2,
-    n_oov, sb_e9, mean_sb_e9).
+    All levels tokenize identically: empty tokens (consecutive
+    spaces) are dropped BEFORE n-gram construction, so no level ever
+    builds an ''-containing n-gram whose backoff would divide by a
+    NULL unigram count. Returns (id_col, n_trigrams, n_seen,
+    n_backoff1, n_backoff2, n_oov, sb_e9, mean_sb_e9).
     """
-    def trigram_rows(df: DataFrame, with_id: bool) -> DataFrame:
-        toks = F.split(F.col(col), " ")
+    toks_expr = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+    def ngram_rows(df: DataFrame, n: int, alias: str, with_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if with_id else []
-        return df.filter(F.size(toks) >= 3).select(
+        base = df.select(*cols, toks_expr.alias("tk")).filter(F.size("tk") >= n)
+        tk = F.col("tk")
+        return base.select(
             *cols,
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    F.sequence(F.lit(1), F.size(tk) - (n - 1)),
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + F.lit(1)),
-                        F.element_at(toks, i + F.lit(2)),
+                        F.element_at(tk, i),
+                        *[F.element_at(tk, i + F.lit(j)) for j in range(1, n)],
                     ),
                 )
-            ).alias("tri"),
+            ).alias(alias),
         )
 
-    tri_train = trigram_rows(train, with_id=False)
+    tri_train = ngram_rows(train, 3, "tri", with_id=False)
     c123 = tri_train.groupBy("tri").agg(F.count("*").alias("c123"))
-    toks_train = train.select(F.explode(F.split(F.col(col), " ")).alias("w")).filter(
-        F.col("w") != ""
-    )
-    big_train = train.filter(F.size(F.split(F.col(col), " ")) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.split(F.col(col), " ")) - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.split(F.col(col), " "), i),
-                    F.element_at(F.split(F.col(col), " "), i + F.lit(1)),
-                ),
-            )
-        ).alias("bg")
-    )
+    toks_train = train.select(F.explode(toks_expr).alias("w"))
+    big_train = ngram_rows(train, 2, "bg", with_id=False)
     c_bg = big_train.groupBy("bg").agg(F.count("*").alias("cbg"))
     c_uni = toks_train.groupBy("w").agg(F.count("*").alias("c1"))
     n_total = toks_train.agg(F.count("*").alias("n_tok"))
 
-    tri = trigram_rows(score, with_id=True).select(
+    tri = ngram_rows(score, 3, "tri", with_id=True).select(
         id_col,
         "tri",
         F.concat_ws(

@@ -90,88 +90,80 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1-7 covered
-# every registered name at least once, all green (CORRECTNESS_r01-07,
-# VERDICT r7: "zero never-green"). Round 8 executes VERDICT r7 task 1
-# ("r8 rotation = oldest-evidence + touched-family refresh"): lead
-# with the round's 2 new registrations (never driver-checked), then
-# the 3 round-1-only rows, then ALL 41 round-2-only rows (the oldest
-# evidence in the registry, including the full m*/t1-t14/v1-v6
-# families — v1-v6 and the d-family sit on r7-touched similarity.py /
-# dedup.py), then 4 round-4-era rows from r7-touched modules named by
-# VERDICT task 2 (gr1/cl1) plus the touched-module stalest (d9 on
-# dedup.py, v7 on similarity.py) = exactly 50. The remaining <=r4-era
-# rows (r3-era relational/streaming and the rest of r4) queue for r9,
-# oldest-first; graph/cluster names that miss this rotation are
-# covered by the r8 self-sweep section in VERIFICATION.md.
+# FIRST 50 queries in iteration order each round; rounds 1-8 covered
+# every registered name at least once, all green (CORRECTNESS_r01-08,
+# VERDICT r8: 293/293, zero never-green). Round 9 executes VERDICT r8
+# task 1 verbatim ("r9 rotation = the 50 stalest driver rows,
+# exactly"): r8 had zero non-green rows and r9 registers no new
+# queries (judge-directed hardening round), so the rotation is
+# precisely the 50 names whose newest green driver row predates
+# round 4 — the 3 round-2-era rows, then all 47 round-3-era rows.
+# After this round no registered query's newest driver row is older
+# than r4 (the r4-era block, 43 names, becomes the r10 queue head).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 additions, never driver-checked (5) ----
-    "t38_unicode_nfc",
-    "fe6_linear_model_score",
-    "t39_script_detection",
-    "t40_stupid_backoff_lm",
-    "w37_stream_classifier_gate",
-    "v15_graph_ann_search",
-    "e23_holt_winters_forecast",
-    # ---- round-1-only rows (3) ----
-    "w1_topk_per_group",
-    "w2_lag_lead",
-    "w3_rank_dense_ntile",
-    # ---- round-2-only rows (41) ----
-    "a1_ohlcv_tumbling_1h",
-    "a2_running_ohlcv",
-    # a3_running_ohlcv_windowed displaced by e23 -> r9 queue (its
-    # semantics = a2's fold + the w-family windowing, both sampled
-    # here; a3 itself swept green twice this round)
-    "a5_ohlcv_cascade_1h_to_1d",
-    "a6_sql_ohlc_5m",
-    "a7_udf_ohlc_window",
-    "a8_flink_tumble_sql",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
-    "d6_embedding_near_dup",
-    "d8_semantic_dedup",
-    "j6_asof_join_prev_close",
-    "j7_asof_join_tolerance",
-    "k5_nested_sink_shape",
-    "m1_media_decode",
-    "m2_frame_samples",
-    "m3_media_embed",
-    "m4_media_exact_dedup",
-    "m5_binary_file_ingest",
-    "m6_media_resize",
-    "p1_candles_json_rows",
-    "qa1_column_profile",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t5_doc_chunks",
-    "t6_hash_sample",
-    "t7_tfidf_top_terms",
-    "t8_bigram_counts",
-    "t10_vocab_coverage",
-    "t11_repetition_signals",
-    "t12_decontamination",
-    "t13_pii_redaction",
-    "t14_token_freq_score",
-    "v1_cosine_topk",
-    "v2_lsh_ann_topk",
-    "v3_ivf_ann_topk",
-    "v4_multiprobe_ann_topk",
-    # v5_knn_graph displaced by v15 -> r9 queue; v15's oracle replays
-    # the ENTIRE v5 exact graph, so a green v15 row transitively
-    # re-attests v5's semantics (and v5 swept green r8 regardless).
-    # v6_quantized_topk displaced by t40 -> r9 queue (swept green r8)
-    # ---- r7-touched modules, r4-era evidence (2; v7 displaced by
-    # t39 and d9 by w37 under the 50-name budget -> r9 queue, both
-    # covered by the r8 full-registry sweep meanwhile) ----
-    "gr1_pagerank_copurchase",
-    "cl1_kmeans_profile",
-    # ---- 50-query budget line (round 8): exactly 50 names ----
-    # Round-9 rotation queue (replace this tuple at r9 start): lead
-    # with any r8 non-green, then any new r9 registrations, then the
-    # 47 r3-era rows oldest-first, then the remaining r4-era rows.
+    # ---- round-2-era rows (3) ----
+    "a3_running_ohlcv_windowed",
+    "v5_knn_graph",
+    "v6_quantized_topk",
+    # ---- round-3-era rows (47): candles/streaming block ----
+    "w8_stateful_running_candles",
+    "w9_stateful_stream_candles",
+    "w11_stream_ohlcv_update",
+    "w12_stream_ohlcv_append",
+    "w14_sliding_windows",
+    "w14_session_windows",
+    "w15_stream_stream_interval_join",
+    "w16_stream_distinct_keys",
+    "w17_stream_complete_mode",
+    "w18_stream_static_join",
+    "w19_stream_cascade_chained",
+    "w20_stream_rollup_merge",
+    # ---- round-3-era: events/sessionization block ----
+    "e1_sessionization",
+    "e2_funnel",
+    "e3_retention_cohorts",
+    "e4_gapfill_hourly",
+    "e5_rolling_zscore",
+    "e6_trailing_range_window",
+    "e7_session_window_native",
+    "e8_mau_wau_stickiness",
+    # ---- round-3-era: grouped/statistical aggregates ----
+    "g10_statistical_aggs",
+    "g11_grouping_sets",
+    "g12_histogram",
+    "g14_boolean_aggs",
+    "g15_count_min_freq",
+    # ---- round-3-era: IO / formats / upsert ----
+    "io2_csv_roundtrip",
+    "io3_json_roundtrip",
+    "io4_orc_roundtrip",
+    "io5_partitioned_pruned_read",
+    "io6_merge_upsert",
+    "io7_small_file_compaction",
+    # ---- round-3-era: sources / envelopes ----
+    "k1_json_envelope_roundtrip",
+    "s6_rich_schema_ingest",
+    "s10_python_datasource_gen",
+    # ---- round-3-era: scalar-function surface ----
+    "sc5_conditional_math_functions",
+    "sc6_regex_functions",
+    "sc7_map_functions",
+    "sc8_bitwise_aggs",
+    "sc9_url_functions",
+    # ---- round-3-era: text/tokenizer + window frames ----
+    "t9_pack_documents",
+    "t15_vocab_encode",
+    "w4_window_frames",
+    # ---- round-3-era: UDF surface ----
+    "u2_pandas_udf_vectorized",
+    "u3_registered_sql_udf",
+    "u6_python_udtf",
+    "u7_pandas_grouped_agg_udaf",
+    "u8_table_arg_udtf",
+    # ---- 50-query budget line (round 9): exactly 3 + 47 = 50 ----
+    # Round-10 rotation queue (replace this tuple at r10 start): lead
+    # with any r9 non-green, then any new r10 registrations, then the
+    # 43 r4-era rows oldest-first.
 )
 
 

@@ -4658,8 +4658,10 @@ def t39_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t40_stupid_backoff_lm",
     oracle="""
-WITH train AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 <> 4),
-held AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 4),
+WITH train AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS w
+               FROM documents WHERE doc_id % 5 <> 4),
+held AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+         FROM documents WHERE doc_id % 5 = 4),
 tri_tr AS (
     SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tri
     FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM train WHERE len(w) >= 3)

@@ -313,7 +313,9 @@ def test_ivf_recall_vs_exact(spark):
         t = set(exact[exact.query_id == qid].neighbor_id)
         a = set(ivf[ivf.query_id == qid].neighbor_id)
         recalls.append(len(t & a) / len(t))
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # measured 0.867 on the fixed fixture (deterministic); 0.5 is the
+    # regression floor — a broken cell assignment collapses to ~0.1
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
 def test_approx_distinct_within_error_bound(spark):
@@ -458,7 +460,8 @@ def test_quantized_topk_recall_vs_exact(spark):
         t = set(exact[exact.query_id == qid].neighbor_id)
         a = set(quant[quant.query_id == qid].neighbor_id)
         recalls.append(len(t & a) / len(t))
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # measured 0.70 on the fixed fixture (deterministic); 0.5 floor
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
 def test_semantic_dedup_is_within_cell_subset_of_all_pairs(spark):
@@ -1939,6 +1942,34 @@ def test_stupid_backoff_all_levels_hand_corpus(spark):
     assert (r.n_trigrams, r.n_backoff1) == (1, 1) and r.sb_e9 == 2 * 10**8
 
 
+def test_stupid_backoff_ignores_empty_tokens(spark):
+    """Consecutive / leading / trailing spaces must not change any
+    level: every n-gram stage filters '' tokens before construction
+    (the old code filtered only unigrams, so '  ' produced
+    ''-containing trigrams whose backoff divided by a NULL unigram
+    count and silently dropped from sb_e9). Sloppy-whitespace corpus
+    must score identically to its single-spaced twin."""
+    from kafka_flink_spark.operators.text import stupid_backoff_scores
+
+    clean_train = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    messy_train = spark.createDataFrame([(0, " a  b c  a b  c ")], "doc_id long, text string")
+    clean_held = spark.createDataFrame(
+        [(100, "a b c x"), (101, "x y b"), (102, "c c a")],
+        "doc_id long, text string",
+    )
+    messy_held = spark.createDataFrame(
+        [(100, "a  b c   x"), (101, " x y  b"), (102, "c c  a ")],
+        "doc_id long, text string",
+    )
+    clean = sorted(stupid_backoff_scores(clean_train, clean_held).collect())
+    messy = sorted(stupid_backoff_scores(messy_train, messy_held).collect())
+    assert clean == messy
+    by_id = {r.doc_id: r for r in messy}
+    assert by_id[100].sb_e9 == 10**9 and by_id[102].sb_e9 == 2 * 10**8
+    for r in messy:
+        assert r.n_seen + r.n_backoff1 + r.n_backoff2 + r.n_oov == r.n_trigrams
+
+
 def test_graph_ann_search_recall_floor(spark):
     """Beam search over the exact k-NN graph must recover most of the
     true top-10 (the index-quality contract, the v10/d10
@@ -1965,7 +1996,9 @@ def test_graph_ann_search_recall_floor(spark):
         assert r.neighbor_id != r.query_id
         ap.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(ap[q] & ex[q]) / len(ex[q]) for q in qids]
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # measured 0.567 on the fixed fixture (deterministic); broken
+    # expansion collapses to ~0.1, so 0.5 discriminates cleanly
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
     for q in qids:
         rns = sorted(r.rn for r in approx if r.query_id == q)
         assert rns == list(range(1, len(rns) + 1))

@@ -1221,3 +1221,24 @@ def test_stream_classifier_gate_window_free_broadcast_join(spark):
         assert "Join" in lp
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_holt_family_python_over_aggregate_rows_only(spark):
+    """e22/e23 (VERDICT r8 item 3): the per-key sequential smoother
+    runs in applyInPandas over AGGREGATE-sized rows only — in the
+    executed plan the FlatMapGroupsInPandas node sits ABOVE the daily
+    HashAggregate, so Python never touches event-sized data; the only
+    exchanges are the aggregate's hash partial and the per-key
+    grouping (plus AQE bookkeeping), never a corpus-sized shuffle
+    after the Python stage."""
+    for name in ("e22_holt_forecast", "e23_holt_winters_forecast"):
+        df = spark_queries()[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan, (name, plan[:1500])
+        # printed top-down: the Python node must appear before (above)
+        # every aggregate node, i.e. its input is the aggregate output
+        py_at = plan.index("FlatMapGroupsInPandas")
+        agg_at = plan.index("HashAggregate")
+        assert py_at < agg_at, (name, plan[:1500])
+        assert count_exchanges(df) <= 3, (name, count_exchanges(df))
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
