@@ -219,6 +219,7 @@ def _time_section(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    load_start = round(os.getloadavg()[0], 2)
 
     # Throughput FIRST, in its own child process, before any other JVM
     # exists: measured in-bench rates were 50-81k ev/s vs 144k for the
@@ -304,6 +305,16 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(f"per-section detail written to {detail_path}", file=sys.stderr)
 
+    # min-of-REPS section totals + load-average stamps: when another
+    # job shares the box during the bench window, MEDIANS inflate
+    # uniformly and rounds read as regressions (the r6-r8 diagnosis,
+    # re-derived every round). The per-query minimum is far less
+    # contention-sensitive, so min totals + the 1-min load average at
+    # start/end let a reader separate "code got slower" from "box was
+    # busy" without re-running anything.
+    def min_total(section: dict[str, float]) -> float:
+        return round(sum(spread[n][0] for n in section), 3)
+
     print(
         json.dumps(
             {
@@ -321,6 +332,18 @@ def main() -> None:
                 "r8_total": round(sum(r8_timings.values()), 3),
                 "stream_total": round(sum(stream_timings.values()), 3),
                 "streaming_ohlcv_ev_per_s": streaming_rate,
+                "min_totals": {
+                    "headline": min_total(timings),
+                    "llm": min_total(llm_timings),
+                    "extra": min_total(extra_timings),
+                    "r4": min_total(r4_timings),
+                    "r5": min_total(r5_timings),
+                    "r6": min_total(r6_timings),
+                    "r7": min_total(r7_timings),
+                    "r8": min_total(r8_timings),
+                    "stream": min_total(stream_timings),
+                },
+                "load_avg_1m": [load_start, round(os.getloadavg()[0], 2)],
             }
         )
     )

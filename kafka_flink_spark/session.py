@@ -22,7 +22,9 @@ RUNTIME_CONF = {
     # skew-join splitting, and dynamic broadcast conversion. This is
     # the main "would it survive 100x scale-up" knob — partition
     # counts are decided from observed sizes, not hard-coded.
-    "spark.sql.adaptive.enabled": "true",
+    # SPARK_GRAFT_AQE=false is the parity/debug override: no query's
+    # CORRECTNESS may depend on AQE (swept both ways each round).
+    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas boundary crossing.

@@ -243,6 +243,8 @@ def rollup_merge_available_now(
     window_duration: str = "1 hour",
     key_col: str = "product",
     watermark_delay: str = "0 seconds",
+    checkpoint_dir: str | None = None,
+    failpoint=None,
 ) -> DataFrame:
     """Continuous-aggregate maintenance (the hypertable-rollup /
     materialized-candle pattern): an update-mode streaming OHLCV
@@ -259,6 +261,15 @@ def rollup_merge_available_now(
     replaces the local staging-dir swap with a row-level MERGE without
     changing anything upstream. Runs to completion (availableNow) and
     returns the final rollup table.
+
+    ``checkpoint_dir`` pins the streaming checkpoint so a later call
+    RESUMES the same query (restart/recovery paths); None keeps the
+    historical throwaway-tempdir behavior. ``failpoint(batch_id)`` is
+    a crash-injection hook invoked after a batch's target swap — the
+    MERGE side effect is durable but the batch is NOT yet committed
+    to the checkpoint, the exact window a real crash hits; recovery
+    tests raise from it and restart. Replay of that batch re-MERGEs
+    the same windows by key, which is idempotent by construction.
     """
     import os
     import shutil
@@ -298,8 +309,10 @@ def rollup_merge_available_now(
         if os.path.isdir(target_dir):
             shutil.rmtree(target_dir)
         os.rename(staging, target_dir)
+        if failpoint is not None:
+            failpoint(_bid)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_rollup_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_rollup_")
     try:
         q = (
             agg.writeStream.foreachBatch(upsert)
@@ -310,5 +323,6 @@ def rollup_merge_available_now(
         )
         q.awaitTermination()
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if checkpoint_dir is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return trades.sparkSession.read.parquet(target_dir).drop("k")

@@ -25,16 +25,25 @@ from pyspark.sql import DataFrame
 
 
 def run_idempotent_parquet_sink(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, failpoint=None
 ) -> None:
     """Drain ``stream_df`` (availableNow) into ``out_dir`` with one
     parquet directory per micro-batch id, overwrite-idempotent under
     replay. Read the result back with
     ``spark.read.parquet(out_dir + "/batch_id=*")`` (or the plain
-    directory — the layout is hive-partitioned on batch_id)."""
+    directory — the layout is hive-partitioned on batch_id).
+
+    ``failpoint(batch_id)`` is a crash-injection hook invoked after a
+    batch's parquet write but before the batch commits to the
+    checkpoint — the exact window a real mid-batch crash hits (sink
+    bytes durable, offset not). Recovery tests raise from it, then
+    restart from the same checkpoint: the batch replays under the
+    SAME id and the overwrite makes the replay a no-op rewrite."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if failpoint is not None:
+            failpoint(batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -1516,3 +1516,130 @@ def test_kmv_stream_cross_batch_fold_and_bounded_state(spark):
         assert final == want  # stream fold == batch bottom-k
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_midbatch_crash_idempotent_sink_exactly_once(spark):
+    """Mid-micro-batch crash on the exactly-once sink (VERDICT r8 item
+    4): batch 1's parquet bytes are already durable when the crash
+    lands (failpoint fires after the write, before the checkpoint
+    commit — the window a real kill hits), and the directory is then
+    corrupted to simulate a partial write. Restarting from the same
+    checkpoint must replay batch 1 under the same id, overwrite the
+    junk wholesale, and finish the remaining batch — read-back equals
+    the batch answer with zero duplicated or lost rows."""
+    from kafka_flink_spark.streaming.exactly_once import run_idempotent_parquet_sink
+
+    tmpdir = tempfile.mkdtemp(prefix="eosfault_")
+    try:
+        src = _write_time_ordered_splits(spark, tmpdir, n_splits=3)
+        out = os.path.join(tmpdir, "out")
+        ckpt = os.path.join(tmpdir, "ckpt")
+
+        def pipeline():
+            return (
+                spark.readStream.schema(TRADES_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .select(
+                    "seq",
+                    "product",
+                    F.round(F.col("price") * 100).cast("long").alias("price_cents"),
+                )
+            )
+
+        def boom(batch_id: int) -> None:
+            if batch_id == 1:
+                raise RuntimeError("injected mid-batch crash")
+
+        with pytest.raises(Exception, match="injected mid-batch crash"):
+            run_idempotent_parquet_sink(pipeline(), out, ckpt, failpoint=boom)
+
+        # batch 0 committed, batch 1 durable-but-uncommitted; mangle
+        # batch 1's dir into a convincing partial write
+        b1 = os.path.join(out, "batch_id=1")
+        parts = sorted(f for f in os.listdir(b1) if f.startswith("part-"))
+        assert parts, "crash landed before the batch-1 write?"
+        os.remove(os.path.join(b1, parts[0]))
+        with open(os.path.join(b1, "part-99999-torn.parquet"), "wb") as fh:
+            fh.write(b"\x00torn bytes, not parquet")
+
+        run_idempotent_parquet_sink(pipeline(), out, ckpt)
+
+        back = spark.read.parquet(out)
+        n_src = trades_view(spark, SF_SMALL).count()
+        assert back.count() == n_src
+        assert back.select("seq").distinct().count() == n_src  # no dupes, no loss
+        got = (
+            back.groupBy("product")
+            .agg(F.count("*").alias("n"), F.sum("price_cents").alias("cents"))
+            .toPandas()
+            .sort_values("product")
+            .reset_index(drop=True)
+        )
+        exp = (
+            trades_view(spark, SF_SMALL)
+            .groupBy("product")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("price") * 100).cast("long")).alias("cents"),
+            )
+            .toPandas()
+            .sort_values("product")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp)
+        assert {d for d in os.listdir(out) if d.startswith("batch_id=")} == {
+            "batch_id=0",
+            "batch_id=1",
+            "batch_id=2",
+        }
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_midbatch_crash_rollup_merge_recovers_exactly(spark):
+    """Mid-micro-batch crash on the w20 MERGE rollup (VERDICT r8 item
+    4): the crash lands after batch 1's target swap — the MERGE side
+    effect is fully durable, the batch is not committed, so the
+    restart REPLAYS it. Re-merging the same windows by key is
+    idempotent, so the final rollup table must equal the
+    uninterrupted batch OHLCV answer exactly."""
+    from kafka_flink_spark.streaming.candles_stream import rollup_merge_available_now
+
+    tmpdir = tempfile.mkdtemp(prefix="rollupfault_")
+    try:
+        src = _write_time_ordered_splits(spark, tmpdir, n_splits=3)
+        target = os.path.join(tmpdir, "rollup")
+        ckpt = os.path.join(tmpdir, "ckpt")
+
+        def stream():
+            return (
+                spark.readStream.schema(TRADES_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        def boom(batch_id: int) -> None:
+            if batch_id == 1:
+                raise RuntimeError("injected mid-batch crash")
+
+        with pytest.raises(Exception, match="injected mid-batch crash"):
+            rollup_merge_available_now(
+                stream(), target, "1 hour", checkpoint_dir=ckpt, failpoint=boom
+            )
+        # the crashed run left a live rollup with batch 1's merge applied
+        assert os.path.isdir(target)
+
+        final = rollup_merge_available_now(
+            stream(), target, "1 hour", checkpoint_dir=ckpt
+        )
+        assert_frames_match(
+            _fmt(final.select(
+                "window_start", "window_end", "product",
+                "open", "high", "low", "close", "volume",
+            )),
+            _batch_candles_pdf(spark),
+            "w20_after_midbatch_crash",
+        )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
