@@ -768,3 +768,41 @@ def test_holt_linear_matches_reference_property(spark, xs):
             l = l_new
             want[t] = (l, b, l + b)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "ee"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    pads=st.data(),
+)
+@SET
+def test_stupid_backoff_whitespace_invariance_property(spark, docs, pads):
+    """t40 under hypothesis: stupid_backoff_scores is invariant to
+    arbitrary extra whitespace (leading/trailing/consecutive spaces)
+    because every n-gram level filters empty tokens before
+    construction — the sloppy rendering of any token list must score
+    identically to the single-spaced rendering, for train and held-out
+    sides alike (first doc trains, the rest score)."""
+    from kafka_flink_spark.operators.text import stupid_backoff_scores
+
+    def sloppy(tokens: list[str]) -> str:
+        parts = [" " * pads.draw(st.integers(0, 2), label="lead")]
+        for t in tokens:
+            parts.append(t)
+            parts.append(" " * (1 + pads.draw(st.integers(0, 2), label="gap")))
+        return "".join(parts)
+
+    clean_rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    messy_rows = [(i, sloppy(toks)) for i, toks in enumerate(docs)]
+    out = []
+    for rows in (clean_rows, messy_rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        train = df.filter(F.col("doc_id") == 0)
+        held = df.filter(F.col("doc_id") > 0)
+        out.append(sorted(stupid_backoff_scores(train, held).collect()))
+    assert out[0] == out[1]
