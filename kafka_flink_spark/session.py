@@ -40,6 +40,18 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# SPARK_GRAFT_STATESTORE=rocksdb flips every streaming query onto the
+# RocksDB provider + changelog checkpointing (the cluster_conf() 100-TB
+# default) — the parity/debug twin of SPARK_GRAFT_AQE: stream results
+# must be identical on either provider (swept in round 9).
+if os.environ.get("SPARK_GRAFT_STATESTORE") == "rocksdb":
+    RUNTIME_CONF["spark.sql.streaming.stateStore.providerClass"] = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    RUNTIME_CONF[
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    ] = "true"
+
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an existing session (idempotent)."""
