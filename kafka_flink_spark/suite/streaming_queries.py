@@ -295,13 +295,19 @@ SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(window_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
        product,
        CAST(count(*) AS BIGINT) AS n_trades,
-       round(avg(price), 6) AS avg_price
+       round(CAST(sum(CAST(round(price * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_price
 FROM assigned
 GROUP BY ALL
 """,
     doc="W14 sliding windows (2h window / 1h slide): every event lands "
     "in two overlapping windows — window(ts, '2 hours', '1 hour'); "
-    "oracle re-derives the assignment with an offset cross join.",
+    "oracle re-derives the assignment with an offset cross join. "
+    "avg_price averages micro-quantized prices (sum of exact longs, "
+    "then ONE IEEE divide — the t18/io12 integer recipe): a raw "
+    "round(avg(price), 6) disagreed between engines at sf0.1 when a "
+    "window's float-sum-order error straddled a 6-dp rounding "
+    "boundary (found by the round-9 sf0.1 full sweep).",
 )
 def w14_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = trades_view(spark, sf_dir)
@@ -309,14 +315,16 @@ def w14_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         trades.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "product")
         .agg(
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.avg("price"), 6).alias("avg_price"),
+            F.sum(F.round(F.col("price") * 1000000).cast("long")).alias("_p_e6"),
         )
         .select(
             F.date_format("w.start", _FMT).alias("window_start"),
             F.date_format("w.end", _FMT).alias("window_end"),
             "product",
             "n_trades",
-            "avg_price",
+            F.round(
+                F.col("_p_e6").cast("double") / (F.col("n_trades") * 1000000.0), 6
+            ).alias("avg_price"),
         )
     )
 
