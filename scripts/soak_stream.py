@@ -185,12 +185,20 @@ def main() -> None:
     if len(set(wm)) < max(3, len(wm) // 4):
         failures.append(f"ohlcv watermark barely advanced: {len(set(wm))} distinct")
 
+    # plateau needs >= 8 samples; a short smoke run (--secs 60) can't
+    # have them, so only a soak that REQUESTED enough samples fails on
+    # their absence
+    plateau_expected = args.secs // args.sample_every >= 8
+
     def plateau(job: str, label: str):
         rows = series(
             job, lambda p: sum(op["numRowsTotal"] or 0 for op in p["stateOperators"])
         )
         if len(rows) < 8:
-            failures.append(f"{label}: too few samples ({len(rows)})")
+            if plateau_expected:
+                failures.append(f"{label}: too few samples ({len(rows)})")
+            else:
+                print(f"{label}: plateau check skipped (smoke run)", file=sys.stderr)
             return rows
         q3 = rows[3 * len(rows) // 4 :]  # last quarter
         q2 = rows[len(rows) // 2 : 3 * len(rows) // 4]  # third quarter
@@ -206,7 +214,9 @@ def main() -> None:
     proc = series("ohlcv", lambda p: p["processedRowsPerSecond"] or 0.0)
     steady = proc[len(proc) // 4 :]
     mean_rate = sum(steady) / max(1, len(steady))
-    if mean_rate < 0.9 * args.ohlcv_rate:
+    # like plateau: a smoke run's samples are all JVM warmup, so the
+    # steady-state rate floor only binds on a real soak
+    if plateau_expected and mean_rate < 0.9 * args.ohlcv_rate:
         failures.append(
             f"ohlcv steady-state rate {mean_rate:.0f} < 90% of {args.ohlcv_rate}"
         )

@@ -1643,3 +1643,36 @@ def test_midbatch_crash_rollup_merge_recovers_exactly(spark):
         )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SOAK") != "1",
+    reason="env-gated (own JVM + 60s wall): set SPARK_GRAFT_SOAK=1",
+)
+def test_soak_smoke_60s():
+    """One-command gate for the resident-stream soak harness
+    (scripts/soak_stream.py; the 31-min run is recorded in
+    STREAM_SOAK.json / SCALING.md): a 60 s smoke must come up, process
+    at >= 90% of the target rate, advance the watermark, and exit 0 —
+    plateau checks self-skip below 8 samples."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    tmpdir = tempfile.mkdtemp(prefix="soaksmoke_")
+    out = os.path.join(tmpdir, "soak.json")
+    try:
+        subprocess.run(
+            [_sys.executable, "scripts/soak_stream.py", "--secs", "60", "--out", out],
+            check=True,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        summary = json.load(open(out))
+        assert summary["failures"] == []
+        assert summary["n_samples"] >= 3
+        wm = summary["watermark_first_last"]
+        assert wm and wm[0] <= wm[1]
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
