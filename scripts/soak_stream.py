@@ -83,6 +83,16 @@ def main() -> None:
     ap.add_argument("--doc-universe", type=int, default=50_000)
     ap.add_argument("--sample-every", type=int, default=15)
     ap.add_argument("--out", default="STREAM_SOAK.json")
+    ap.add_argument(
+        "--with-timers",
+        action="store_true",
+        help="add a third resident job: the event-time-timer candle "
+        "path (streaming/stateful.running_candles_event_timers — "
+        "w30's operator), 1-minute windows at --timer-rate ev/s; "
+        "state must plateau at one open window per key and timers "
+        "must keep flushing finals as the watermark advances",
+    )
+    ap.add_argument("--timer-rate", type=int, default=20_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -154,28 +164,58 @@ def main() -> None:
         .start()
     )
 
+    # --- job 3 (optional): event-time timers (w30's operator) -------
+    queries = {"ohlcv": q_ohlcv, "dedup": q_dedup}
+    if args.with_timers:
+        from kafka_flink_spark.streaming.stateful import (
+            running_candles_event_timers,
+        )
+
+        trate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(args.timer_rate))
+            .load()
+        )
+        ttrades = trate.select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("T_"), (F.col("value") % 2000).cast("string")).alias(
+                "product"
+            ),
+            (100.0 + (F.col("value") % 10_000) / 100.0).alias("price"),
+            (F.col("value") % 97 + 1).cast("long").alias("qty"),
+            F.col("value").alias("seq"),
+        )
+        queries["timers"] = (
+            running_candles_event_timers(
+                ttrades, window_minutes=1, watermark_delay="30 seconds"
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", f"{ckpt}/timers")
+            .queryName("soak_timers")
+            .start()
+        )
+
     t0 = time.time()
     samples: list[dict] = []
     while time.time() - t0 < args.secs:
         time.sleep(args.sample_every)
-        for q in (q_ohlcv, q_dedup):
+        for q in queries.values():
             if q.exception() is not None:
                 print(f"FATAL {q.name}: {q.exception()}", file=sys.stderr)
                 sys.exit(2)
-        row = {
-            "t": round(time.time() - t0, 1),
-            "ohlcv": sample(q_ohlcv),
-            "dedup": sample(q_dedup),
-        }
+        row = {"t": round(time.time() - t0, 1)}
+        for name, q in queries.items():
+            row[name] = sample(q)
         samples.append(row)
         print(json.dumps(row), file=sys.stderr)
 
-    q_ohlcv.stop()
-    q_dedup.stop()
+    for q in queries.values():
+        q.stop()
 
     # ---------------- assertions over the timeline ------------------
     def series(job: str, fn):
-        return [fn(s[job]) for s in samples if s[job] is not None]
+        return [fn(s[job]) for s in samples if s.get(job) is not None]
 
     failures: list[str] = []
 
@@ -210,6 +250,12 @@ def main() -> None:
 
     ohlcv_rows = plateau("ohlcv", "ohlcv")
     dedup_rows = plateau("dedup", "dedup")
+    timer_rows: list[int] = []
+    if args.with_timers:
+        timer_rows = plateau("timers", "timers")
+        twm = [w for w in series("timers", lambda p: p["watermark"]) if w]
+        if not twm or any(b < a for a, b in zip(twm, twm[1:])):
+            failures.append("timers watermark not monotone non-decreasing")
 
     proc = series("ohlcv", lambda p: p["processedRowsPerSecond"] or 0.0)
     steady = proc[len(proc) // 4 :]
@@ -239,6 +285,15 @@ def main() -> None:
         "watermark_first_last": [wm[0], wm[-1]] if wm else None,
         "ohlcv_final_batch": samples[-1]["ohlcv"]["batchId"] if samples else None,
         "dedup_final_batch": samples[-1]["dedup"]["batchId"] if samples else None,
+        "timers_state_rows_first_last": (
+            [timer_rows[0], timer_rows[-1]] if timer_rows else None
+        ),
+        "timers_state_rows_max": max(timer_rows) if timer_rows else None,
+        "timers_final_batch": (
+            samples[-1]["timers"]["batchId"]
+            if samples and args.with_timers
+            else None
+        ),
         "failures": failures,
         "samples": samples,
     }
