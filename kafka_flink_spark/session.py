@@ -24,7 +24,14 @@ RUNTIME_CONF = {
     # counts are decided from observed sizes, not hard-coded.
     # SPARK_GRAFT_AQE=false is the parity/debug override: no query's
     # CORRECTNESS may depend on AQE (swept both ways each round).
-    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
+    # Normalized so falsy spellings (0/no/off) don't crash the session
+    # build with an opaque IllegalArgumentException.
+    "spark.sql.adaptive.enabled": (
+        "false"
+        if os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
+        in ("false", "0", "no", "off")
+        else "true"
+    ),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas boundary crossing.

@@ -90,80 +90,74 @@ def _load() -> None:
 
 
 # Driver-verification rotation. The correctness driver samples the
-# FIRST 50 queries in iteration order each round; rounds 1-8 covered
-# every registered name at least once, all green (CORRECTNESS_r01-08,
-# VERDICT r8: 293/293, zero never-green). Round 9 executes VERDICT r8
-# task 1 verbatim ("r9 rotation = the 50 stalest driver rows,
-# exactly"): r8 had zero non-green rows and r9 registers no new
-# queries (judge-directed hardening round), so the rotation is
-# precisely the 50 names whose newest green driver row predates
-# round 4 — the 3 round-2-era rows, then all 47 round-3-era rows.
-# After this round no registered query's newest driver row is older
-# than r4 (the r4-era block, 43 names, becomes the r10 queue head).
+# FIRST 50 queries in iteration order each round. Cumulative state
+# after r9: 293/293 registered queries green on their newest driver
+# row, none older than round 4 (VERDICT r9). Round 10 executes
+# VERDICT r9 task 1 verbatim: lead with the two queries whose code
+# changed in r9 AFTER their newest driver row (t40_stupid_backoff_lm,
+# newest row r8; io12_exactly_once_sink, newest row r5 — both
+# judge-verified PASS first-hand but driver rows win), then the 43
+# r4-era rows in their CORRECTNESS_r04 order, then the 5 oldest
+# r5-era rows in their CORRECTNESS_r05 order. After this round no
+# registered query's newest driver row is older than r5.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-2-era rows (3) ----
-    "a3_running_ohlcv_windowed",
-    "v5_knn_graph",
-    "v6_quantized_topk",
-    # ---- round-3-era rows (47): candles/streaming block ----
-    "w8_stateful_running_candles",
-    "w9_stateful_stream_candles",
-    "w11_stream_ohlcv_update",
-    "w12_stream_ohlcv_append",
-    "w14_sliding_windows",
-    "w14_session_windows",
-    "w15_stream_stream_interval_join",
-    "w16_stream_distinct_keys",
-    "w17_stream_complete_mode",
-    "w18_stream_static_join",
-    "w19_stream_cascade_chained",
-    "w20_stream_rollup_merge",
-    # ---- round-3-era: events/sessionization block ----
-    "e1_sessionization",
-    "e2_funnel",
-    "e3_retention_cohorts",
-    "e4_gapfill_hourly",
-    "e5_rolling_zscore",
-    "e6_trailing_range_window",
-    "e7_session_window_native",
-    "e8_mau_wau_stickiness",
-    # ---- round-3-era: grouped/statistical aggregates ----
-    "g10_statistical_aggs",
-    "g11_grouping_sets",
-    "g12_histogram",
-    "g14_boolean_aggs",
-    "g15_count_min_freq",
-    # ---- round-3-era: IO / formats / upsert ----
-    "io2_csv_roundtrip",
-    "io3_json_roundtrip",
-    "io4_orc_roundtrip",
-    "io5_partitioned_pruned_read",
-    "io6_merge_upsert",
-    "io7_small_file_compaction",
-    # ---- round-3-era: sources / envelopes ----
-    "k1_json_envelope_roundtrip",
-    "s6_rich_schema_ingest",
-    "s10_python_datasource_gen",
-    # ---- round-3-era: scalar-function surface ----
-    "sc5_conditional_math_functions",
-    "sc6_regex_functions",
-    "sc7_map_functions",
-    "sc8_bitwise_aggs",
-    "sc9_url_functions",
-    # ---- round-3-era: text/tokenizer + window frames ----
-    "t9_pack_documents",
-    "t15_vocab_encode",
-    "w4_window_frames",
-    # ---- round-3-era: UDF surface ----
-    "u2_pandas_udf_vectorized",
-    "u3_registered_sql_udf",
-    "u6_python_udtf",
-    "u7_pandas_grouped_agg_udaf",
-    "u8_table_arg_udtf",
-    # ---- 50-query budget line (round 9): exactly 3 + 47 = 50 ----
-    # Round-10 rotation queue (replace this tuple at r10 start): lead
-    # with any r9 non-green, then any new r10 registrations, then the
-    # 43 r4-era rows oldest-first.
+    # ---- changed-after-newest-row leads (2) ----
+    "t40_stupid_backoff_lm",
+    "io12_exactly_once_sink",
+    # ---- round-4-era rows (43), CORRECTNESS_r04 order ----
+    "w21_stream_outer_interval_join",
+    "w22_stream_dedup_within_watermark",
+    "w23_stream_full_outer_interval_join",
+    "w24_stream_semi_join",
+    "w25_stream_corpus_ingest",
+    "t16_bpe_pair_counts",
+    "t17_cdc_chunk_dedup",
+    "t18_bigram_lm_score",
+    "t19_ngram_novelty",
+    "t20_inverted_index",
+    "t21_pmi_collocations",
+    "t22_stratified_exact_sample",
+    "t23_dup_substring_spans",
+    "t24_deterministic_shuffle",
+    "t27_substring_dedup_rewrite",
+    "d9_incremental_dedup",
+    "v7_ann_knn_graph",
+    "v8_ivf_learned_topk",
+    "v9_random_projection",
+    "gr2_triangle_count",
+    "pipe5_curriculum_order",
+    "pipe6_temperature_mix",
+    "j8_bloom_prune_semi_join",
+    "j9_asof_join_forward",
+    "j10_range_join_binned",
+    "j11_fuzzy_name_match",
+    "e9_event_transitions",
+    "e10_daily_anomalies",
+    "g17_approx_top_k",
+    "g18_exact_percentiles",
+    "sc10_variant_functions",
+    "sc11_collation_group",
+    "io8_xml_roundtrip",
+    "io9_zorder_layout",
+    "io10_schema_evolution_merge",
+    "io11_dynamic_partition_overwrite",
+    "u9_arrow_python_udf",
+    "m7_real_media_probe",
+    "t29_gopher_quality_rules",
+    "t30_winnowing_fingerprints",
+    "v10_ann_recall_eval",
+    "w5_distribution_ranks",
+    "w26_stream_topk_complete",
+    # ---- oldest round-5-era rows (5), CORRECTNESS_r05 order ----
+    "t31_bm25_scores",
+    "v11_pq_adc_topk",
+    "pipe7_web_corpus_pipeline",
+    "g19_mode_median_minmax_by",
+    "set4_bag_semantics",
+    # ---- 50-query budget line (round 10): exactly 2 + 43 + 5 = 50 ----
+    # Round-11 rotation queue (replace this tuple at r11 start): lead
+    # with any r10 non-green and any queries edited after their newest
+    # driver row, then the remaining r5-era rows oldest-first.
 )
 
 
