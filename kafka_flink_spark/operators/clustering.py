@@ -86,7 +86,19 @@ def _update(assigned: DataFrame) -> DataFrame:
     return (
         assigned.select("cid", F.posexplode("v").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg(F.round(F.avg("val"), 9).alias("m"))
+        # Exact-integer mean (the w14 recipe): nano-quantize each
+        # coordinate, sum the longs (order-independent), ONE IEEE
+        # divide, round back to the 9-dp centroid grid. A raw
+        # round(avg(double), 9) is order-dependent within an ulp and
+        # can straddle the 9-dp boundary differently in Spark vs the
+        # unrolled DuckDB oracle at larger SFs.
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+                / (F.count("*") * 1e9),
+                9,
+            ).alias("m")
+        )
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))

@@ -153,7 +153,13 @@ def sliding_counts_stream(
         .groupBy(F.window("ts", window_duration, slide).alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("n_trades"),
-            F.round(F.avg("price"), 6).alias("avg_price"),
+            # exact micro-quantized mean (w14 integer recipe) so any
+            # cross-engine oracle of this operator is boundary-safe
+            F.round(
+                F.sum(F.round(F.col("price") * 1000000).cast("long")).cast("double")
+                / (F.count("*") * 1000000.0),
+                6,
+            ).alias("avg_price"),
         )
         .select(
             F.col("w.start").alias("window_start"),

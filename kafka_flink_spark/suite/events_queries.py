@@ -954,27 +954,33 @@ WITH per_user AS (
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2
                AS variant,
            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
-           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2)
-               AS revenue
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               AS rev_c
     FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+           CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS conv_a,
+           CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS conv_b,
+           CAST(sum(CASE WHEN variant = 0 THEN rev_c END) AS DOUBLE) AS s_a,
+           CAST(sum(CASE WHEN variant = 1 THEN rev_c END) AS DOUBLE) AS s_b,
+           CAST(sum(CASE WHEN variant = 0 THEN rev_c * rev_c END) AS DOUBLE) AS q_a,
+           CAST(sum(CASE WHEN variant = 1 THEN rev_c * rev_c END) AS DOUBLE) AS q_b
+    FROM per_user
 )
-SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
-       CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
-       CAST(sum(CASE WHEN variant = 0 THEN converted END) AS BIGINT) AS conv_a,
-       CAST(sum(CASE WHEN variant = 1 THEN converted END) AS BIGINT) AS conv_b,
-       round(sum(CASE WHEN variant = 0 THEN converted END) * 1.0 /
-             count(CASE WHEN variant = 0 THEN 1 END), 6) AS rate_a,
-       round(sum(CASE WHEN variant = 1 THEN converted END) * 1.0 /
-             count(CASE WHEN variant = 1 THEN 1 END), 6) AS rate_b,
-       round(avg(CASE WHEN variant = 0 THEN revenue END), 6) AS mean_rev_a,
-       round(avg(CASE WHEN variant = 1 THEN revenue END), 6) AS mean_rev_b,
-       round((avg(CASE WHEN variant = 1 THEN revenue END) -
-              avg(CASE WHEN variant = 0 THEN revenue END)) /
-             sqrt(var_samp(CASE WHEN variant = 0 THEN revenue END) /
-                  count(CASE WHEN variant = 0 THEN 1 END) +
-                  var_samp(CASE WHEN variant = 1 THEN revenue END) /
-                  count(CASE WHEN variant = 1 THEN 1 END)), 6) AS welch_t
-FROM per_user
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round(s_a / (n_a * 100.0), 6) AS mean_rev_a,
+       round(s_b / (n_b * 100.0), 6) AS mean_rev_b,
+       round((s_b / (n_b * 100.0) - s_a / (n_a * 100.0)) /
+             sqrt(((q_a / 10000.0 - (s_a / 100.0) * (s_a / 100.0) / n_a)
+                   / (n_a - 1)) / n_a +
+                  ((q_b / 10000.0 - (s_b / 100.0) * (s_b / 100.0) / n_b)
+                   / (n_b - 1)) / n_b), 6) AS welch_t
+FROM m
 """,
     doc="A/B experiment readout with a Welch two-sample t statistic: "
     "users deterministically split by an md5 hash bit (the portable "
@@ -984,56 +990,79 @@ FROM per_user
     "and per-user revenue mean/variance folded into ONE conditional "
     "aggregation over the per-user relation — no per-variant "
     "self-join, no second pass over the event log. welch_t = "
-    "(mb-ma)/sqrt(va/na + vb/nb) with sample variances; var_samp over "
-    "the NULL-masked conditional column aggregates exactly the "
-    "variant's users on both engines. Scale: one user-keyed exchange "
-    "(partial-aggregable) + one scalar exchange; per-user revenue "
-    "rounded to cents before the moment sums so both engines feed "
-    "identical doubles into mean/variance.",
+    "(mb-ma)/sqrt(va/na + vb/nb) with sample variances computed from "
+    "EXACT integer-cent moment sums (sum rev_c, sum rev_c^2, n per "
+    "variant — the w14 integer recipe generalized to second moments): "
+    "the long sums are order-independent and the mean/variance/t "
+    "doubles derive from them via an expression tree mirrored "
+    "token-for-token in the oracle, so no round(avg|var(double)) "
+    "boundary exists. Scale: one user-keyed exchange "
+    "(partial-aggregable) + one scalar exchange.",
 )
 def e17_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.functions.hashing import md5_long
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    # Per-user revenue in EXACT integer cents (purchase values are
+    # cents-quantized in the fixture): the moment sums below are then
+    # order-independent long sums, and every double in the output is
+    # derived from those exact integers by the same IEEE expression
+    # tree as the oracle — retiring the round(avg(double)) /
+    # round(var_samp(double)) cross-engine boundary class (w14).
     per_user = (
         ev.groupBy("user_id")
         .agg(
             F.max(
                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
             ).alias("converted"),
-            F.round(
-                F.coalesce(
-                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
-                    F.lit(0.0),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
                 ),
-                2,
-            ).alias("revenue"),
+                F.lit(0).cast("long"),
+            ).alias("rev_c"),
         )
         .withColumn("variant", md5_long(F.col("user_id").cast("string")) % 2)
     )
     a = F.col("variant") == 0
     b = F.col("variant") == 1
-    rev_a = F.when(a, F.col("revenue"))
-    rev_b = F.when(b, F.col("revenue"))
-    return per_user.agg(
+    m = per_user.agg(
         F.count(F.when(a, 1)).cast("long").alias("n_a"),
         F.count(F.when(b, 1)).cast("long").alias("n_b"),
         F.sum(F.when(a, F.col("converted"))).cast("long").alias("conv_a"),
         F.sum(F.when(b, F.col("converted"))).cast("long").alias("conv_b"),
+        F.sum(F.when(a, F.col("rev_c"))).cast("double").alias("s_a"),
+        F.sum(F.when(b, F.col("rev_c"))).cast("double").alias("s_b"),
+        F.sum(F.when(a, F.col("rev_c") * F.col("rev_c"))).cast("double").alias("q_a"),
+        F.sum(F.when(b, F.col("rev_c") * F.col("rev_c"))).cast("double").alias("q_b"),
+    )
+    # Welch t from the exact moments; expression tree mirrors the
+    # oracle's token-for-token so each IEEE op matches bit-for-bit.
+    var_a = (
+        F.col("q_a") / 10000.0
+        - (F.col("s_a") / 100.0) * (F.col("s_a") / 100.0) / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") / 10000.0
+        - (F.col("s_b") / 100.0) * (F.col("s_b") / 100.0) / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    mean_a = F.col("s_a") / (F.col("n_a") * 100.0)
+    mean_b = F.col("s_b") / (F.col("n_b") * 100.0)
+    return m.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(F.col("conv_a") * 1.0 / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("conv_b") * 1.0 / F.col("n_b"), 6).alias("rate_b"),
+        F.round(mean_a, 6).alias("mean_rev_a"),
+        F.round(mean_b, 6).alias("mean_rev_b"),
         F.round(
-            F.sum(F.when(a, F.col("converted"))) * F.lit(1.0) / F.count(F.when(a, 1)), 6
-        ).alias("rate_a"),
-        F.round(
-            F.sum(F.when(b, F.col("converted"))) * F.lit(1.0) / F.count(F.when(b, 1)), 6
-        ).alias("rate_b"),
-        F.round(F.avg(rev_a), 6).alias("mean_rev_a"),
-        F.round(F.avg(rev_b), 6).alias("mean_rev_b"),
-        F.round(
-            (F.avg(rev_b) - F.avg(rev_a))
-            / F.sqrt(
-                F.var_samp(rev_a) / F.count(F.when(a, 1))
-                + F.var_samp(rev_b) / F.count(F.when(b, 1))
-            ),
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
             6,
         ).alias("welch_t"),
     )

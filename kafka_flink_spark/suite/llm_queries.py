@@ -706,7 +706,8 @@ survivors AS (SELECT g.* FROM good g JOIN keep k ON g.doc_id = k.doc_id)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_words,
-       round(avg(quality_score), 4) AS avg_quality
+       round(CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 4) AS avg_quality
 FROM survivors
 GROUP BY source
 """,
@@ -735,7 +736,18 @@ def pipe1_document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        # w14 integer recipe: quality_score is a 6-dp value, so the
+        # micro-quantized longs sum exactly (order-independent) and the
+        # single IEEE divide matches DuckDB bit-for-bit — raw
+        # round(avg(double)) is the cross-engine boundary trap the r9
+        # sf0.1 sweep caught on w14.
+        F.round(
+            F.sum(F.round(F.col("quality_score") * 1000000).cast("long")).cast(
+                "double"
+            )
+            / (F.count("*") * 1000000.0),
+            4,
+        ).alias("avg_quality"),
     )
 
 
@@ -2127,7 +2139,9 @@ def _kmeans_ctes(
                 f"""c{i + 1} AS (
     SELECT cid, list(m ORDER BY pos) AS c
     FROM (
-        SELECT cid, pos, round(avg(val), 9) AS m
+        SELECT cid, pos,
+               round(CAST(sum(CAST(round(val * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1000000000.0), 9) AS m
         FROM (
             SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
             FROM a{i}
@@ -4224,9 +4238,10 @@ ab AS (
 )
 SELECT cid AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       round(avg(CASE WHEN greatest(da, db) > 0
-                      THEN (db - da) / greatest(da, db) ELSE 0 END), 6)
-           AS mean_silhouette
+       round(CAST(sum(CAST(round((CASE WHEN greatest(da, db) > 0
+                      THEN (db - da) / greatest(da, db) ELSE 0 END) * 1000000.0)
+                      AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS mean_silhouette
 FROM ab GROUP BY cid
 """
     )
@@ -4284,7 +4299,15 @@ def cl2_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            # w14 integer recipe: micro-quantize each silhouette, sum
+            # the longs exactly, one IEEE divide — order-independent,
+            # unlike round(avg(double), 6) which is a latent
+            # cross-engine boundary trap.
+            F.round(
+                F.sum(F.round(F.col("s") * 1000000.0).cast("long")).cast("double")
+                / (F.count("*") * 1000000.0),
+                6,
+            ).alias("mean_silhouette"),
         )
     )
 

@@ -325,7 +325,12 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1-shaped pricing summary: filter + wide grouped agg; "
-    "partial (map-side) aggregation makes the shuffle O(groups).",
+    "partial (map-side) aggregation makes the shuffle O(groups). "
+    "round(avg)-boundary audit (r10): avg_qty is EXACT by "
+    "construction — l_quantity is integer-valued (fixture-verified), "
+    "so its double sum is exact below 2^53 in any order and both "
+    "engines divide identical sums once; avg_price/avg_disc already "
+    "use the integer-cents recipe.",
 )
 def g1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -405,11 +410,15 @@ def g3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price
+       round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+             / count(*), 4) AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
-    doc="CUBE grouping sets over orders.",
+    doc="CUBE grouping sets over orders. avg_price uses the exact "
+    "integer-cents recipe (o_totalprice is cents-quantized): "
+    "order-independent long sum, one IEEE divide — not the "
+    "round(avg(double)) cross-engine boundary trap (w14).",
 )
 def g4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -417,7 +426,11 @@ def g4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(
+                (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
         )
     )
 
@@ -3001,9 +3014,10 @@ SELECT bin,
        CAST(count(*) AS BIGINT) AS n,
        min(l_extendedprice) AS lo,
        max(l_extendedprice) AS hi,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
-           AS return_rate
+       round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)
+             / count(*), 6) AS avg_price,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS return_rate
 FROM binned
 GROUP BY bin
 """,
@@ -3046,9 +3060,19 @@ def fe1_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.min("l_extendedprice").alias("lo"),
             F.max("l_extendedprice").alias("hi"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            # exact integer-cents mean + exact integer return count:
+            # order-independent sums, one IEEE divide each (the w14
+            # recipe — round(avg(double)) is the latent boundary trap)
             F.round(
-                F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 6
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+                / F.count("*"),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
             ).alias("return_rate"),
         )
     )

@@ -793,7 +793,11 @@ FROM per_key
     "broadcast. Two map-side-combinable aggregations (key counts are "
     "key-cardinality-sized; the summary is one row); at 100 TB this "
     "is the cheap pre-flight you run BEFORE committing a shuffle "
-    "strategy, same plan at any scale.",
+    "strategy, same plan at any scale. round(avg)-boundary audit "
+    "(r10): EXACT by construction — avg/percentile inputs are per-key "
+    "row COUNTS (integers), whose double sums are exact below 2^53 "
+    "regardless of order, so both engines divide identical exact "
+    "sums once; no micro-quantize conversion needed.",
 )
 def qa4_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderdate")
