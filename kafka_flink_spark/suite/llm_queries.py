@@ -4772,22 +4772,23 @@ def t40_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_ann_oracle(k: int = 10, k_graph: int = 8, beam: int = 8, rounds: int = 4, n_entries: int = 8) -> str:
+    """Frontier-lazy unrolled beam search (r10): the old oracle
+    materialized the ENTIRE exact k-NN graph (an all-pairs n^2 cosine
+    relation) before walking it, which exceeded a 60 GB DuckDB spill
+    bound at sf0.1 — the one hole in the 10x attestation. The walk
+    only ever consults the adjacency rows of nodes actually in some
+    query's beam, so each round now computes the exact k_graph
+    neighbors of JUST the current frontier (<= n_queries x beam
+    nodes): per-round cost falls from n^2 to |frontier| x n cosines
+    with bit-identical results (the per-src row_number window over
+    the same (round(cos,6) DESC, id) order is unchanged; restricting
+    src before the window cannot change a per-src ranking)."""
     ids = ", ".join(str(i) for i in _QUERY_IDS)
     cos = _duck_cosine("q.qv", "e.v")
     entry_hash = _md5l("'gann:' || CAST(query_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
     n_entries_plus_1 = n_entries + 1
     parts = [
         f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-g AS (
-    SELECT query_id AS src, neighbor_id AS dst FROM (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               round({_duck_cosine("a.v", "b.v")}, 6) AS cos_sim,
-               row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY round({_duck_cosine("a.v", "b.v")}, 6) DESC,
-                            b.vec_id) AS rn
-        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
-    WHERE rn <= {k_graph}
-),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
 n AS (SELECT count(*) AS n FROM e),
 f0 AS (SELECT DISTINCT query_id, node FROM (
@@ -4803,8 +4804,18 @@ s0 AS (SELECT c.query_id, c.node, round({cos}, 6) AS cs
     all_s = ["s0"]
     for r in range(1, rounds + 1):
         parts.append(f""",
+g{r} AS (
+    SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round({_duck_cosine("a.v", "b.v")}, 6) DESC,
+                            b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id IN (SELECT node FROM {prev}))
+    WHERE rn <= {k_graph}
+),
 c{r} AS (SELECT DISTINCT query_id, node FROM (
-    SELECT f.query_id, g.dst AS node FROM {prev} f JOIN g ON f.node = g.src
+    SELECT f.query_id, g.dst AS node FROM {prev} f JOIN g{r} g ON f.node = g.src
     UNION ALL SELECT query_id, node FROM {prev})
     WHERE node <> query_id),
 s{r} AS (SELECT c.query_id, c.node, round({cos}, 6) AS cs
