@@ -187,6 +187,13 @@ def kmeans_profile(
     assigned = kmeans_fit(df, k, iterations, id_col, vec_col, checkpoint_dir)
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").cast("long").alias("n_members"),
-        F.round(F.sum("d2"), 4).alias("inertia"),
+        # micro-quantized exact sum (w14 recipe): a raw
+        # round(sum(double), 4) over member distances is float-sum-order
+        # dependent and can straddle the 4-dp boundary differently per
+        # engine at larger member counts
+        F.round(
+            F.sum(F.round(F.col("d2") * 1e6).cast("long")).cast("double") / 1e6,
+            4,
+        ).alias("inertia"),
         F.min(id_col).alias("min_member"),
     )

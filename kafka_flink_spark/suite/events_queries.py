@@ -1117,8 +1117,9 @@ rated AS (
 SELECT event_type,
        CAST(max(n0) AS BIGINT) AS n_ref,
        CAST(max(n1) AS BIGINT) AS n_cur,
-       round(sum(((c1 + 0.5) / (n1 + 5.0) - (c0 + 0.5) / (n0 + 5.0))
-                 * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c0 + 0.5) / (n0 + 5.0)))), 6)
+       round(CAST(sum(CAST(round(((c1 + 0.5) / (n1 + 5.0) - (c0 + 0.5) / (n0 + 5.0))
+                 * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c0 + 0.5) / (n0 + 5.0)))
+                 * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6)
            AS psi
 FROM rated
 GROUP BY event_type
@@ -1194,7 +1195,16 @@ def qa3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rated.groupBy("event_type").agg(
         F.max("n0").cast("long").alias("n_ref"),
         F.max("n1").cast("long").alias("n_cur"),
-        F.round(F.sum((r1 - r0) * F.log(r1 / r0)), 6).alias("psi"),
+        # per-bin terms nano-quantized to exact longs before the sum
+        # (w14 recipe): the 10-term float sum is otherwise order- and
+        # engine-dependent within an ulp of the 6-dp boundary
+        F.round(
+            F.sum(F.round((r1 - r0) * F.log(r1 / r0) * 1e9).cast("long")).cast(
+                "double"
+            )
+            / 1e9,
+            6,
+        ).alias("psi"),
     )
 
 

@@ -129,7 +129,8 @@ def io3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           AS total_price
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
@@ -162,7 +163,10 @@ def io5_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("total_price"),
         )
     )
 
@@ -246,7 +250,8 @@ def io6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-       round(sum(o_totalprice), 2) AS total_price
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           AS total_price
 FROM orders
 """,
     doc="Small-file compaction — the table-maintenance op every "
@@ -281,7 +286,9 @@ def io7_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compact_dir).agg(
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+        ).alias("total_price"),
     )
 
 
@@ -694,7 +701,8 @@ def io14_key_deletion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice), 2) AS revenue
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+           AS revenue
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -717,7 +725,9 @@ def io15_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         F.count("*").cast("long").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2
+        ).alias("revenue"),
     )
 
 
@@ -1127,7 +1137,8 @@ WITH dim AS (
 )
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS total_price
+       round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           AS total_price
 FROM orders o JOIN dim d ON o.o_orderpriority = d.priority
 WHERE d.urgency_rank <= 2
 GROUP BY o.o_orderpriority
@@ -1171,6 +1182,9 @@ def io22_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("total_price"),
         )
     )

@@ -2155,7 +2155,8 @@ def _kmeans_ctes(
 def _kmeans_oracle(k: int = 8, iterations: int = 2, dim: int = S.EMBED_DIM) -> str:
     sel = f"""
 SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-       round(sum(d2), 4) AS inertia, min(vec_id) AS min_member
+       round(CAST(sum(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS inertia, min(vec_id) AS min_member
 FROM a{iterations} GROUP BY cid
 """
     return ",\n".join(_kmeans_ctes(k, iterations, dim)) + sel

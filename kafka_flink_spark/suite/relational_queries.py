@@ -312,7 +312,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+           AS sum_base_price,
        {_rev_sum_sql()} AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) / count(*), 4)
@@ -339,7 +340,11 @@ def g1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("sum_base_price"),
             _rev_sum(1 - F.col("l_discount")).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
@@ -385,7 +390,8 @@ def g2_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name, c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_balance
+       round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+           AS total_balance
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
 """,
@@ -400,7 +406,9 @@ def g3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("total_balance"),
         )
     )
 
@@ -828,8 +836,12 @@ def g7_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g8_pivot",
     oracle="""
 SELECT l_returnflag,
-       round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 0.0), 2) AS "F",
-       round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 0.0), 2) AS "O"
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0)
+             / 100.0, 2) AS "F",
+       round(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0)
+             / 100.0, 2) AS "O"
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -845,7 +857,13 @@ def g8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_extendedprice"), 2))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            )
+        )
     )
     return pivoted.select(
         "l_returnflag",
@@ -1183,9 +1201,12 @@ def q_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_idle_rich_customers",
     oracle="""
 SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+           AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c.c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                                 AS DOUBLE) / (count(*) * 100.0)
+                     FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c.c_nationkey
 """,
@@ -1198,7 +1219,12 @@ GROUP BY c.c_nationkey
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("threshold"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / (F.count("*") * 100.0)
+        ).alias("threshold")
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("threshold"))
@@ -1206,7 +1232,9 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("totacctbal"),
         )
     )
 
@@ -1648,7 +1676,8 @@ WITH RECURSIVE months(m, hi) AS (
 ),
 rev AS (
     SELECT date_trunc('MONTH', o_orderdate) AS m,
-           round(sum(o_totalprice), 2) AS revenue,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue,
            count(*) AS n_orders
     FROM orders
     GROUP BY date_trunc('MONTH', o_orderdate)
@@ -1669,7 +1698,8 @@ WITH RECURSIVE months(m, hi) AS (
 ),
 rev AS (
     SELECT date_trunc('month', o_orderdate) AS m,
-           round(sum(o_totalprice), 2) AS revenue,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue,
            count(*) AS n_orders
     FROM orders
     GROUP BY date_trunc('month', o_orderdate)
@@ -1820,7 +1850,8 @@ def sc9_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH yearly AS (
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS yr,
-           round(sum(o.o_totalprice), 2) AS revenue
+           round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1846,7 +1877,12 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("revenue")
+        )
     )
     w = Window.partitionBy("nation").orderBy("yr")
     return yearly.select(
@@ -2710,10 +2746,10 @@ SELECT 'not_exists_equivalent',
 
 @register(
     "j12_salted_skew_join",
-    oracle="""
+    oracle=f"""
 SELECT CAST(s_nationkey AS BIGINT) AS nation,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_rev_sum_sql()} AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """,
@@ -2742,9 +2778,7 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, sup, on="l_suppkey", num_salts=8)
     return joined.groupBy(F.col("s_nationkey").cast("long").alias("nation")).agg(
         F.count("*").cast("long").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _rev_sum(1 - F.col("l_discount")).alias("revenue"),
     )
 
 

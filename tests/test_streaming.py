@@ -1676,3 +1676,45 @@ def test_soak_smoke_60s():
         assert wm and wm[0] <= wm[1]
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SOAK") != "1",
+    reason="env-gated (two child JVMs + ~5 min wall): set SPARK_GRAFT_SOAK=1",
+)
+def test_soak_kill_restart_smoke():
+    """One-command gate for the crash-restart soak mode
+    (scripts/soak_stream.py --kill-at; the full-rate run is recorded
+    in STREAM_SOAK_KILL.json / SCALING.md): SIGKILL the resident
+    process group mid-micro-batch, restart from the same RocksDB
+    changelog checkpoint, and the orchestrator must prove watermark
+    resumption, state restore/plateau continuity, and exactly-once
+    finals (gapless complete (product, window) grid via the parquet
+    sink's _spark_metadata committed view)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    tmpdir = tempfile.mkdtemp(prefix="soakkill_")
+    out = os.path.join(tmpdir, "kill.json")
+    try:
+        subprocess.run(
+            [
+                _sys.executable, "scripts/soak_stream.py",
+                "--secs", "280", "--kill-at", "140",
+                "--ohlcv-rate", "20000", "--dedup-rate", "2000",
+                "--doc-universe", "20000", "--sample-every", "10",
+                "--out", out,
+            ],
+            check=True,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        summary = json.load(open(out))
+        assert summary["failures"] == []
+        assert summary["finals_windows"] >= 2
+        assert summary["finals_rows_per_window"] == [2000]
+        assert summary["watermark_phase2_first"] >= summary["watermark_phase1_last"]
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
