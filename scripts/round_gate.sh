@@ -23,8 +23,10 @@ rc=0
 for sf in "${sfs[@]}"; do
     log="SWEEP_${sf}.log"
     echo "=== full-registry strict sweep at ${sf} -> ${log} ==="
-    python3 scripts/driver_sim.py 1000000000 "/root/testdata/${sf}" 2>&1 \
-        | grep -v "WARN\|Stage\|^\[" | tee "${log}" | tail -3
+    # keep stderr (Spark progress bars, \r-terminated) out of the log:
+    # merged streams interleave mid-line and eat per-query rows
+    python3 scripts/driver_sim.py 1000000000 "/root/testdata/${sf}" \
+        2>"${log}.err" | tee "${log}" | tail -3
     tail -1 "${log}" | grep -q " 0 fail " || rc=1
 done
 exit ${rc}
