@@ -86,7 +86,7 @@ def hybrid_retrieval_rrf(
     rrf_e12, rn). ``emb`` rows are the corpus documents' embeddings
     (``vec_id`` == ``doc_id`` in the fixture). The query document
     itself is excluded from both arms."""
-    from kafka_flink_spark.operators.similarity import _as_double, cosine
+    from kafka_flink_spark.operators.similarity import _as_double, cosine_pre, norm
 
     qt = query_terms(docs, query_ids, n_query_terms, text_col, doc_id_col)
 
@@ -146,11 +146,17 @@ def hybrid_retrieval_rrf(
     )
 
     # ---- vector arm: brute-force cosine shortlist (v1 contract) ----
+    # norms carried per vector row (cosine_pre): once per row, not
+    # once per (query, doc) scored pair — value-identical
     base = emb.select(
-        F.col(vec_id_col).alias(doc_id_col), _as_double(vec_col).alias("v")
+        F.col(vec_id_col).alias(doc_id_col),
+        _as_double(vec_col).alias("v"),
+        norm(_as_double(vec_col)).alias("nv"),
     )
     qv = base.filter(F.col(doc_id_col).isin(*query_ids)).select(
-        F.col(doc_id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(doc_id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
     )
     wv = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc(doc_id_col))
     vec = (
@@ -159,7 +165,9 @@ def hybrid_retrieval_rrf(
         .select(
             "query_id",
             doc_id_col,
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")), 6
+            ).alias("cos6"),
         )
         .withColumn("vec_rank", F.row_number().over(wv))
         .filter(F.col("vec_rank") <= vec_shortlist)

@@ -49,6 +49,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms: ``dot(a,b) / (na*nb)`` where
+    ``na``/``nb`` are ``norm()`` columns carried on each vector's own
+    relation. Value-identical to :func:`cosine` — the norm expression
+    and its operand rows are the same, it just evaluates once per
+    VECTOR instead of once per scored PAIR — which removes two thirds
+    of the per-pair fold work in pair-scoring joins (guide §1.2
+    step 2: make the per-task work cheaper without changing the
+    distributed shape)."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,17 +75,27 @@ def cosine_topk(
     (query, score) — shuffle size = |corpus| × |queries| score rows,
     never the embeddings themselves.
     """
+    # Norms computed in each side's OWN projection (once per vector
+    # row) rather than per scored pair — value-identical (cosine_pre).
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -120,9 +142,12 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -130,7 +155,9 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -266,33 +293,60 @@ def ivf_topk(
         cents = centroids.select(
             F.col("cid").cast("long").alias("cid"),
             F.col("c").alias("centroid"),
+            norm(F.col("c")).alias("cen"),
         )
     else:
         cents = (
             corpus.orderBy(id_col)
             .limit(n_cells)
-            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
+            .select(
+                F.col(id_col).alias("cid"),
+                _as_double(vec_col).alias("centroid"),
+                norm(_as_double(vec_col)).alias("cen"),
+            )
         )
     # Deterministic argmax-cosine assignment: max cos, ties to low cid.
     order_key = lambda cos_col: F.struct(  # noqa: E731
         cos_col.alias("cos"), (-F.col("cid")).cast("double").alias("tb")
     )
     c_scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            norm(_as_double(vec_col)).alias("cn"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine(F.col("cv"), F.col("centroid")), 6))
+        .withColumn(
+            "cos_c",
+            F.round(
+                cosine_pre(F.col("cv"), F.col("centroid"), F.col("cn"), F.col("cen")),
+                6,
+            ),
+        )
     )
     assigned = c_scored.groupBy("neighbor_id").agg(
         F.max_by("cid", order_key(F.col("cos_c"))).alias("cell")
     )
     corpus_cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
     ).join(assigned, "neighbor_id")
 
     q_scored = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            norm(_as_double(vec_col)).alias("qn"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+        .withColumn(
+            "cos_c",
+            F.round(
+                cosine_pre(F.col("qv"), F.col("centroid"), F.col("qn"), F.col("cen")),
+                6,
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cos_c"), F.asc("cid")
@@ -300,7 +354,7 @@ def ivf_topk(
     probes = (
         q_scored.withColumn("prn", F.row_number().over(wq))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
     )
     scored = (
         corpus_cells.join(F.broadcast(probes), "cell")
@@ -308,7 +362,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -348,12 +404,26 @@ def semantic_dedup_pairs(
     cents = (
         corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("centroid"))
+        .select(
+            F.col(id_col).alias("cid"),
+            _as_double(vec_col).alias("centroid"),
+            norm(_as_double(vec_col)).alias("cen"),
+        )
     )
     scored = (
-        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            _as_double(vec_col).alias("v"),
+            norm(_as_double(vec_col)).alias("nv"),
+        )
         .crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine(F.col("v"), F.col("centroid")), 6))
+        .withColumn(
+            "cos_c",
+            F.round(
+                cosine_pre(F.col("v"), F.col("centroid"), F.col("nv"), F.col("cen")),
+                6,
+            ),
+        )
     )
     # Deterministic argmax-cosine assignment: max cos, ties to low cid.
     assigned = scored.groupBy("vid").agg(
@@ -365,19 +435,30 @@ def semantic_dedup_pairs(
         ).alias("cell")
     )
     clustered = (
-        corpus.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            _as_double(vec_col).alias("v"),
+            norm(_as_double(vec_col)).alias("nv"),
+        )
         .join(assigned, "vid")
     )
     a = clustered.select(
-        F.col("cell"), F.col("vid").alias("id_a"), F.col("v").alias("va")
+        F.col("cell"), F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = clustered.select(
-        F.col("cell"), F.col("vid").alias("id_b"), F.col("v").alias("vb")
+        F.col("cell"), F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     return (
         a.join(b, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= min_cosine)
         .select("id_a", "id_b", "cell", "cos_sim")
     )
@@ -401,9 +482,12 @@ def multiprobe_lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
     probes = F.array(
         F.col("bucket"),
@@ -413,7 +497,7 @@ def multiprobe_lsh_ann_topk(
         ],
     )
     q_probed = q.select(
-        "query_id", "qv", F.explode(probes).alias("bucket")
+        "query_id", "qv", "qn", F.explode(probes).alias("bucket")
     )
     scored = (
         c.join(F.broadcast(q_probed), "bucket")
@@ -421,7 +505,9 @@ def multiprobe_lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -1057,6 +1143,11 @@ def ivfpq_rerank_topk(
     cand = ivfpq_adc_topk(
         corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, **ivfpq_kwargs
     ).select("query_id", "neighbor_id")
+    # NOTE: no norm-carry here (unlike the corpus-scoring ops) — the
+    # rescore touches only |queries| x n_candidates rows AFTER the
+    # broadcast semi-probe, so per-pair cosine is already the cheaper
+    # side; a norm column in the base projection would evaluate for
+    # every corpus row instead (measured +16% at sf0.1).
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     )
@@ -1126,12 +1217,21 @@ def nn_descent(
     if k < 1 or rounds < 1:
         raise ValueError(f"k and rounds must be >= 1: k={k} rounds={rounds}")
     _ck = lineage_truncator(df.sparkSession, checkpoint_dir)
-    vecs = df.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")).transform(
-        _ck
-    )
+    # The norm rides the pinned vector relation: computed ONCE per
+    # vector at materialization instead of once per scored pair
+    # (cosine_pre — value-identical; the scoring joins are the
+    # O(n·k²)-pairs-per-round hot path).
+    base_v = _as_double(vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("vid"), base_v.alias("v"), norm(base_v).alias("nv")
+    ).transform(_ck)
     n = vecs.count()
-    va = vecs.select(F.col("vid").alias("_ida"), F.col("v").alias("_va"))
-    vb = vecs.select(F.col("vid").alias("_idb"), F.col("v").alias("_vb"))
+    va = vecs.select(
+        F.col("vid").alias("_ida"), F.col("v").alias("_va"), F.col("nv").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("vid").alias("_idb"), F.col("v").alias("_vb"), F.col("nv").alias("_nb")
+    )
 
     def score(pairs: DataFrame) -> DataFrame:
         """Exact cosine for canonical (a < b) id pairs."""
@@ -1141,7 +1241,12 @@ def nn_descent(
             .select(
                 "a",
                 "b",
-                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("c"),
+                F.round(
+                    cosine_pre(
+                        F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                    ),
+                    6,
+                ).alias("c"),
             )
         )
 
@@ -1274,7 +1379,12 @@ def graph_ann_search(
     """
     from pyspark.sql.window import Window
 
-    base = df.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
+    # Norm carried on each side's own relation (cosine_pre): computed
+    # once per vector row per scan, not once per (query, candidate).
+    base_v = _as_double(vec_col)
+    base = df.select(
+        F.col(id_col).alias("nid"), base_v.alias("v"), norm(base_v).alias("nv")
+    )
     g = graph if graph is not None else knn_graph(df, k=k_graph, id_col=id_col, vec_col=vec_col)
     # Pin the edge relation: every round joins it, and without the
     # checkpoint the final DAG re-embeds the whole index-build subtree
@@ -1284,7 +1394,7 @@ def graph_ann_search(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
     qv = base.filter(F.col("nid").isin(*query_ids)).select(
-        F.col("nid").alias("query_id"), F.col("v").alias("qv")
+        F.col("nid").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("qn")
     )
 
     def scored(cands: DataFrame) -> DataFrame:
@@ -1296,7 +1406,9 @@ def graph_ann_search(
             .select(
                 "query_id",
                 "node",
-                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cs"),
+                F.round(
+                    cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")), 6
+                ).alias("cs"),
             )
         )
 
@@ -1326,7 +1438,15 @@ def graph_ann_search(
         .distinct()
     )
     frontier = entry
-    visited = scored(entry)
+    # Per-round lineage truncation (operators/iterative.py rationale):
+    # `sc` feeds BOTH the next round's frontier and the visited union,
+    # and the frontier chain nests per round — without the checkpoint
+    # the final DAG re-embeds round r's scoring subtree ~2^(rounds-r)
+    # times (the r10 shuffle census measured this plan at 62
+    # Exchanges), so analysis + codegen cost grows exponentially in
+    # the round count. Each checkpoint is beam/visited-sized (ids +
+    # one double per row), never vectors; values are unchanged.
+    visited = scored(entry).localCheckpoint()
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("node"))
     for _ in range(rounds):
         expanded = (
@@ -1335,7 +1455,7 @@ def graph_ann_search(
             .unionByName(frontier.select("query_id", "node"))
             .filter(F.col("node") != F.col("query_id"))
         )
-        sc = scored(expanded)
+        sc = scored(expanded).localCheckpoint()
         frontier = (
             sc.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= beam)
