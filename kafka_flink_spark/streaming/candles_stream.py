@@ -191,21 +191,47 @@ def session_counts_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str, name: str | None = None) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str,
+    name: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming frame to completion (availableNow trigger →
     memory sink) and return the materialized result. The test/replay
     harness: production pipelines point the same frame at Kafka/JDBC
     sinks instead.
+
+    ``shuffle_partitions`` sizes the STATE-STORE partition count for
+    the replay (stateful operators pin it at first checkpoint). A
+    streaming query pays state-store open/commit PER PARTITION PER
+    MICRO-BATCH, so partition count should track key cardinality and
+    sustained throughput, not the batch shuffle default — the
+    measured curve on the 2k-key OHLCV replay is 32 partitions ->
+    42k ev/s, 16 -> 64k, 8 -> 72k (SCALING.md; the same rationale
+    bench.py's throughput replay documents), and the replay fixtures
+    here have at most a few thousand keys. Default: the
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` env (fall back 8); production
+    resident jobs size it to keys × rate before first checkpoint —
+    see session.cluster_conf(). Results are partition-count-
+    independent (all stateful ops are keyed; swept across providers
+    and AQE modes in earlier rounds), so this is physical-plan only.
 
     The memory-sink temp table and mkdtemp checkpoint are transient:
     the result is cached and pinned, then the view is dropped and the
     checkpoint dir deleted, so repeated calls (tests, bench loops)
     don't accumulate driver memory or disk.
     """
+    import os
+
     name = name or f"q_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     spark = stream_df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -219,6 +245,7 @@ def run_available_now(stream_df: DataFrame, output_mode: str, name: str | None =
         result.count()  # pin before the backing view disappears
         return result
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
             spark.catalog.dropTempView(name)
         except Exception:

@@ -2014,6 +2014,39 @@ def g17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Directed co-purchase edge set (both orientations, src != dst,
+    distinct) via per-order basket expansion — value-identical to the
+    lineitem orderkey self-join (same pair multiset before the
+    distinct) but narrow where the self-join shuffles the fact table:
+    baskets per order are bounded, so groupBy + per-row expansion is
+    one exchange + codegen work (the gr2/gr3 technique; measured
+    2.9s -> 1.7s warm at sf0.1 for the build alone)."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    return (
+        per_order.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("ps"),
+                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                            ),
+                            lambda st: st["src"] != st["dst"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     from kafka_flink_spark.operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
 
@@ -2064,20 +2097,12 @@ def gr1_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Edge build as an orderkey self-join (exchange reused across the
-    # two aliases). pagerank localCheckpoints the edge relation before
-    # deriving degrees, so this expensive self-join + distinct executes
-    # exactly once regardless of how many downstream consumers read it.
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # Edge build via per-order basket expansion (_copurchase_edges:
+    # same pair set as the orderkey self-join, no fact-table
+    # self-join). pagerank localCheckpoints the edge relation before
+    # deriving degrees, so the build + distinct executes exactly once
+    # regardless of how many downstream consumers read it.
+    edges = _copurchase_edges(li)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     pr = pagerank(nodes, edges, "id", iterations=5)
     return pr.select(F.col("id").alias("part_id"), F.col("pr").alias("pr_e12"))
@@ -2891,16 +2916,9 @@ def gr4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # basket-expansion edge build (_copurchase_edges: same pair set
+    # as the orderkey self-join, no fact-table self-join)
+    edges = _copurchase_edges(li)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     lp = label_propagation(nodes, edges, "id", iterations=2)
     return lp.select(
@@ -3009,16 +3027,9 @@ def gr5_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import bfs_levels
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # basket-expansion edge build (_copurchase_edges: same pair set
+    # as the orderkey self-join, no fact-table self-join)
+    edges = _copurchase_edges(li)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     first_order = li.agg(F.min("l_orderkey").alias("k"))
     seed = (
@@ -3235,18 +3246,30 @@ def gr6_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # basket-expansion build of the order-carrying pair relation —
+    # same (ok, src, dst) distinct set as the orderkey self-join
+    # (_copurchase_edges rationale), fact table never self-joins
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
         .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+            F.col("l_orderkey").alias("ok"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda x: F.filter(
+                            F.transform(
+                                F.col("ps"),
+                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                            ),
+                            lambda st: st["src"] != st["dst"],
+                        ),
+                    )
+                )
+            ).alias("p"),
         )
+        .select("ok", "p.src", "p.dst")
         .distinct()
     )
     edges = (
@@ -3331,16 +3354,9 @@ def gr7_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import personalized_pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # basket-expansion edge build (_copurchase_edges: same pair set
+    # as the orderkey self-join, no fact-table self-join)
+    edges = _copurchase_edges(li)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     first_order = li.agg(F.min("l_orderkey").alias("k"))
     seeds = (
@@ -3782,17 +3798,9 @@ def gr9_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import label_propagation, modularity
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint()  # consumed by LPA and by the modularity fold
-    )
+    # basket-expansion edge build (_copurchase_edges: same pair set
+    # as the orderkey self-join, no fact-table self-join)
+    edges = _copurchase_edges(li).localCheckpoint()  # read by LPA + modularity
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     lp = label_propagation(nodes, edges, "id", iterations=2)
     labels = lp.select("id", F.col("community_id").alias("label"))
