@@ -223,22 +223,29 @@ def minhash_lsh_pairs(
     # a quadratic PAIR SET is inherent to emitting all pairs, but no
     # join input is ever quadratic-amplified (×num_bands) anymore.
     # The signature relation feeds the member mapping, the rep table,
-    # and (through them) every downstream join — persist it ONCE, or
-    # the corpus-wide signature aggregation (the dominant cost) re-runs
-    # per derivation. num_perms+2 longs per doc: bounded, evictable.
+    # and (through them) every downstream join. EAGER localCheckpoint
+    # (not a lazy persist): the final job reads it from 3+ branches
+    # concurrently, and a lazy cache races partition-level — measured
+    # at the bench corpus (r12), up to 3x duplicate executions of the
+    # corpus-wide signature aggregation plus repeated Catalyst
+    # re-analysis of the full lineage; pinning it once took the whole
+    # pair path from 3.4s to 1.6s. num_perms+2 longs per doc: bounded.
+    # Durability note: executor-local blocks (guide §5) — acceptable
+    # because the relation is cheap to rebuild relative to the query.
     sigs = sigs.withColumn(
         "_gfp", F.md5(F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols]))
-    ).persist()
+    ).localCheckpoint()
     # doc → signature-group mapping; feeds the within-group self-join
     # and both expansion joins (narrow: id + 32-char fp per doc).
     members = sigs.select(F.col(id_col), "_gfp")
     # one representative row per distinct signature (map-side min over
-    # the cached signatures); persisted because the banding self-join
-    # reads it from two aliases (exchange reuse doesn't fire there, so
-    # an unpersisted rep relation recomputes per alias). Persists here
-    # are LAZY: an eager count() barrier per cached relation cost more
-    # wall (one extra job each) than the partition-level duplicate
-    # compute the cache race can cause — measured at the bench corpus.
+    # the pinned signatures); checkpointed because the banding
+    # self-join reads it from two aliases plus the dup-group filter
+    # (exchange reuse doesn't fire across aliased self-joins). Eager
+    # localCheckpoint over lazy persist: re-measured in r12, the lazy
+    # cache race + lineage re-analysis cost ~2x the extra
+    # materialization jobs (the r5-era "lazy wins" measurement did not
+    # hold at the current operator shape).
     reps = (
         sigs.groupBy("_gfp")
         .agg(
@@ -246,7 +253,7 @@ def minhash_lsh_pairs(
             F.count("*").alias("_n"),
             *[F.first(c).alias(c) for c in sig_cols],
         )
-        .persist()
+        .localCheckpoint()
     )
     band_arr = F.array(
         *[
@@ -272,14 +279,15 @@ def minhash_lsh_pairs(
         # partitioning is exactly what the self-join requires, so no
         # additional corpus-sized exchange appears.
         # The windowed relation feeds three consumers (both self-join
-        # sides + the star path); persist so the window subplan runs
-        # once, not thrice. num_bands rows of a few longs per distinct
-        # signature — bounded, evictable.
+        # sides + the star path); eager localCheckpoint so the window
+        # subplan runs once, not thrice (same r12 measurement as sigs/
+        # reps above). num_bands rows of a few longs per distinct
+        # signature — bounded.
         banded = banded.select(
             "*",
             F.count("*").over(wspec).alias("_bn"),
             F.min(F.struct("_rep", "_gfp")).over(wspec).alias("_hub"),
-        ).persist()
+        ).localCheckpoint()
         small = banded.filter(F.col("_bn") <= bucket_cap)
         big = banded.filter(F.col("_bn") > bucket_cap)
         star_pairs = big.filter(F.col("_gfp") != F.col("_hub._gfp")).select(
@@ -335,10 +343,10 @@ def minhash_lsh_pairs(
     # and each unordered pair appears exactly once — no dropDuplicates.
     cand = cross.unionByName(within)
     # cand feeds three branches (both id sides and the verify join);
-    # the persist stops the banding join from re-running per branch.
+    # the eager pin stops the banding join from re-running per branch.
     # Candidate pairs are orders of magnitude fewer than the corpus —
-    # near-identical docs are rare by mass — so this cache is tiny.
-    cand = cand.persist()
+    # near-identical docs are rare by mass — so this pin is tiny.
+    cand = cand.localCheckpoint()
     # Exact-Jaccard verification over candidate docs only: the shingle
     # arrays are recomputed just for ids surviving banding (the semi
     # join is on the id column, so Catalyst defers the shingle
@@ -352,7 +360,7 @@ def minhash_lsh_pairs(
     cand_sh = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), shingle_array(col).alias("sh"))
-        .persist()
+        .localCheckpoint()  # read by both verify sides (r12: eager pin)
     )
     sa = cand_sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = cand_sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -598,22 +606,22 @@ def simhash_near_pairs(
     preserved; non-hub member pairs are dropped unless they first-
     match in a small bucket). ``bucket_cap=None`` disables the cap.
     """
-    # Validate banding parameters BEFORE the persist below — an
-    # invalid num_chunks raising after .persist() would leave a
-    # registered relation nobody unpersists (ADVICE r5).
+    # Validate banding parameters BEFORE the pin below — an invalid
+    # num_chunks raising after materialization would have burned a
+    # checkpoint job for nothing (ADVICE r5).
     if num_chunks is not None and num_chunks <= max_hamming:
         raise ValueError(
             f"num_chunks ({num_chunks}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole recall guarantee"
         )
     # Signatures feed BOTH sides of the bucket self-join; without
-    # persistence Spark recomputes the 60-vote aggregation per side
-    # (exchange reuse doesn't fire across the aliased self-join). The
-    # persist is LAZY: both sides can race the cold cache inside one
-    # job, but the partition-level duplicate compute that causes costs
-    # less wall than an eager count() barrier job (measured at the
-    # bench corpus). One long per doc — bounded, MEMORY_AND_DISK.
-    sigs = simhash(df, col, id_col).persist()
+    # pinning Spark recomputes the 60-vote aggregation per side
+    # (exchange reuse doesn't fire across the aliased self-join).
+    # Eager localCheckpoint over the earlier lazy persist: re-measured
+    # in r12 (see minhash_lsh_pairs), the cache race + lineage
+    # re-analysis cost more than the one materialization job. One
+    # long per doc — bounded.
+    sigs = simhash(df, col, id_col).localCheckpoint()
     return hamming_near_pairs(
         sigs,
         id_col=id_col,
@@ -660,7 +668,7 @@ def hamming_near_pairs(
     reps = (
         sigs.groupBy("simhash")
         .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
-        .persist()
+        .localCheckpoint()  # banding + dup-group consumers (r12 pin)
     )
     base, extra = divmod(SIMHASH_BITS, num_chunks)
     chunk_cols, start = [], 0
@@ -698,14 +706,14 @@ def hamming_near_pairs(
         from pyspark.sql import Window
 
         wspec = Window.partitionBy("chunk_id", "chunk_key")
-        # Three consumers (both self-join sides + star) — persist so
+        # Three consumers (both self-join sides + star) — eager pin so
         # the window subplan runs once; num_chunks rows of three longs
         # per distinct signature.
         banded = banded.select(
             "*",
             F.count("*").over(wspec).alias("_bn"),
             F.min(F.struct("_rep", "simhash")).over(wspec).alias("_hub"),
-        ).persist()
+        ).localCheckpoint()
         small = banded.filter(F.col("_bn") <= bucket_cap)
         star_xor = F.col("simhash").bitwiseXOR(F.col("_hub.simhash"))
         star_pairs = (
@@ -849,49 +857,60 @@ def dedup_clusters(
             n_endpoints = edges.select("src").distinct().count()
             broadcast_labels = (n_ids + n_endpoints) <= BROADCAST_NODE_LIMIT
     _bc = F.broadcast if broadcast_labels else (lambda df: df)
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for it in range(max_iterations):
         lb = _bc(labels)
         neighbor = edges.join(lb, edges.dst == lb[id_col]).select(
-            F.col("src").alias(id_col), "cluster_id"
+            F.col("src").alias(id_col),
+            "cluster_id",
+            F.lit(None).cast(labels.schema["cluster_id"].dataType).alias("_old"),
         )
+        # The previous round's label rides the SELF row of the union
+        # (each id contributes exactly one labels row, so max(_old)
+        # recovers it per group) — no third join/broadcast needed to
+        # attach it. Edge endpoints absent from ``ids`` enter the
+        # label relation as RELAY nodes (they carry connectivity
+        # between listed nodes); a relay's first appearance has only
+        # neighbor rows, so its _old aggregates to NULL and it counts
+        # as changed via the null-safe comparison below.
         propagated = (
-            labels.unionByName(neighbor)
+            labels.withColumn("_old", F.col("cluster_id"))
+            .unionByName(neighbor)
             .groupBy(id_col)
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("_old").alias("_old"),
+            )
         )
         # Pointer doubling: follow cluster_id -> that node's cluster_id.
         parent = propagated.select(
             F.col(id_col).alias("_pid"), F.col("cluster_id").alias("_pcluster")
         )
-        # The previous round's label rides along into the ONE
-        # materialized plan, so the convergence check below is a
-        # shuffle-free filter+count over checkpointed rows instead of
-        # a per-round join job — at local-mode job overhead (~0.5 s a
-        # job) that join was a third of the whole operator's wall.
-        # LEFT join: edge endpoints absent from ``ids`` enter the
-        # label relation as RELAY nodes (they carry connectivity
-        # between listed nodes; an inner join here would sever any
-        # path through them). A relay's first appearance has no _old
-        # — it counts as changed via the null-safe comparison.
+        # The convergence scalar is an OBSERVATION on the one
+        # materialized plan (fires when the checkpoint action runs), so
+        # each round costs exactly one job — the r11-era separate
+        # filter+count job over the checkpointed rows is gone (r12;
+        # at local-mode job overhead that was ~20% of the loop's wall).
+        obs = Observation()  # unnamed: unique id per round/run
         new_labels = (
             propagated.join(
                 _bc(parent), propagated.cluster_id == F.col("_pid"), "left"
-            )
-            .join(
-                _bc(labels.select(F.col(id_col), F.col("cluster_id").alias("_old"))),
-                id_col,
-                "left",
             )
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("_pcluster"), F.col("cluster_id")).alias("cluster_id"),
                 "_old",
             )
+            .observe(
+                obs,
+                F.sum(
+                    (~F.col("cluster_id").eqNullSafe(F.col("_old"))).cast("long")
+                ).alias("n"),
+            )
             .transform(_ck)
         )
-        changed = new_labels.filter(
-            ~F.col("cluster_id").eqNullSafe(F.col("_old"))
-        ).count()
+        changed = obs.get["n"] or 0
         labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             break
@@ -958,7 +977,7 @@ def incremental_dedup(
             F.posexplode(band_arr).alias("band_id", "band_key"),
         )
 
-    bn = banded(sig_n, "new_id").persist()
+    bn = banded(sig_n, "new_id").localCheckpoint()  # 2 join uses (r12)
     be = banded(sig_e, "_pid")
     cand_e = (
         bn.join(be, ["band_id", "band_key"])
@@ -974,7 +993,7 @@ def incremental_dedup(
         .select("new_id", F.col("_pid").alias("partner"), F.lit(1).alias("ptype"))
         .dropDuplicates(["new_id", "partner"])
     )
-    cand = cand_e.unionByName(cand_n).persist()
+    cand = cand_e.unionByName(cand_n).localCheckpoint()  # 3 consumers (r12)
 
     # verification shingles only for docs appearing in candidates
     all_docs = existing.unionByName(new)
@@ -986,7 +1005,7 @@ def incremental_dedup(
     cand_sh = (
         all_docs.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), shingle_array(col).alias("sh"))
-        .persist()
+        .localCheckpoint()
     )
     sa = cand_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a"))
     sb = cand_sh.select(F.col(id_col).alias("partner"), F.col("sh").alias("sh_b"))
