@@ -43,6 +43,56 @@ def _fmt_windows(df: DataFrame) -> DataFrame:
     )
 
 
+def _write_replay_files(tagged: DataFrame, n_parts: int, tmpdir: str) -> str:
+    """Write a replay fixture's ordered micro-batch files in ONE job.
+
+    ``tagged`` carries an int ``_part`` column (0..n_parts-1); every
+    other column is the replay schema. The r11-era per-part loop paid
+    one Spark job per file, each re-scanning its source; here one
+    ``repartition("_part")`` + dynamic ``partitionBy`` write emits all
+    files in a single job (all rows of a part co-locate in one task,
+    so each part is exactly one parquet file). Files then move to
+    ``src/`` under ascending mtimes so ``maxFilesPerTrigger=1``
+    replays them in part order — row content identical to the old
+    loop. A part with no rows (possible at tiny SFs) falls back to an
+    empty single-file write, preserving the old loop's empty-batch
+    behavior.
+    """
+    import os
+    import shutil
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    stage = os.path.join(tmpdir, "stage")
+    tagged.repartition("_part").write.mode("overwrite").partitionBy(
+        "_part"
+    ).parquet(stage)
+    schema = tagged.drop("_part").schema
+    for i in range(n_parts):
+        pdir = os.path.join(stage, f"_part={i}")
+        if not os.path.isdir(pdir):  # empty part: keep the empty file
+            pdir = os.path.join(tmpdir, f"empty{i}")
+            tagged.sparkSession.createDataFrame([], schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(pdir)
+        pq = next(f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(pdir, pq), dst)
+        # FileStreamSource orders files by modification time; pin it.
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    return src
+
+
+def _union_parts(parts: list[DataFrame]) -> DataFrame:
+    """Tag and union equal-schema part DataFrames for
+    :func:`_write_replay_files`."""
+    tagged = [p.withColumn("_part", F.lit(i)) for i, p in enumerate(parts)]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 _CANDLES_1H_ORACLE_BODY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -1315,8 +1365,6 @@ GROUP BY product, date_trunc('hour', ts)
     "idle-key-flush problem.",
 )
 def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.streaming.stateful import running_candles_event_timers
 
@@ -1335,18 +1383,8 @@ def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     tmpdir = scratch_dir(prefix="w30_src_")  # atexit-cleaned; no cross-run leak
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
     parts = [trades, sentinel(2, 10**12), sentinel(4, 10**12 + 1)]
-    for i, df in enumerate(parts):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        # FileStreamSource orders files by modification time; pin it so
-        # the real data is batch 1 and the sentinels are 2 and 3.
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(_union_parts(parts), len(parts), tmpdir)
 
     stream = (
         spark.readStream.schema(
@@ -1356,8 +1394,13 @@ def w30_stream_event_timer_finals(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    # 4 state partitions: the fixture has 5 product keys, so more
+    # partitions only add per-micro-batch store open/commit (r12
+    # sweep: 4 -> 4.5s vs 8 -> 5.1s vs 16 -> 5.2s median).
     out = run_available_now(
-        running_candles_event_timers(stream, window_minutes=60), "update"
+        running_candles_event_timers(stream, window_minutes=60),
+        "update",
+        shuffle_partitions=4,
     )
     return (
         out.filter(F.col("end_of_window") & (F.col("product") != "zzz_sentinel"))
@@ -1412,8 +1455,6 @@ FROM documents d LEFT JOIN p USING (doc_id)
     "long per doc per chunk), never text.",
 )
 def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.sources.fixtures import load_table
     from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
@@ -1425,17 +1466,9 @@ def w31_stream_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.floor(F.col("doc_id") * 3 / F.col("mxp1")).cast("int")
     )
     tmpdir = scratch_dir(prefix="w31_src_")  # atexit-cleaned; no cross-run leak
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        ranged.filter(F.col("bucket") == i).select("doc_id", "text").coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(
+        ranged.select(F.col("bucket").alias("_part"), "doc_id", "text"), 3, tmpdir
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -1546,8 +1579,6 @@ FROM docs_all d LEFT JOIN emit e USING (doc_id)
     "contract).",
 )
 def w33_stream_simhash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.sources.fixtures import load_table
     from kafka_flink_spark.streaming.dedup_stream import simhash_dedup_stream
@@ -1572,17 +1603,9 @@ def w33_stream_simhash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     tmpdir = scratch_dir(prefix="w33_src_")
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for b in range(3):
-        stage = os.path.join(tmpdir, f"stage{b}")
-        ranged.filter(F.col("bucket") == b).select("doc_id", "text").coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{b:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + b * 100,) * 2)
+    src = _write_replay_files(
+        ranged.select(F.col("bucket").alias("_part"), "doc_id", "text"), 3, tmpdir
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -1688,8 +1711,6 @@ FROM (SELECT * FROM on_time
     "and purge silence all sit inside the value hash.",
 )
 def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.streaming.lateness import allowed_lateness_candles
 
@@ -1723,24 +1744,22 @@ def w32_allowed_lateness_refire(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel(6),
     ]
     tmpdir = scratch_dir(prefix="w32_src_")  # atexit-cleaned; no cross-run leak
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i, df in enumerate(parts):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(_union_parts(parts), len(parts), tmpdir)
 
     stream = (
         spark.readStream.schema("ts timestamp, product string, price double, qty long")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    # 4 state partitions: 5 product keys + the sentinel — the global
+    # 8 default sized for the 2k-key OHLCV replay over-provisions the
+    # per-micro-batch store open/commit AND the Python worker fan-out
+    # of applyInPandasWithState here (r12 sweep: 16 -> 6.7s,
+    # 8 -> 5.8s, 4 -> 5.3s median; the r11 verdict's re-measure item).
     out = run_available_now(
         allowed_lateness_candles(stream, window_minutes=60, lateness_minutes=30),
         "update",
+        shuffle_partitions=4,
     )
     return out.filter(F.col("product") != "zzz_sentinel").select(
         "product",
@@ -1782,8 +1801,6 @@ from kafka_flink_spark.operators.sketches import KMV_ORACLE_SQL as _W34_ORACLE
     "value hash.",
 )
 def w34_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.operators.sketches import kmv_pairwise_from_samples
     from kafka_flink_spark.sources.fixtures import load_table
@@ -1797,17 +1814,11 @@ def w34_stream_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.floor(F.col("event_id") * 3 / F.col("mxp1")).cast("int")
     )
     tmpdir = scratch_dir(prefix="w34_src_")  # atexit-cleaned; no cross-run leak
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        ranged.filter(F.col("bucket") == i).select(
-            "event_type", "user_id"
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(
+        ranged.select(F.col("bucket").alias("_part"), "event_type", "user_id"),
+        3,
+        tmpdir,
+    )
 
     stream = (
         spark.readStream.schema("event_type string, user_id long")
@@ -1856,8 +1867,6 @@ from kafka_flink_spark.operators.sketches import CMS_ORACLE_SQL as _W35_ORACLE
     "hash-matches batch g15 under its oracle verbatim.",
 )
 def w35_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.operators.sketches import (
         CMS_DEPTH,
@@ -1874,17 +1883,9 @@ def w35_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.floor(F.col("l_orderkey") * 3 / F.col("mxp1")).cast("int")
     )
     tmpdir = scratch_dir(prefix="w35_src_")  # atexit-cleaned; no cross-run leak
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        ranged.filter(F.col("bucket") == i).select("l_partkey").coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(
+        ranged.select(F.col("bucket").alias("_part"), "l_partkey"), 3, tmpdir
+    )
 
     stream = (
         spark.readStream.schema("l_partkey long")
@@ -1895,7 +1896,10 @@ def w35_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(_buckets(F.col("_h"), CMS_DEPTH, CMS_WIDTH)).alias("d", "bucket")
     )
     sketch = fanned.groupBy("d", "bucket").agg(F.count("*").alias("c"))
-    final_sketch = run_available_now(sketch, "complete")
+    # 4 state partitions for the 1024-cell bounded sketch state (r12
+    # sweep: 4 -> 3.1s vs 8 -> 3.3s vs 16 -> 3.9s median; w35 was an
+    # r11-verdict re-measure item).
+    final_sketch = run_available_now(sketch, "complete", shuffle_partitions=4)
     keys = li.select("l_partkey").distinct()
     return cms_score(final_sketch, keys, "l_partkey")
 
@@ -1914,8 +1918,6 @@ def _w36_per_query_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate aggregation (shared by the query and the plan gate in
     tests/test_plans.py, which asserts the streaming side plans with
     zero Window operators)."""
-    import os
-    import shutil
 
     from pyspark.sql.window import Window
 
@@ -1955,17 +1957,9 @@ def _w36_per_query_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the 9 query vectors as three 3-query files
     qvecs = e.filter(F.col("vec_id").isin(*_W36_QUERY_IDS))
     tmpdir = scratch_dir(prefix="w36_src_")  # atexit-cleaned
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        qvecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(
+        qvecs.select((F.col("vec_id") % 3).cast("int").alias("_part"), "*"), 3, tmpdir
+    )
 
     stream = (
         spark.readStream.schema("vec_id long, v array<double>")
@@ -2073,8 +2067,6 @@ from kafka_flink_spark.suite.llm_queries import _FE6_ORACLE as _W37_ORACLE  # no
     "time.",
 )
 def w37_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
 
     from kafka_flink_spark.functions.hashing import md5_long
     from kafka_flink_spark.sources.fixtures import load_table
@@ -2088,17 +2080,9 @@ def w37_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmpdir = scratch_dir(prefix="w37_src_")  # atexit-cleaned
-    src = os.path.join(tmpdir, "src")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(tmpdir, f"stage{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        pq = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copyfile(os.path.join(stage, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    src = _write_replay_files(
+        docs.select((F.col("doc_id") % 3).cast("int").alias("_part"), "*"), 3, tmpdir
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
