@@ -101,34 +101,36 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank needs at least one node")
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
-    # Pin edges BEFORE deriving deg: out_e's one materialized plan
-    # otherwise embeds the caller's edge derivation TWICE (once under
-    # the deg aggregate, once as the join probe), and exchange reuse
-    # across those two consumers is not guaranteed — for a derived
-    # edge set (e.g. the co-purchase self-join + distinct) that means
-    # the dominant cost executes twice. One checkpoint bounds it to
-    # exactly one execution.
+    # Pin edges once: the relation is read by the deg aggregate and by
+    # every iteration's contribution join; for a derived edge set
+    # (e.g. the co-purchase basket expansion + distinct) one checkpoint
+    # bounds the dominant build cost to exactly one execution.
     edges = edges.transform(_ck)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # out-edges annotated with source degree, reused every round
-    out_e = edges.join(deg, "src").transform(_ck)
+    # Node-sized out-degree relation, pinned once. The per-edge
+    # contribution (85*pr) div (100*deg) depends only on the SOURCE
+    # node, so it is computed per source on this relation and joined
+    # onto the raw edge list — the edge relation never re-joins deg,
+    # which removes the edge-sized out_e materialization the previous
+    # shape pinned up front (measured r12: out_e checkpoint alone was
+    # ~2.1s of gr1's 5.3s at sf0.1). Value-identical: same integer
+    # division, evaluated once per src instead of once per edge.
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(_ck)
     pr = nodes.select(
         F.col(id_col), F.lit(PR_SCALE // n).cast("long").alias("pr")
     ).transform(_ck)
     if broadcast_ranks is None:
         broadcast_ranks = n <= BROADCAST_NODE_LIMIT
     for it in range(iterations):
-        prb = _node_side(pr, broadcast_ranks)
+        fac = deg.join(
+            _node_side(pr, broadcast_ranks), deg.src == pr[id_col]
+        ).select(
+            deg.src,
+            F.expr(f"({PR_DAMP_NUM} * pr) div ({PR_DAMP_DEN} * deg)").alias("_f"),
+        )
         contrib = (
-            out_e.join(prb, out_e.src == prb[id_col])
-            .select(
-                F.col("dst"),
-                F.expr(
-                    f"({PR_DAMP_NUM} * pr) div ({PR_DAMP_DEN} * deg)"
-                ).alias("c"),
-            )
+            edges.join(_node_side(fac, broadcast_ranks), "src")
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum("_f").alias("s"))
         )
         contrib = _node_side(contrib, broadcast_ranks)
         pr = nodes.join(contrib, nodes[id_col] == contrib.dst, "left").select(
@@ -510,8 +512,11 @@ def personalized_pagerank(
         F.col(id_col), F.coalesce("_seed", F.lit(0)).alias("_seed")
     ).transform(_ck)
     edges = edges.transform(_ck)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    out_e = edges.join(deg, "src").transform(_ck)
+    # Same degree-factored contribution as pagerank(): the per-edge
+    # term depends only on src, so it is computed on the node-sized
+    # deg relation and joined onto the raw edge list — no edge-sized
+    # out_e materialization.
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(_ck)
     pr = marked.select(
         F.col(id_col),
         (F.col("_seed") * F.lit(PR_SCALE // ns)).cast("long").alias("pr"),
@@ -520,17 +525,16 @@ def personalized_pagerank(
         # marked is node-sized; same auto rule as pagerank.
         broadcast_ranks = marked.count() <= BROADCAST_NODE_LIMIT
     for it in range(iterations):
-        prb = _node_side(pr, broadcast_ranks)
+        fac = deg.join(
+            _node_side(pr, broadcast_ranks), deg.src == pr[id_col]
+        ).select(
+            deg.src,
+            F.expr(f"({PR_DAMP_NUM} * pr) div ({PR_DAMP_DEN} * deg)").alias("_f"),
+        )
         contrib = (
-            out_e.join(prb, out_e.src == prb[id_col])
-            .select(
-                F.col("dst"),
-                F.expr(
-                    f"({PR_DAMP_NUM} * pr) div ({PR_DAMP_DEN} * deg)"
-                ).alias("c"),
-            )
+            edges.join(_node_side(fac, broadcast_ranks), "src")
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum("_f").alias("s"))
         )
         contrib = _node_side(contrib, broadcast_ranks)
         pr = marked.join(contrib, marked[id_col] == contrib.dst, "left").select(

@@ -2014,37 +2014,50 @@ def g17_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """Directed co-purchase edge set (both orientations, src != dst,
-    distinct) via per-order basket expansion — value-identical to the
-    lineitem orderkey self-join (same pair multiset before the
-    distinct) but narrow where the self-join shuffles the fact table:
-    baskets per order are bounded, so groupBy + per-row expansion is
-    one exchange + codegen work (the gr2/gr3 technique; measured
-    2.9s -> 1.7s warm at sf0.1 for the build alone)."""
+def _basket_pairs(
+    li: DataFrame, ordered: bool = False, with_orderkey: bool = False
+) -> DataFrame:
+    """Multiset of per-order basket pairs ``(src, dst)`` — value-
+    identical to the lineitem orderkey self-join's pair multiset but
+    narrow where the self-join shuffles the fact table: baskets per
+    order are bounded (TPC-H: <= 7 lineitems), so groupBy +
+    per-row expansion is one exchange + codegen work.
+
+    The expansion is two chained generators — explode the basket once
+    for src, re-explode it for dst, filter — which stays inside
+    WholeStageCodegen. The previous nested transform/filter/flatten
+    HOF built the same pairs through interpreted lambda evaluators
+    and an O(basket^2) struct array per row (measured r12: 1.0s vs
+    1.4-1.7s warm at sf0.1 for the distinct edge build, identical
+    pair sets).
+
+    ``ordered=True`` keeps ``src < dst`` only (canonical orientation,
+    gr2/gr3/gr8); default keeps both orientations (``src != dst``).
+    ``with_orderkey=True`` carries ``l_orderkey`` as ``ok`` (the
+    support-counting variant gr6 needs)."""
     per_order = li.groupBy("l_orderkey").agg(
         F.collect_list("l_partkey").alias("ps")
     )
-    return (
-        per_order.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.filter(
-                            F.transform(
-                                F.col("ps"),
-                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                            ),
-                            lambda st: st["src"] != st["dst"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .distinct()
+    head = ["ok"] if with_orderkey else []
+    expanded = per_order.select(
+        F.col("l_orderkey").alias("ok"),
+        F.explode("ps").alias("src"),
+        F.col("ps"),
+    ).select(*head, "src", F.explode("ps").alias("dst"))
+    cond = (
+        F.col("src") < F.col("dst") if ordered else F.col("src") != F.col("dst")
     )
+    return expanded.filter(cond)
+
+
+def _copurchase_edges(li: DataFrame, with_orderkey: bool = False) -> DataFrame:
+    """Directed co-purchase edge set (both orientations, src != dst,
+    distinct) via :func:`_basket_pairs` — same pair set as the
+    orderkey self-join, fact table never self-joins."""
+    pairs = _basket_pairs(li, with_orderkey=with_orderkey)
+    if with_orderkey:
+        return pairs.select("ok", "src", "dst").distinct()
+    return pairs.select("src", "dst").distinct()
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
@@ -2185,23 +2198,7 @@ def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list (not set): the pair weight counts LINE-level
     # co-occurrences, same multiset as the a.l_partkey < b.l_partkey
     # line self-join the oracle mirrors
-    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
-    pairs = per_order.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ps"),
-                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                        ),
-                        lambda s: s["src"] < s["dst"],
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+    pairs = _basket_pairs(li, ordered=True)
     strong = (
         pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
@@ -2252,23 +2249,7 @@ def gr3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import connected_components
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
-    pairs = per_order.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ps"),
-                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                        ),
-                        lambda s: s["src"] < s["dst"],
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+    pairs = _basket_pairs(li, ordered=True)
     strong = (
         pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
@@ -3249,29 +3230,7 @@ def gr6_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket-expansion build of the order-carrying pair relation —
     # same (ok, src, dst) distinct set as the orderkey self-join
     # (_copurchase_edges rationale), fact table never self-joins
-    co = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_list("l_partkey").alias("ps"))
-        .select(
-            F.col("l_orderkey").alias("ok"),
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.filter(
-                            F.transform(
-                                F.col("ps"),
-                                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                            ),
-                            lambda st: st["src"] != st["dst"],
-                        ),
-                    )
-                )
-            ).alias("p"),
-        )
-        .select("ok", "p.src", "p.dst")
-        .distinct()
-    )
+    co = _copurchase_edges(li, with_orderkey=True)
     edges = (
         co.groupBy("src", "dst")
         .agg(F.count("*").alias("_sup"))
@@ -3418,23 +3377,7 @@ def gr8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_spark.operators.graph import link_prediction_ra
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
-    pairs = per_order.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ps"),
-                            lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                        ),
-                        lambda s: s["src"] < s["dst"],
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+    pairs = _basket_pairs(li, ordered=True)
     edges = (
         pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
@@ -3623,27 +3566,9 @@ def g24_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = baskets.groupBy(F.col("l_partkey").alias("i")).agg(
         F.count("*").alias("ni")
     )
-    per_order = baskets.groupBy("l_orderkey").agg(
-        F.collect_list("l_partkey").alias("ps")
-    )
     pair = (
-        per_order.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda x: F.filter(
-                            F.transform(
-                                F.col("ps"),
-                                lambda y: F.struct(x.alias("ante"), y.alias("cons")),
-                            ),
-                            lambda s: s["ante"] != s["cons"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.ante", "p.cons")
+        _basket_pairs(baskets)
+        .select(F.col("src").alias("ante"), F.col("dst").alias("cons"))
         .groupBy("ante", "cons")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
