@@ -1294,6 +1294,26 @@ def nn_descent(
         .transform(_ck)
     )
     topw = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("w"))
+    # Running set of canonical pairs that BOTH endpoints have already
+    # ranked (ids only). Each round anti-joins its candidates against
+    # it, so such a pair is never re-scored (measured r12: round 2
+    # re-scored 38% of its candidates at the bench corpus). Value-
+    # identical: for a pair in ``seen``, each endpoint either still
+    # holds the edge in g (its score re-enters via the g union) or
+    # rejected it against k neighbors that persist in g — so the edge
+    # can never re-enter any top-k, and rows ranked below it were
+    # already filtered. Seeding uses only init pairs whose ring edges
+    # exist in BOTH directions — one-directional init pairs were never
+    # ranked by the reverse endpoint and must stay re-scorable.
+    seen = (
+        g.join(
+            g.select(F.col("w").alias("u"), F.col("u").alias("w")),
+            ["u", "w"],
+            "left_semi",
+        )
+        .filter(F.col("u") < F.col("w"))
+        .select(F.col("u").alias("a"), F.col("w").alias("b"))
+    )
     for _ in range(rounds):
         sym = g.select("u", "w").unionByName(
             g.select(F.col("w").alias("u"), F.col("u").alias("w"))
@@ -1304,21 +1324,28 @@ def nn_descent(
             .select(F.col("p.w").alias("a"), F.col("q.w").alias("b"))
             .distinct()
         )
-        scored = score(cands).transform(_ck)  # read by both direction legs
-        directed = (
+        fresh = cands.join(seen, ["a", "b"], "left_anti")
+        scored = score(fresh).transform(_ck)  # read by both direction legs
+        # Dedup vs g via an anti-join on the node-sized g (broadcastable)
+        # instead of dropDuplicates over the unioned edge relation — the
+        # widest shuffle of the round. Colliding rows carry the same c
+        # (same vectors, same rounding), so keeping g's copy is exactly
+        # the dropDuplicates result.
+        new_legs = (
             scored.select(F.col("a").alias("u"), F.col("b").alias("w"), "c")
             .unionByName(
                 scored.select(F.col("b").alias("u"), F.col("a").alias("w"), "c")
             )
-            .unionByName(g)
-            .dropDuplicates(["u", "w"])
+            .join(g.select("u", "w"), ["u", "w"], "left_anti")
         )
+        directed = new_legs.unionByName(g)
         g = (
             directed.withColumn("rn", F.row_number().over(topw))
             .filter(F.col("rn") <= k)
             .select("u", "w", "c")
             .transform(_ck)
         )
+        seen = seen.unionByName(scored.select("a", "b"))
     return (
         g.withColumn("rn", F.row_number().over(topw))
         .select(
