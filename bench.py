@@ -216,9 +216,32 @@ def _time_section(
     return timings
 
 
+def _wait_for_idle_box() -> None:
+    """Load-aware pre-flight (VERDICT r10/r11): two consecutive driver
+    windows ran on a contended box and the round-over-round comparison
+    read as noise. If the 1-minute load average exceeds half the bench
+    core count, sleep-retry for up to ~5 minutes, then proceed anyway —
+    the bench must never hang the driver, only dodge transient load.
+    Additions-only: timing methodology and output contract unchanged."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    threshold = max(2.0, cpus / 2.0)
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        load = os.getloadavg()[0]
+        if load <= threshold:
+            return
+        print(
+            f"pre-flight: load {load:.1f} > {threshold:.1f}, waiting...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(20)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    _wait_for_idle_box()
     load_start = round(os.getloadavg()[0], 2)
 
     # Throughput FIRST, in its own child process, before any other JVM
@@ -238,9 +261,15 @@ def main() -> None:
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in qs]
     names += [n for n in extra if n not in names]
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not session startup.
-    qs[names[0]].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers so per-query numbers measure
+    # execution, not session startup. Twice: the first pass pays
+    # classloading + parquet footers, the second pays codegen JIT
+    # compilation that the first pass only enqueued (measured r12: the
+    # very first query execution of a session is 6-8x its warm time,
+    # the second ~1.3x; one warm-up pass left a1's first timed rep as
+    # a cold outlier that polluted the r11 headline median).
+    for _ in range(2):
+        qs[names[0]].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     spread: dict[str, list[float]] = {}
     timings = _time_section(spark, qs, sf_dir, names, spread)
