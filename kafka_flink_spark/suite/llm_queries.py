@@ -3939,12 +3939,25 @@ def fe4_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "l_extendedprice",
     )
-    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med"),
-        (
-            F.percentile("l_extendedprice", F.lit(0.75))
-            - F.percentile("l_extendedprice", F.lit(0.25))
-        ).alias("iqr"),
+    # ONE array-argument percentile aggregate instead of three scalar
+    # ones: the exact-percentile aggregate buffers (and sorts) every
+    # group value once PER AGGREGATE, so folding q25/q50/q75 into one
+    # call cuts the buffered copies and sorts 3x (measured r12:
+    # 1.8-2.2s -> 0.8-1.0s for the stats phase at sf0.1). Same
+    # function, same interpolation - bit-identical values.
+    stats = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_q")
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_q")[1].alias("med"),
+            (F.col("_q")[2] - F.col("_q")[0]).alias("iqr"),
+        )
     )
     return li.join(F.broadcast(stats), ["l_returnflag", "l_linestatus"]).select(
         "l_orderkey",
