@@ -44,12 +44,18 @@ def main() -> None:
             continue
         spark.sparkContext.setJobDescription(f"opt_profile:{name}")
         if args.plans:
+            # Public API capture (ADVICE r11): redirect explain()'s
+            # stdout instead of reaching into JVM internals, which
+            # break under Spark Connect.
+            import contextlib
+            import io
+
             df = qs[name].spark_fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
             with open(os.path.join(args.plans, f"{name}_{args.tag}.txt"), "w") as fh:
-                fh.write(plan)
+                fh.write(buf.getvalue())
         reps = []
         for _ in range(args.reps):
             spark.catalog.clearCache()
