@@ -221,6 +221,19 @@ def run_available_now(
     the result is cached and pinned, then the view is dropped and the
     checkpoint dir deleted, so repeated calls (tests, bench loops)
     don't accumulate driver memory or disk.
+
+    SINGLE-THREADED BY CONTRACT (ADVICE r11): the partition count is
+    applied by toggling the session-global
+    ``spark.sql.shuffle.partitions`` and restoring it in ``finally``,
+    because a per-query scope does not exist for the state-store
+    partition count (it is pinned from the session conf at the
+    stream's first checkpoint). A concurrent batch query or second
+    replay on the SAME SparkSession during this window would see the
+    reduced value (or a racing restore). Every caller in this engine
+    (tests, bench.py's single-threaded sections, the replay queries)
+    runs replays sequentially; if concurrent replays are ever needed,
+    give each its own SparkSession (``spark.newSession()`` shares the
+    context but isolates the conf).
     """
     import os
 
